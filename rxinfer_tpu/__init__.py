@@ -1,0 +1,20 @@
+"""rxinfer_tpu — a TPU-native message-passing Bayesian inference framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the capability surface of
+RxInfer.jl (ReactiveBayes; reference mounted read-only at /root/reference).
+Architecture: an ahead-of-time factor-graph compiler lowers a Python ``@model``
+to a static XLA message schedule — sum-product / variational message passing with
+conjugate closed-form rules, structured & mean-field constraints, and Bethe
+free-energy scoring — batched with ``vmap`` and sharded over device meshes with
+``psum``/``shard_map`` collectives.
+
+This is not a port: the reference's reactive Rocket.jl push-stream runtime
+(src/inference/streaming.jl) is replaced by compiled static schedules
+(associative-scan Kalman smoothing for Gaussian chains, forward-backward scans
+for HMMs, fixed-point VMP iterations under ``lax.scan``).
+"""
+
+from . import dists
+from .dists import *  # noqa: F401,F403 — distribution families are top-level API
+
+__version__ = "0.1.0"
