@@ -208,6 +208,10 @@ class InverseGamma(Distribution):
     def mean_log(self):
         return jnp.log(self.b) - digamma(self.a)
 
+    def mean_inverse(self):
+        """E[1/x] = a/b."""
+        return self.a / self.b
+
     def entropy(self):
         a, b = self.a, self.b
         return a + jnp.log(b) + gammaln(a) - (1.0 + a) * digamma(a)

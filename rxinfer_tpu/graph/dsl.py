@@ -1,0 +1,655 @@
+"""Python ``@model`` DSL — the GraphPPL-equivalent frontend (SURVEY.md §2.2).
+
+Reference surface being reimplemented (docs/src/manuals/model-specification.md):
+  * ``x ~ Normal(mean=..., var=...)``  →  ``x = Normal(mean=..., var=...)``
+  * ``x[t] ~ MvNormal(...)``           →  ``x[t] = MvNormal(...)`` on a ``latent(T)``
+  * data conditioning                  →  data args of the model function
+  * broadcast ``.~`` / indexed loops   →  ``for t in plate(T):`` (symbolic plate)
+  * keyword-parametrization aliases (src/model/graphppl.jl:340-423) → canonical
+    fform resolution in the node functions below
+  * anonymous nodes & constant folding of deterministic linear maps
+    (docs/src/manuals/model-specification.md:217-245) → LinearExpr folding into
+    'LinearGaussian' factors.
+
+The model function is traced ONCE per data-shape signature; inside a plate the body
+runs a single time with a symbolic index, producing plated (templated) factors that
+the compiler lowers to scans — never a Python loop in the compiled program.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Optional
+
+import numpy as np
+
+from .ir import Const, Factor, ModelGraph, Plate, Ref, SymIndex, Variable
+
+_STATE = threading.local()
+
+
+def _builder() -> "ModelBuilder":
+    b = getattr(_STATE, "builder", None)
+    if b is None:
+        raise RuntimeError(
+            "Node constructors can only be used inside an @model function trace."
+        )
+    return b
+
+
+def _active() -> Optional["ModelBuilder"]:
+    return getattr(_STATE, "builder", None)
+
+
+def _current_plate() -> Optional[Plate]:
+    b = _builder()
+    return b.plate_stack[-1] if b.plate_stack else None
+
+
+# ---------------------------------------------------------------------------------
+# Symbolic expressions over random variables
+# ---------------------------------------------------------------------------------
+
+class RVRef:
+    """A reference to a random-variable slot, with operator overloads building
+    linear expressions (folded into linear-Gaussian factors at canonicalization)."""
+
+    __array_ufunc__ = None  # make numpy defer binary ops to us
+
+    def __init__(self, ref: Ref):
+        self.ref = ref
+
+    # numpy matmul: A @ x
+    def __rmatmul__(self, a):
+        return LinearExpr(np.asarray(a), self, None)
+
+    def __mul__(self, c):
+        c = np.asarray(c)
+        if c.ndim != 0:
+            raise TypeError("Only scalar * rv supported; use A @ x for matrices.")
+        return LinearExpr(c, self, None)
+
+    __rmul__ = __mul__
+
+    def __add__(self, b):
+        if isinstance(b, RVRef):
+            return AddExpr((self, b))
+        return LinearExpr(None, self, np.asarray(b))
+
+    __radd__ = __add__
+
+    def __sub__(self, b):
+        return LinearExpr(None, self, -np.asarray(b))
+
+    def __neg__(self):
+        return LinearExpr(np.asarray(-1.0), self, None)
+
+    def __repr__(self):
+        return f"RVRef({self.ref})"
+
+
+class LinearExpr:
+    """a @ x + b (or scalar a * x + b)."""
+
+    __array_ufunc__ = None
+
+    def __init__(self, a, x: RVRef, b):
+        self.a = a
+        self.x = x
+        self.b = b
+
+    def __add__(self, b2):
+        b2 = np.asarray(b2)
+        b = b2 if self.b is None else self.b + b2
+        return LinearExpr(self.a, self.x, b)
+
+    __radd__ = __add__
+
+    def __rmatmul__(self, a2):
+        a2 = np.asarray(a2)
+        if self.b is not None:
+            b = a2 @ self.b if np.ndim(self.b) else a2 * self.b
+        else:
+            b = None
+        a = a2 if self.a is None else (a2 @ self.a if np.ndim(self.a) >= 2 else a2 * self.a)
+        return LinearExpr(a, self.x, b)
+
+    def __mul__(self, c):
+        c = np.asarray(c)
+        a = c if self.a is None else c * self.a
+        b = None if self.b is None else c * self.b
+        return LinearExpr(a, self.x, b)
+
+    __rmul__ = __mul__
+
+
+class AddExpr:
+    """Sum of random variables (lowered to a 'Sum' deterministic node)."""
+
+    __array_ufunc__ = None
+
+    def __init__(self, terms):
+        self.terms = tuple(terms)
+
+    def __add__(self, other):
+        if isinstance(other, RVRef):
+            return AddExpr(self.terms + (other,))
+        raise TypeError("Mixed rv-sum expressions support rv + rv only.")
+
+
+def dot(a, x: RVRef) -> LinearExpr:
+    """Inner product of a constant vector with a random vector (reference ``dot``)."""
+    a = np.asarray(a)
+    return LinearExpr(a.reshape(1, -1), x, None)
+
+
+# ---------------------------------------------------------------------------------
+# Variable containers exposed to the model body
+# ---------------------------------------------------------------------------------
+
+class LatentArray:
+    """Array of latent random variables; ``x[t] = Node(...)`` defines slot t."""
+
+    def __init__(self, var: Variable):
+        self._var = var
+
+    def __len__(self):
+        return self._var.length
+
+    def _norm_idx(self, key):
+        if isinstance(key, SymIndex):
+            return key
+        key = int(key)
+        if key < 0:
+            key += self._var.length
+        return key
+
+    def __getitem__(self, key) -> RVRef:
+        return RVRef(Ref(self._var, self._norm_idx(key)))
+
+    def __setitem__(self, key, value):
+        if not isinstance(value, RVRef):
+            raise TypeError(
+                f"x[t] = ... expects a node constructor call (got {type(value)})."
+            )
+        _builder().rebind(value.ref, Ref(self._var, self._norm_idx(key)))
+
+
+class DataArray:
+    """Observed-data placeholder; ``y[t] = Node(...)`` observes slot t.
+
+    Data arrays know their shape/dtype at trace time but not their values (values
+    are runtime arguments of the compiled program — the equivalent of
+    ``new_observation!`` becoming buffer donation, SURVEY.md §3.1)."""
+
+    def __init__(self, var: Variable, shape: tuple, dtype):
+        self._var = var
+        self.shape = shape
+        self.dtype = dtype
+        var.event_shape = shape[1:] if var.is_array else shape
+        var.dtype = dtype
+
+    def __len__(self):
+        return self.shape[0]
+
+    @property
+    def plate_size(self):
+        return self.shape[0]
+
+    def _norm_idx(self, key):
+        if isinstance(key, SymIndex):
+            return key
+        key = int(key)
+        if key < 0:
+            key += self._var.length
+        return key
+
+    def __getitem__(self, key) -> RVRef:
+        # Data used as an *input* (covariates): behaves like an observed ref.
+        return RVRef(Ref(self._var, self._norm_idx(key)))
+
+    def __setitem__(self, key, value):
+        if not isinstance(value, RVRef):
+            raise TypeError("y[t] = ... expects a node constructor call.")
+        _builder().rebind(value.ref, Ref(self._var, self._norm_idx(key)))
+
+    def observe(self, value: RVRef):
+        """Observe the whole (scalar) data variable: ``y.observe(Normal(...))``."""
+        _builder().rebind(value.ref, Ref(self._var, None))
+
+
+def latent(length: int, name: Optional[str] = None) -> LatentArray:
+    """Declare an array of latent variables (reference: implicit ``x[i] ~ ...``)."""
+    b = _builder()
+    var = b.graph.add_variable(
+        Variable(name or b.fresh_name("x"), "random", int(length))
+    )
+    return LatentArray(var)
+
+
+def plate(*args, name: Optional[str] = None):
+    """Symbolic plate iterator: ``for t in plate(T)`` or ``plate(lo, hi)``.
+
+    The body executes ONCE with a symbolic index; every node created inside becomes
+    a plated (templated) factor lowered to batched ops / scans."""
+    if len(args) == 1:
+        lo, hi = 0, int(args[0])
+    else:
+        lo, hi = int(args[0]), int(args[1])
+    b = _builder()
+    p = Plate(lo, hi, name)
+    b.graph.add_plate(p)
+    b.plate_stack.append(p)
+    try:
+        yield SymIndex(p, 0)
+    finally:
+        b.plate_stack.pop()
+
+
+# ---------------------------------------------------------------------------------
+# Builder
+# ---------------------------------------------------------------------------------
+
+class ModelBuilder:
+    def __init__(self, name: str):
+        self.graph = ModelGraph(name)
+        self.plate_stack: list[Plate] = []
+        self._name_counter = 0
+
+    def fresh_name(self, prefix: str) -> str:
+        self._name_counter += 1
+        return f"_{prefix}{self._name_counter}"
+
+    # -- node creation -----------------------------------------------------------
+    def emit(self, fform: str, interfaces: dict, meta=None) -> RVRef:
+        """Create a factor with a fresh anonymous output variable; return its ref."""
+        p = self.plate_stack[-1] if self.plate_stack else None
+        if p is not None:
+            var = self.graph.add_variable(
+                Variable(self.fresh_name("v"), "random", p.size)
+            )
+            # Anonymous plated arrays are indexed [0, size) while the plate runs
+            # [lo, hi): slot (t - lo) of the anonymous array belongs to step t.
+            out = Ref(var, SymIndex(p, -p.lo))
+        else:
+            var = self.graph.add_variable(Variable(self.fresh_name("v"), "random"))
+            out = Ref(var, None)
+        f = Factor(fform, out, interfaces, plate=p, meta=meta)
+        self.graph.add_factor(f)
+        return RVRef(out)
+
+    def rebind(self, anon_ref: Ref, target: Ref):
+        """Rebind a just-created anonymous output to a named latent/data slot."""
+        anon_var = anon_ref.var
+        for f in self.graph.factors:
+            if f.out.var is anon_var:
+                f.out = target
+            for k, v in list(f.interfaces.items()):
+                if isinstance(v, Ref) and v.var is anon_var:
+                    # preserve relative offset between use and definition
+                    idx = target.idx
+                    if isinstance(v.idx, SymIndex) and isinstance(idx, SymIndex):
+                        delta = v.idx.offset - anon_ref.idx.offset
+                        idx = SymIndex(idx.plate, idx.offset + delta)
+                    f.interfaces[k] = Ref(target.var, idx)
+        self.graph.variables.remove(anon_var)
+
+
+def _as_interface(v) -> Any:
+    """Normalize a node argument to Ref or Const."""
+    if isinstance(v, RVRef):
+        return v.ref
+    if isinstance(v, (LinearExpr, AddExpr)):
+        return v
+    return Const(np.asarray(v))
+
+
+# ---------------------------------------------------------------------------------
+# Node constructors (the user-facing vocabulary)
+#
+# Context-sensitive: inside an @model trace they create factor nodes; outside they
+# construct plain distribution objects (so the same vocabulary serves priors,
+# @initialization specs, and tests) — mirroring how the reference resolves
+# ``Normal(mean=..., var=...)`` both as node and distribution via alias tables.
+# ---------------------------------------------------------------------------------
+
+# canonical fform -> direct distribution constructor (positional, canonical order)
+def _direct_dist(fform: str, *args):
+    from .. import dists as D
+
+    table = {
+        "NormalMeanVariance": D.NormalMeanVariance,
+        "NormalMeanPrecision": D.NormalMeanPrecision,
+        "MvNormalMeanCovariance": D.MvNormalMeanCovariance,
+        "MvNormalMeanPrecision": D.MvNormalMeanPrecision,
+        "MvNormalMeanScalePrecision": D.MvNormalMeanScalePrecision,
+        "Beta": D.Beta,
+        "Bernoulli": D.Bernoulli,
+        "Binomial": D.Binomial,
+        "GammaShapeRate": D.GammaShapeRate,
+        "GammaShapeScale": D.GammaShapeScale,
+        "InverseGamma": D.InverseGamma,
+        "Categorical": D.Categorical.from_probs,
+        "Dirichlet": D.Dirichlet,
+        "DirichletCollection": D.DirichletCollection,
+        "Wishart": D.Wishart,
+        "InverseWishart": D.InverseWishart,
+        "Poisson": D.Poisson,
+        "Uniform": D.Uniform,
+    }
+    import jax.numpy as jnp
+
+    return table[fform](*[jnp.asarray(a, dtype=jnp.float32) for a in args])
+
+
+def _gaussian(kind_scalar: str, kwargs: dict) -> RVRef:
+    """Canonicalize Normal/MvNormal keyword aliases (reference
+    src/model/graphppl.jl:340-423) and fold linear means into LinearGaussian."""
+    mean = kwargs.pop("mean", None)
+    if mean is None and "m" in kwargs:
+        mean = kwargs.pop("m")
+    noise_kinds = [
+        ("var", "Variance"),
+        ("variance", "Variance"),
+        ("v", "Variance"),
+        ("cov", "Covariance"),
+        ("covariance", "Covariance"),
+        ("precision", "Precision"),
+        ("prec", "Precision"),
+        ("tau", "Precision"),
+        ("w", "Precision"),
+        ("gamma", "ScalePrecision"),
+    ]
+    noise_val, noise_kind = None, None
+    for key, kind in noise_kinds:
+        if key in kwargs:
+            if noise_val is not None:
+                raise TypeError("Specify exactly one of var/cov/precision.")
+            noise_val, noise_kind = kwargs.pop(key), kind
+    if kwargs:
+        raise TypeError(f"Unknown Normal arguments: {list(kwargs)}")
+    if mean is None or noise_val is None:
+        raise TypeError("Normal requires mean and one of var/cov/precision.")
+
+    mv = kind_scalar == "MvNormal"
+    if mv:
+        base = {"Variance": "MvNormalMeanCovariance",
+                "Covariance": "MvNormalMeanCovariance",
+                "Precision": "MvNormalMeanPrecision",
+                "ScalePrecision": "MvNormalMeanScalePrecision"}[noise_kind]
+    else:
+        base = {"Variance": "NormalMeanVariance",
+                "Covariance": "NormalMeanVariance",
+                "Precision": "NormalMeanPrecision",
+                "ScalePrecision": "NormalMeanPrecision"}[noise_kind]
+
+    noise_name = {"MvNormalMeanCovariance": "cov",
+                  "MvNormalMeanPrecision": "prec",
+                  "MvNormalMeanScalePrecision": "gamma",
+                  "NormalMeanVariance": "var",
+                  "NormalMeanPrecision": "prec"}[base]
+
+    if _active() is None:
+        return _direct_dist(base, mean, noise_val)
+
+    if isinstance(mean, AddExpr):
+        # x ~ Normal(mean = a + b, ...) with random a, b: introduce the sum node.
+        s = Sum(*mean.terms)
+        mean = s
+    if isinstance(mean, LinearExpr):
+        # Fold deterministic linear map into a LinearGaussian factor
+        # (reference: node contraction of anonymous deterministic nodes,
+        # docs/src/manuals/model-specification.md:332-447).
+        interfaces = {
+            "in": mean.x.ref,
+            "A": Const(np.asarray(mean.a)) if mean.a is not None else Const(np.asarray(1.0)),
+            "b": Const(np.asarray(mean.b)) if mean.b is not None else Const(np.asarray(0.0)),
+            noise_name: _as_interface(noise_val),
+        }
+        fform = ("Mv" if mv else "") + "LinearGaussian" + (
+            "Covariance" if noise_name in ("cov", "var") else "Precision"
+        )
+        return _builder().emit(fform, interfaces)
+
+    return _builder().emit(base, {"mean": _as_interface(mean), noise_name: _as_interface(noise_val)})
+
+
+def Normal(**kwargs) -> RVRef:
+    return _gaussian("Normal", dict(kwargs))
+
+
+def MvNormal(**kwargs) -> RVRef:
+    return _gaussian("MvNormal", dict(kwargs))
+
+
+def Beta(a, b) -> RVRef:
+    if _active() is None:
+        return _direct_dist("Beta", a, b)
+    return _builder().emit("Beta", {"a": _as_interface(a), "b": _as_interface(b)})
+
+
+def Bernoulli(p) -> RVRef:
+    if _active() is None:
+        return _direct_dist("Bernoulli", p)
+    return _builder().emit("Bernoulli", {"p": _as_interface(p)})
+
+
+def Binomial(n, p) -> RVRef:
+    if _active() is None:
+        return _direct_dist("Binomial", n, p)
+    return _builder().emit("Binomial", {"n": _as_interface(n), "p": _as_interface(p)})
+
+
+def Gamma(shape=None, rate=None, scale=None, a=None, b=None) -> RVRef:
+    sh = shape if shape is not None else a
+    if rate is None and b is not None:
+        rate = b
+    if sh is None or (rate is None and scale is None):
+        raise TypeError("Gamma requires shape and rate (or scale).")
+    if scale is not None:
+        if _active() is None:
+            return _direct_dist("GammaShapeScale", sh, scale)
+        return _builder().emit(
+            "GammaShapeScale", {"shape": _as_interface(sh), "scale": _as_interface(scale)}
+        )
+    if _active() is None:
+        return _direct_dist("GammaShapeRate", sh, rate)
+    return _builder().emit(
+        "GammaShapeRate", {"shape": _as_interface(sh), "rate": _as_interface(rate)}
+    )
+
+
+def InverseGamma(shape, scale) -> RVRef:
+    if _active() is None:
+        return _direct_dist("InverseGamma", shape, scale)
+    return _builder().emit(
+        "InverseGamma", {"shape": _as_interface(shape), "scale": _as_interface(scale)}
+    )
+
+
+def Categorical(p) -> RVRef:
+    if _active() is None:
+        return _direct_dist("Categorical", p)
+    return _builder().emit("Categorical", {"p": _as_interface(p)})
+
+
+def Dirichlet(alpha) -> RVRef:
+    if _active() is None:
+        return _direct_dist("Dirichlet", alpha)
+    return _builder().emit("Dirichlet", {"alpha": _as_interface(alpha)})
+
+
+def DirichletCollection(alpha) -> RVRef:
+    if _active() is None:
+        return _direct_dist("DirichletCollection", alpha)
+    return _builder().emit("DirichletCollection", {"alpha": _as_interface(alpha)})
+
+
+def Wishart(nu, S) -> RVRef:
+    if _active() is None:
+        return _direct_dist("Wishart", nu, S)
+    return _builder().emit("Wishart", {"nu": _as_interface(nu), "S": _as_interface(S)})
+
+
+def InverseWishart(nu, Psi) -> RVRef:
+    if _active() is None:
+        return _direct_dist("InverseWishart", nu, Psi)
+    return _builder().emit(
+        "InverseWishart", {"nu": _as_interface(nu), "Psi": _as_interface(Psi)}
+    )
+
+
+def Poisson(rate) -> RVRef:
+    if _active() is None:
+        return _direct_dist("Poisson", rate)
+    return _builder().emit("Poisson", {"rate": _as_interface(rate)})
+
+
+def Uniform(lo=0.0, hi=1.0) -> RVRef:
+    if _active() is None:
+        return _direct_dist("Uniform", lo, hi)
+    return _builder().emit("Uniform", {"lo": _as_interface(lo), "hi": _as_interface(hi)})
+
+
+def Transition(state_in, matrix) -> RVRef:
+    """Discrete transition: out ~ Categorical(P[:, state_in]).
+
+    Reference: DiscreteTransition node (HMM conformance test,
+    test/models/statespace/hmm_tests.jl)."""
+    return _builder().emit(
+        "DiscreteTransition",
+        {"in": _as_interface(state_in), "matrix": _as_interface(matrix)},
+    )
+
+
+DiscreteTransition = Transition
+
+
+def NormalMixture(switch, means, precisions) -> RVRef:
+    """Gaussian mixture likelihood node (reference NormalMixture, GMM tests)."""
+    interfaces = {"switch": _as_interface(switch)}
+    for i, m in enumerate(means):
+        interfaces[f"mean{i}"] = _as_interface(m)
+    for i, p in enumerate(precisions):
+        interfaces[f"prec{i}"] = _as_interface(p)
+    return _builder().emit("NormalMixture", interfaces, meta={"K": len(means)})
+
+
+def GammaMixture(switch, shapes, rates) -> RVRef:
+    interfaces = {"switch": _as_interface(switch)}
+    for i, a in enumerate(shapes):
+        interfaces[f"shape{i}"] = _as_interface(a)
+    for i, b in enumerate(rates):
+        interfaces[f"rate{i}"] = _as_interface(b)
+    return _builder().emit("GammaMixture", interfaces, meta={"K": len(shapes)})
+
+
+def Mixture(switch, components) -> RVRef:
+    """Generic mixture node (reference Mixture(switch=...))."""
+    interfaces = {"switch": _as_interface(switch)}
+    for i, c in enumerate(components):
+        interfaces[f"comp{i}"] = _as_interface(c)
+    return _builder().emit("Mixture", interfaces, meta={"K": len(components)})
+
+
+def Sum(*terms) -> RVRef:
+    """Deterministic sum of random variables ('+' node in the reference)."""
+    interfaces = {f"in{i}": _as_interface(t) for i, t in enumerate(terms)}
+    return _builder().emit("Sum", interfaces)
+
+
+def Probit(x) -> RVRef:
+    return _builder().emit("Probit", {"in": _as_interface(x)})
+
+
+def SoftDot(theta, x, gamma) -> RVRef:
+    return _builder().emit(
+        "SoftDot",
+        {"theta": _as_interface(theta), "x": _as_interface(x), "gamma": _as_interface(gamma)},
+    )
+
+
+def AR(prev, theta, gamma, order: int) -> RVRef:
+    """Autoregressive node (reference AR + ARMeta)."""
+    return _builder().emit(
+        "AR",
+        {"in": _as_interface(prev), "theta": _as_interface(theta), "gamma": _as_interface(gamma)},
+        meta={"order": order},
+    )
+
+
+def GCV(x_prev, kappa, omega) -> RVRef:
+    """Gaussian controlled-variance node (HGF building block; reference GCV)."""
+    return _builder().emit(
+        "GCV",
+        {"in": _as_interface(x_prev), "kappa": _as_interface(kappa), "omega": _as_interface(omega)},
+    )
+
+
+def Delta(fn, *args, method=None, inverse=None) -> RVRef:
+    """Nonlinear deterministic node out = fn(args...) with an approximation method
+    (reference DeltaMeta(method=Linearization()/Unscented()/CVIProjection()),
+    docs/src/manuals/inference/delta-node.md)."""
+    interfaces = {f"in{i}": _as_interface(a) for i, a in enumerate(args)}
+    return _builder().emit(
+        "Delta", interfaces, meta={"fn": fn, "method": method, "inverse": inverse}
+    )
+
+
+# ---------------------------------------------------------------------------------
+# @model decorator and generator
+# ---------------------------------------------------------------------------------
+
+class ModelGenerator:
+    """Lazy model: function + bound hyperparameters.  Conditioning on data traces
+    the graph (reference: ModelGenerator + ``condition_on``/``|``,
+    src/model/model.jl:109-177)."""
+
+    def __init__(self, fn, bound: dict[str, Any]):
+        self.fn = fn
+        self.bound = dict(bound)
+        self.name = fn.__name__
+
+    def __call__(self, **kwargs) -> "ModelGenerator":
+        merged = {**self.bound, **kwargs}
+        return ModelGenerator(self.fn, merged)
+
+    def __or__(self, data: dict) -> ModelGraph:
+        return self.trace(data)
+
+    def trace(self, data: dict[str, Any]) -> ModelGraph:
+        """Build the factor graph for the given data (shapes taken from values)."""
+        builder = ModelBuilder(self.name)
+        prev = getattr(_STATE, "builder", None)
+        _STATE.builder = builder
+        try:
+            call_kwargs: dict[str, Any] = {}
+            for k, v in self.bound.items():
+                call_kwargs[k] = np.asarray(v) if not np.isscalar(v) else v
+            for k, v in data.items():
+                arr = np.asarray(v) if v is not None else None
+                if arr is None:
+                    raise ValueError(f"Data entry {k} is None")
+                length = arr.shape[0] if arr.ndim >= 1 else None
+                var = builder.graph.add_variable(Variable(k, "data", length))
+                call_kwargs[k] = DataArray(var, arr.shape, arr.dtype)
+            self.fn(**call_kwargs)
+        finally:
+            _STATE.builder = prev
+        builder.graph.validate()
+        return builder.graph
+
+
+def model(fn) -> ModelGenerator:
+    """Decorator: ``@model def m(y, A, B): ...`` — mirrors the reference ``@model``
+    macro (src/model/graphppl.jl:186-192).  Arguments bound via ``m(A=..., B=...)``
+    are hyperparameters (baked constants); the rest are data variables supplied via
+    ``infer(data={...})``."""
+    return ModelGenerator(fn, {})
+
+
+def datavar(*args, **kwargs):  # pragma: no cover - compat shim
+    raise RuntimeError(
+        "datavar() is not needed: declare data as model-function arguments "
+        "(the reference likewise forbids legacy datavar, src/model/graphppl.jl:35-48)."
+    )

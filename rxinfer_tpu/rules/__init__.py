@@ -1,0 +1,20 @@
+"""Rule registry + node library (L2-equivalent, SURVEY.md §1)."""
+
+from .registry import (
+    RuleNotFoundError,
+    get_average_energy,
+    get_message_rule,
+    get_node,
+    has_node,
+    node,
+)
+from . import nodes  # noqa: F401 — registers the built-in node library
+from .expectations import (  # noqa: F401
+    e_cov,
+    e_log,
+    e_mean,
+    e_outer,
+    e_precision,
+    e_sq,
+    e_var,
+)

@@ -1,0 +1,791 @@
+"""Node library: VMP/BP message rules + average energies for the conjugate
+exponential-family node set (SURVEY.md §2.2 "Node library").
+
+Rule convention: ``q`` maps interface name → marginal Distribution (PointMass for
+observed slots / constants).  All rules are batched — leading dims broadcast — so a
+whole plate of messages is one fused XLA op.  Average energies return E_q[-log f]
+per factor copy; an optional ``q['joint']`` carries a structured pairwise marginal
+(JointGaussian for Gaussian chains, pairwise-probability matrix for discrete
+chains), matching the reference's structured-cluster energies
+(src/model/plugins/reactivemp_free_energy.jl:57-63).
+
+Reference rule tables: ReactiveMP @rule definitions, reconstructed from
+docs/src/manuals/inference/create-node.md and the test-suite model coverage.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.scipy.special import betaln, digamma, gammaln, xlogy
+
+from ..dists import (
+    Bernoulli,
+    Beta,
+    Categorical,
+    Dirichlet,
+    DirichletCollection,
+    GammaShapeRate,
+    InverseWishart,
+    MvNormalMeanCovariance,
+    MvNormalMeanPrecision,
+    MvNormalWeightedMeanPrecision,
+    NormalMeanPrecision,
+    NormalMeanVariance,
+    NormalWeightedMeanPrecision,
+    PointMass,
+    Poisson,
+    Wishart,
+    pd_inverse,
+    pd_logdet,
+)
+from .expectations import (
+    e_cov,
+    e_inverse,
+    e_log,
+    e_log_precision,
+    e_logdet,
+    e_mean,
+    e_mirrorlog,
+    e_outer,
+    e_precision,
+    e_sq,
+    e_var,
+)
+from .registry import node
+
+_LOG2PI = 1.8378770664093453
+
+
+# =================================================================================
+# Scalar Gaussian nodes
+# =================================================================================
+
+@node("NormalMeanVariance")
+class NormalMeanVarianceNode:
+    interfaces = ("out", "mean", "var")
+
+    @staticmethod
+    def message_to_out(q):
+        # BP/VMP agree when mean is informed by its marginal and var is known.
+        return NormalMeanVariance(e_mean(q["mean"]), e_mean(q["var"]) + e_var(q["mean"]))
+
+    @staticmethod
+    def message_to_mean(q):
+        return NormalMeanVariance(e_mean(q["out"]), e_mean(q["var"]) + e_var(q["out"]))
+
+    @staticmethod
+    def average_energy(q):
+        v = e_mean(q["var"])
+        c = e_sq(q["out"]) - 2.0 * e_mean(q["out"]) * e_mean(q["mean"]) + e_sq(q["mean"])
+        return 0.5 * (_LOG2PI + jnp.log(v) + c / v)
+
+
+@node("NormalMeanPrecision")
+class NormalMeanPrecisionNode:
+    interfaces = ("out", "mean", "prec")
+
+    @staticmethod
+    def message_to_out(q):
+        return NormalMeanPrecision(e_mean(q["mean"]), e_precision(q["prec"]))
+
+    @staticmethod
+    def message_to_mean(q):
+        return NormalMeanPrecision(e_mean(q["out"]), e_precision(q["prec"]))
+
+    @staticmethod
+    def message_to_prec(q):
+        c = e_sq(q["out"]) - 2.0 * e_mean(q["out"]) * e_mean(q["mean"]) + e_sq(q["mean"])
+        return GammaShapeRate(jnp.asarray(1.5), 0.5 * c)
+
+    @staticmethod
+    def average_energy(q):
+        w = e_precision(q["prec"])
+        elogw = e_log_precision(q["prec"])
+        c = e_sq(q["out"]) - 2.0 * e_mean(q["out"]) * e_mean(q["mean"]) + e_sq(q["mean"])
+        return 0.5 * (_LOG2PI - elogw + w * c)
+
+
+# =================================================================================
+# Multivariate Gaussian nodes
+# =================================================================================
+
+def _mv_centered_second_moment(q):
+    """E[(x - mu)(x - mu)^T] under independent q(x), q(mu)."""
+    mx, mm = e_mean(q["out"]), e_mean(q["mean"])
+    diff = mx - mm
+    return e_cov(q["out"]) + e_cov(q["mean"]) + diff[..., None] * diff[..., None, :]
+
+
+@node("MvNormalMeanCovariance")
+class MvNormalMeanCovarianceNode:
+    interfaces = ("out", "mean", "cov")
+
+    @staticmethod
+    def message_to_out(q):
+        return MvNormalMeanCovariance(e_mean(q["mean"]), e_mean(q["cov"]) + e_cov(q["mean"]))
+
+    @staticmethod
+    def message_to_mean(q):
+        return MvNormalMeanCovariance(e_mean(q["out"]), e_mean(q["cov"]) + e_cov(q["out"]))
+
+    @staticmethod
+    def message_to_cov(q):
+        # Conjugate to InverseWishart: msg ∝ |V|^{-1/2} exp(-1/2 tr(V^{-1} C)).
+        # As an IW(nu, Psi) carrier this is the improper nu = -d member: the
+        # product rule (nu1+nu2+d+1) then adds exactly one pseudo-observation to
+        # the prior (IW(nu0,Psi0) × msg = IW(nu0+1, Psi0+C)).
+        c = _mv_centered_second_moment(q)
+        d = c.shape[-1]
+        return InverseWishart(jnp.asarray(-float(d)), c)
+
+    @staticmethod
+    def average_energy(q):
+        cov_d = q["cov"]
+        if isinstance(cov_d, PointMass):
+            v_inv = pd_inverse(cov_d.point)
+            logdet = pd_logdet(cov_d.point)
+        else:
+            v_inv = cov_d.mean_inverse()
+            logdet = cov_d.mean_logdet()
+        c = _mv_centered_second_moment(q)
+        d = c.shape[-1]
+        return 0.5 * (d * _LOG2PI + logdet + jnp.einsum("...ij,...ji->...", v_inv, c))
+
+
+@node("MvNormalMeanPrecision")
+class MvNormalMeanPrecisionNode:
+    interfaces = ("out", "mean", "prec")
+
+    @staticmethod
+    def message_to_out(q):
+        return MvNormalMeanPrecision(e_mean(q["mean"]), e_precision(q["prec"]))
+
+    @staticmethod
+    def message_to_mean(q):
+        return MvNormalMeanPrecision(e_mean(q["out"]), e_precision(q["prec"]))
+
+    @staticmethod
+    def message_to_prec(q):
+        # Conjugate Wishart message: ∝ |W|^{1/2} exp(-1/2 tr(W C))
+        c = _mv_centered_second_moment(q)
+        d = c.shape[-1]
+        return Wishart(jnp.asarray(float(d) + 2.0), pd_inverse(c))
+
+    @staticmethod
+    def average_energy(q):
+        w = e_precision(q["prec"])
+        elogdet = e_logdet(q["prec"])
+        c = _mv_centered_second_moment(q)
+        d = c.shape[-1]
+        return 0.5 * (d * _LOG2PI - elogdet + jnp.einsum("...ij,...ji->...", w, c))
+
+
+# ---------------------------------------------------------------------------------
+# Linear-Gaussian nodes: out = A @ in + b + noise.  The LGSSM workhorse
+# (contracted deterministic linear map, reference
+# docs/src/manuals/model-specification.md:332-447).
+# Interfaces: out, in, A (const), b (const), cov|prec (const or random).
+# ---------------------------------------------------------------------------------
+
+def _lg_noise_cov(q):
+    if "cov" in q:
+        noise = q["cov"]
+        if isinstance(noise, PointMass):
+            return noise.point
+        return noise.mean()
+    noise = q["prec"]
+    return pd_inverse(e_precision(noise)) if jnp.ndim(e_precision(noise)) >= 2 else 1.0 / e_precision(noise)
+
+
+def _lg_noise_prec(q):
+    if "prec" in q:
+        return e_precision(q["prec"])
+    v = q["cov"]
+    v = v.point if isinstance(v, PointMass) else v.mean()
+    return pd_inverse(v) if jnp.ndim(v) >= 2 else 1.0 / v
+
+
+class _MvLinearGaussianBase:
+    interfaces = ("out", "in", "A", "b", "cov")
+
+    @staticmethod
+    def message_to_out(q):
+        """BP forward message: N(A m + b, A V A^T + Sigma)."""
+        a = q["A"].point
+        b = q["b"].point
+        m, v = e_mean(q["in"]), e_cov(q["in"])
+        mean = jnp.einsum("...ij,...j->...i", a, m) + b
+        cov = jnp.einsum("...ij,...jk,...lk->...il", a, v, a) + _lg_noise_cov(q)
+        return MvNormalMeanCovariance(mean, cov)
+
+    @staticmethod
+    def message_to_in(q):
+        """BP backward message in information form:
+        W = A^T (Sigma + V_out)^{-1} A,  xi = A^T (Sigma + V_out)^{-1} (m_out - b)."""
+        a = q["A"].point
+        b = q["b"].point
+        m_out, v_out = e_mean(q["out"]), e_cov(q["out"])
+        s = _lg_noise_cov(q) + v_out
+        s_inv = pd_inverse(s)
+        at_sinv = jnp.einsum("...ji,...jk->...ik", a, s_inv)
+        w = jnp.einsum("...ik,...kj->...ij", at_sinv, a)
+        xi = jnp.einsum("...ik,...k->...i", at_sinv, m_out - b)
+        return MvNormalWeightedMeanPrecision(xi, w)
+
+    @staticmethod
+    def _centered_second_moment(q):
+        """E[(out - A in - b)(...)^T]; uses q['joint'] cross-cov when present."""
+        a = q["A"].point
+        b = q["b"].point
+        m_out, m_in = e_mean(q["out"]), e_mean(q["in"])
+        v_out, v_in = e_cov(q["out"]), e_cov(q["in"])
+        diff = m_out - jnp.einsum("...ij,...j->...i", a, m_in) - b
+        c = (
+            v_out
+            + jnp.einsum("...ij,...jk,...lk->...il", a, v_in, a)
+            + diff[..., None] * diff[..., None, :]
+        )
+        joint = q.get("joint")
+        if joint is not None:
+            # joint: cross covariance Cov(out, in) of shape (..., d_out, d_in)
+            cross = jnp.einsum("...ij,...kj->...ik", joint, a)
+            c = c - cross - jnp.swapaxes(cross, -1, -2)
+        return c
+
+    @classmethod
+    def average_energy(cls, q):
+        c = cls._centered_second_moment(q)
+        d = c.shape[-1]
+        w = _lg_noise_prec(q)
+        if "prec" in q and not isinstance(q["prec"], PointMass):
+            elogdet = e_logdet(q["prec"])
+        else:
+            elogdet = -pd_logdet(_lg_noise_cov(q))
+        return 0.5 * (d * _LOG2PI - elogdet + jnp.einsum("...ij,...ji->...", w, c))
+
+
+@node("MvLinearGaussianCovariance")
+class MvLinearGaussianCovarianceNode(_MvLinearGaussianBase):
+    pass
+
+
+@node("MvLinearGaussianPrecision")
+class MvLinearGaussianPrecisionNode(_MvLinearGaussianBase):
+    interfaces = ("out", "in", "A", "b", "prec")
+
+    @staticmethod
+    def message_to_prec(q):
+        c = _MvLinearGaussianBase._centered_second_moment(q)
+        d = c.shape[-1]
+        return Wishart(jnp.asarray(float(d) + 2.0), pd_inverse(c))
+
+
+class _LinearGaussianScalarBase:
+    """Scalar out = a*in + b + noise."""
+
+    interfaces = ("out", "in", "A", "b", "var")
+
+    @staticmethod
+    def _noise_var(q):
+        if "var" in q:
+            return e_mean(q["var"])
+        return 1.0 / e_precision(q["prec"])
+
+    @classmethod
+    def message_to_out(cls, q):
+        a, b = q["A"].point, q["b"].point
+        return NormalMeanVariance(
+            a * e_mean(q["in"]) + b, a * a * e_var(q["in"]) + cls._noise_var(q)
+        )
+
+    @classmethod
+    def message_to_in(cls, q):
+        a, b = q["A"].point, q["b"].point
+        s = cls._noise_var(q) + e_var(q["out"])
+        w = a * a / s
+        xi = a * (e_mean(q["out"]) - b) / s
+        return NormalWeightedMeanPrecision(xi, w)
+
+    @classmethod
+    def _c2(cls, q):
+        a, b = q["A"].point, q["b"].point
+        diff = e_mean(q["out"]) - a * e_mean(q["in"]) - b
+        c = e_var(q["out"]) + a * a * e_var(q["in"]) + diff * diff
+        joint = q.get("joint")
+        if joint is not None:  # scalar cross covariance Cov(out, in)
+            c = c - 2.0 * a * joint
+        return c
+
+    @classmethod
+    def average_energy(cls, q):
+        if "prec" in q and not isinstance(q["prec"], PointMass):
+            elogw = e_log_precision(q["prec"])
+            w = e_precision(q["prec"])
+        else:
+            v = cls._noise_var(q)
+            elogw = -jnp.log(v)
+            w = 1.0 / v
+        return 0.5 * (_LOG2PI - elogw + w * cls._c2(q))
+
+
+@node("LinearGaussianCovariance")
+class LinearGaussianCovarianceNode(_LinearGaussianScalarBase):
+    pass
+
+
+@node("LinearGaussianPrecision")
+class LinearGaussianPrecisionNode(_LinearGaussianScalarBase):
+    interfaces = ("out", "in", "A", "b", "prec")
+
+    @classmethod
+    def message_to_prec(cls, q):
+        return GammaShapeRate(jnp.asarray(1.5), 0.5 * cls._c2(q))
+
+
+# =================================================================================
+# Beta / Bernoulli / Binomial
+# =================================================================================
+
+@node("Beta")
+class BetaNode:
+    interfaces = ("out", "a", "b")
+
+    @staticmethod
+    def message_to_out(q):
+        return Beta(e_mean(q["a"]), e_mean(q["b"]))
+
+    @staticmethod
+    def average_energy(q):
+        a, b = e_mean(q["a"]), e_mean(q["b"])
+        return (
+            betaln(a, b)
+            - (a - 1.0) * e_log(q["out"])
+            - (b - 1.0) * e_mirrorlog(q["out"])
+        )
+
+
+@node("Bernoulli")
+class BernoulliNode:
+    interfaces = ("out", "p")
+
+    @staticmethod
+    def message_to_out(q):
+        logit = e_log(q["p"]) - e_mirrorlog(q["p"])
+        return Bernoulli(jnp.clip(1.0 / (1.0 + jnp.exp(-logit)), 1e-12, 1 - 1e-12))
+
+    @staticmethod
+    def message_to_p(q):
+        y = e_mean(q["out"])
+        return Beta(1.0 + y, 2.0 - y)
+
+    @staticmethod
+    def average_energy(q):
+        y = e_mean(q["out"])
+        return -(y * e_log(q["p"]) + (1.0 - y) * e_mirrorlog(q["p"]))
+
+
+@node("Binomial")
+class BinomialNode:
+    interfaces = ("out", "n", "p")
+
+    @staticmethod
+    def message_to_p(q):
+        y, n = e_mean(q["out"]), e_mean(q["n"])
+        return Beta(1.0 + y, 1.0 + n - y)
+
+    @staticmethod
+    def average_energy(q):
+        y, n = e_mean(q["out"]), e_mean(q["n"])
+        return -(
+            gammaln(n + 1.0)
+            - gammaln(y + 1.0)
+            - gammaln(n - y + 1.0)
+            + y * e_log(q["p"])
+            + (n - y) * e_mirrorlog(q["p"])
+        )
+
+
+# =================================================================================
+# Gamma / InverseGamma
+# =================================================================================
+
+@node("GammaShapeRate")
+class GammaShapeRateNode:
+    interfaces = ("out", "shape", "rate")
+
+    @staticmethod
+    def message_to_out(q):
+        return GammaShapeRate(e_mean(q["shape"]), e_precision(q["rate"]))
+
+    @staticmethod
+    def message_to_rate(q):
+        return GammaShapeRate(e_mean(q["shape"]) + 1.0, e_mean(q["out"]))
+
+    @staticmethod
+    def average_energy(q):
+        a = e_mean(q["shape"])
+        return -(
+            (a - 1.0) * e_log(q["out"])
+            - e_mean(q["rate"]) * e_mean(q["out"])
+            + a * e_log(q["rate"])
+            - gammaln(a)
+        )
+
+
+@node("GammaShapeScale")
+class GammaShapeScaleNode:
+    interfaces = ("out", "shape", "scale")
+
+    @staticmethod
+    def message_to_out(q):
+        from ..dists import GammaShapeScale as GSS
+
+        return GSS(e_mean(q["shape"]), e_mean(q["scale"]))
+
+    @staticmethod
+    def average_energy(q):
+        a = e_mean(q["shape"])
+        th = e_mean(q["scale"])
+        return -(
+            (a - 1.0) * e_log(q["out"])
+            - e_mean(q["out"]) / th
+            - a * jnp.log(th)
+            - gammaln(a)
+        )
+
+
+@node("InverseGamma")
+class InverseGammaNode:
+    interfaces = ("out", "shape", "scale")
+
+    @staticmethod
+    def message_to_out(q):
+        from ..dists import InverseGamma as IG
+
+        return IG(e_mean(q["shape"]), e_mean(q["scale"]))
+
+    @staticmethod
+    def average_energy(q):
+        a, b = e_mean(q["shape"]), e_mean(q["scale"])
+        d = q["out"]
+        e_log_x = jnp.log(d.point) if isinstance(d, PointMass) else d.mean_log()
+        e_inv_x = 1.0 / d.point if isinstance(d, PointMass) else d.mean_inverse()
+        return -(a * jnp.log(b) - gammaln(a) - (a + 1.0) * e_log_x - b * e_inv_x)
+
+
+# =================================================================================
+# Categorical / Dirichlet / transitions
+# =================================================================================
+
+def _e_onehot(d):
+    """E[one-hot(out)] for Categorical-valued variables (or observed one-hot)."""
+    if isinstance(d, PointMass):
+        return d.point
+    return d.mean()
+
+
+def _e_log_simplex(d):
+    """E[log p] for simplex-valued variables (Dirichlet or PointMass)."""
+    if isinstance(d, PointMass):
+        return jnp.log(jnp.clip(d.point, 1e-37))
+    return d.mean_log()
+
+
+@node("Categorical")
+class CategoricalNode:
+    interfaces = ("out", "p")
+
+    @staticmethod
+    def message_to_out(q):
+        return Categorical(_e_log_simplex(q["p"]))
+
+    @staticmethod
+    def message_to_p(q):
+        return Dirichlet(1.0 + _e_onehot(q["out"]))
+
+    @staticmethod
+    def average_energy(q):
+        return -jnp.sum(_e_onehot(q["out"]) * _e_log_simplex(q["p"]), axis=-1)
+
+
+@node("Dirichlet")
+class DirichletNode:
+    interfaces = ("out", "alpha")
+
+    @staticmethod
+    def message_to_out(q):
+        return Dirichlet(e_mean(q["alpha"]))
+
+    @staticmethod
+    def average_energy(q):
+        a = e_mean(q["alpha"])
+        lb = jnp.sum(gammaln(a), axis=-1) - gammaln(jnp.sum(a, axis=-1))
+        return lb - jnp.sum((a - 1.0) * _e_log_simplex(q["out"]), axis=-1)
+
+
+@node("DirichletCollection")
+class DirichletCollectionNode:
+    interfaces = ("out", "alpha")
+
+    @staticmethod
+    def message_to_out(q):
+        return DirichletCollection(e_mean(q["alpha"]))
+
+    @staticmethod
+    def average_energy(q):
+        a = e_mean(q["alpha"])
+        d_out = q["out"]
+        elogp = (
+            jnp.log(jnp.clip(d_out.point, 1e-37))
+            if isinstance(d_out, PointMass)
+            else d_out.mean_log()
+        )
+        lb = jnp.sum(gammaln(a), axis=0) - gammaln(jnp.sum(a, axis=0))
+        return jnp.sum(lb) + jnp.sum(-(a - 1.0) * elogp)
+
+
+@node("DiscreteTransition")
+class DiscreteTransitionNode:
+    """out ~ Categorical(P[:, in]): interfaces out, in, matrix.
+
+    Reference: DiscreteTransition (HMM; test/models/statespace/hmm_tests.jl)."""
+
+    interfaces = ("out", "in", "matrix")
+
+    @staticmethod
+    def _elogp(q):
+        m = q["matrix"]
+        if isinstance(m, PointMass):
+            return jnp.log(jnp.clip(m.point, 1e-37))
+        return m.mean_log()
+
+    @classmethod
+    def message_to_out(cls, q):
+        return Categorical(
+            jnp.einsum("...ij,...j->...i", cls._elogp(q), _e_onehot(q["in"]))
+        )
+
+    @classmethod
+    def message_to_in(cls, q):
+        return Categorical(
+            jnp.einsum("...ij,...i->...j", cls._elogp(q), _e_onehot(q["out"]))
+        )
+
+    @classmethod
+    def message_to_matrix(cls, q):
+        joint = q.get("joint")
+        if joint is None:
+            joint = _e_onehot(q["out"])[..., :, None] * _e_onehot(q["in"])[..., None, :]
+        return DirichletCollection(1.0 + joint)
+
+    @classmethod
+    def average_energy(cls, q):
+        joint = q.get("joint")
+        if joint is None:
+            joint = _e_onehot(q["out"])[..., :, None] * _e_onehot(q["in"])[..., None, :]
+        return -jnp.sum(joint * cls._elogp(q), axis=(-2, -1))
+
+
+# =================================================================================
+# Wishart / InverseWishart priors
+# =================================================================================
+
+@node("Wishart")
+class WishartNode:
+    interfaces = ("out", "nu", "S")
+
+    @staticmethod
+    def message_to_out(q):
+        return Wishart(e_mean(q["nu"]), q["S"].point if isinstance(q["S"], PointMass) else e_mean(q["S"]))
+
+    @staticmethod
+    def average_energy(q):
+        from ..dists.matrix import _mv_gammaln
+
+        nu = e_mean(q["nu"])
+        s = q["S"].point if isinstance(q["S"], PointMass) else e_mean(q["S"])
+        d = s.shape[-1]
+        s_inv = pd_inverse(s)
+        e_x = e_precision(q["out"])
+        return -(
+            0.5 * (nu - d - 1.0) * e_logdet(q["out"])
+            - 0.5 * jnp.einsum("...ij,...ji->...", s_inv, e_x)
+            - 0.5 * nu * d * jnp.log(2.0)
+            - 0.5 * nu * pd_logdet(s)
+            - _mv_gammaln(d, 0.5 * nu)
+        )
+
+
+@node("InverseWishart")
+class InverseWishartNode:
+    interfaces = ("out", "nu", "Psi")
+
+    @staticmethod
+    def message_to_out(q):
+        return InverseWishart(
+            e_mean(q["nu"]), q["Psi"].point if isinstance(q["Psi"], PointMass) else e_mean(q["Psi"])
+        )
+
+    @staticmethod
+    def average_energy(q):
+        from ..dists.matrix import _mv_gammaln
+
+        nu = e_mean(q["nu"])
+        psi = q["Psi"].point if isinstance(q["Psi"], PointMass) else e_mean(q["Psi"])
+        d = psi.shape[-1]
+        return -(
+            -0.5 * (nu + d + 1.0) * e_logdet(q["out"])
+            - 0.5 * jnp.einsum("...ij,...ji->...", psi, e_inverse(q["out"]))
+            + 0.5 * nu * pd_logdet(psi)
+            - 0.5 * nu * d * jnp.log(2.0)
+            - _mv_gammaln(d, 0.5 * nu)
+        )
+
+
+# =================================================================================
+# Poisson
+# =================================================================================
+
+@node("Poisson")
+class PoissonNode:
+    interfaces = ("out", "rate")
+
+    @staticmethod
+    def message_to_out(q):
+        return Poisson(jnp.exp(e_log(q["rate"])))
+
+    @staticmethod
+    def message_to_rate(q):
+        return GammaShapeRate(1.0 + e_mean(q["out"]), jnp.ones_like(e_mean(q["out"])))
+
+    @staticmethod
+    def average_energy(q):
+        y = e_mean(q["out"])
+        lgy = gammaln(y + 1.0)  # exact for observed counts
+        return e_mean(q["rate"]) - y * e_log(q["rate"]) + lgy
+
+
+# =================================================================================
+# Uniform (improper/flat contributions)
+# =================================================================================
+
+@node("Uniform")
+class UniformNode:
+    interfaces = ("out", "lo", "hi")
+
+    @staticmethod
+    def message_to_out(q):
+        from ..dists import Uniform as U
+
+        return U(e_mean(q["lo"]), e_mean(q["hi"]))
+
+    @staticmethod
+    def average_energy(q):
+        return jnp.log(e_mean(q["hi"]) - e_mean(q["lo"]))
+
+
+# =================================================================================
+# Mixtures
+# =================================================================================
+
+@node("NormalMixture")
+class NormalMixtureNode:
+    """out ~ prod_k N(out; mean_k, prec_k^{-1})^{s_k}.
+
+    Interfaces: out, switch, mean0..meanK-1, prec0..precK-1.
+    Reference: NormalMixture node (GMM conformance tests)."""
+
+    @staticmethod
+    def _k(q):
+        return sum(1 for key in q if key.startswith("mean"))
+
+    @classmethod
+    def _resp(cls, q):
+        return _e_onehot(q["switch"])  # (..., K)
+
+    @classmethod
+    def message_to_out(cls, q):
+        k = cls._k(q)
+        r = cls._resp(q)
+        w = sum(r[..., i] * e_precision(q[f"prec{i}"]) for i in range(k))
+        xi = sum(
+            r[..., i] * e_precision(q[f"prec{i}"]) * e_mean(q[f"mean{i}"])
+            for i in range(k)
+        )
+        return NormalWeightedMeanPrecision(xi, w)
+
+    @classmethod
+    def message_to_switch(cls, q):
+        k = cls._k(q)
+        logits = []
+        for i in range(k):
+            w = e_precision(q[f"prec{i}"])
+            elogw = e_log_precision(q[f"prec{i}"])
+            c = (
+                e_sq(q["out"])
+                - 2.0 * e_mean(q["out"]) * e_mean(q[f"mean{i}"])
+                + e_sq(q[f"mean{i}"])
+            )
+            logits.append(-0.5 * (_LOG2PI - elogw + w * c))
+        return Categorical(jnp.stack(logits, axis=-1))
+
+    @classmethod
+    def _message_to_mean_i(cls, q, i):
+        r = cls._resp(q)[..., i]
+        w = e_precision(q[f"prec{i}"])
+        return NormalWeightedMeanPrecision(r * w * e_mean(q["out"]), r * w)
+
+    @classmethod
+    def _message_to_prec_i(cls, q, i):
+        r = cls._resp(q)[..., i]
+        c = (
+            e_sq(q["out"])
+            - 2.0 * e_mean(q["out"]) * e_mean(q[f"mean{i}"])
+            + e_sq(q[f"mean{i}"])
+        )
+        return GammaShapeRate(1.0 + 0.5 * r, 0.5 * r * c)
+
+    @classmethod
+    def average_energy(cls, q):
+        k = cls._k(q)
+        r = cls._resp(q)
+        total = 0.0
+        for i in range(k):
+            w = e_precision(q[f"prec{i}"])
+            elogw = e_log_precision(q[f"prec{i}"])
+            c = (
+                e_sq(q["out"])
+                - 2.0 * e_mean(q["out"]) * e_mean(q[f"mean{i}"])
+                + e_sq(q[f"mean{i}"])
+            )
+            total = total + r[..., i] * 0.5 * (_LOG2PI - elogw + w * c)
+        return total
+
+
+def __getattr_mixture(cls):
+    pass
+
+
+# dynamic interface rules for NormalMixture: message_to_mean3 etc.
+def _normal_mixture_getattr(name):
+    if name.startswith("message_to_mean"):
+        i = int(name[len("message_to_mean"):])
+        return lambda q: NormalMixtureNode._message_to_mean_i(q, i)
+    if name.startswith("message_to_prec"):
+        i = int(name[len("message_to_prec"):])
+        return lambda q: NormalMixtureNode._message_to_prec_i(q, i)
+    raise AttributeError(name)
+
+
+class _NormalMixtureMeta(type):
+    def __getattr__(cls, name):
+        return _normal_mixture_getattr(name)
+
+
+# Rebuild NormalMixtureNode with the metaclass providing per-component rules.
+NormalMixtureNode = _NormalMixtureMeta(
+    "NormalMixtureNode", (NormalMixtureNode,), {}
+)
+from .registry import _NODES  # noqa: E402
+
+_NODES["NormalMixture"] = NormalMixtureNode

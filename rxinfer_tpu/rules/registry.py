@@ -1,0 +1,84 @@
+"""Rule registry — the ReactiveMP @node/@rule/@average_energy equivalent.
+
+The reference dispatches rules dynamically per message via Julia multiple dispatch
+(docs/src/manuals/rules_and_nodes.md:31-66).  Here every lookup happens at
+*schedule-compile time* (SURVEY.md §3.5: "This dispatch table … is exactly what the
+TPU compiler resolves statically at lowering time"); the looked-up rule functions
+are pure JAX functions traced into one XLA program.
+
+A node definition provides:
+  * ``interfaces``: ordered interface names, 'out' first.
+  * ``message_to_<iface>(q: dict) -> Distribution``: VMP message to that interface
+    given marginals of the *other* interfaces (mean-field variant; the reference
+    ``q_*`` rules).  For observed/constant interfaces q[iface] is a PointMass.
+  * ``average_energy(q: dict) -> array``: E_q[-log f] (reference @average_energy),
+    used by the Bethe free-energy assembly.  Accepts an optional 'joint' entry for
+    structured (non-mean-field) pairs.
+  * ``logpdf(values: dict) -> array``: node density at point values (rule fallback,
+    reference NodeFunctionRuleFallback).
+
+Custom nodes register with ``@node``; missing rules produce a compile-time
+"rule not found" error naming the node and interface (reference:
+docs/src/manuals/sharpbits/rule-not-found.md).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+_NODES: dict[str, type] = {}
+
+
+class RuleNotFoundError(KeyError):
+    pass
+
+
+def node(fform: str):
+    """Register a node-rule namespace class under a canonical fform name."""
+
+    def deco(cls):
+        cls.fform = fform
+        _NODES[fform] = cls
+        return cls
+
+    return deco
+
+
+def get_node(fform: str):
+    try:
+        return _NODES[fform]
+    except KeyError:
+        raise RuleNotFoundError(
+            f"No node definition registered for '{fform}'. Registered: "
+            f"{sorted(_NODES)}. Define one with @node('{fform}') providing "
+            "message_to_* and average_energy (see rules/registry.py)."
+        ) from None
+
+
+def get_message_rule(fform: str, iface: str) -> Callable:
+    cls = get_node(fform)
+    fn = getattr(cls, f"message_to_{iface}", None)
+    if fn is None:
+        raise RuleNotFoundError(
+            f"Rule not found: node '{fform}' has no message rule towards interface "
+            f"'{iface}'. Available: "
+            f"{[m[len('message_to_'):] for m in dir(cls) if m.startswith('message_to_')]}. "
+            "This mirrors the reference's rule-not-found diagnostic "
+            "(docs/src/manuals/sharpbits/rule-not-found.md)."
+        )
+    return fn
+
+
+def get_average_energy(fform: str) -> Callable:
+    cls = get_node(fform)
+    fn = getattr(cls, "average_energy", None)
+    if fn is None:
+        raise RuleNotFoundError(
+            f"Node '{fform}' defines no average_energy — free_energy=True is not "
+            "supported for models containing it."
+        )
+    return fn
+
+
+def has_node(fform: str) -> bool:
+    return fform in _NODES
