@@ -17,4 +17,54 @@ for HMMs, fixed-point VMP iterations under ``lax.scan``).
 from . import dists
 from .dists import *  # noqa: F401,F403 — distribution families are top-level API
 
+# Context-sensitive node constructors (shadow same-named raw distribution classes:
+# inside an @model trace they create factor nodes, outside they construct
+# distributions — the raw classes remain available under rxinfer_tpu.dists).
+from .graph import (  # noqa: F401
+    AR,
+    Bernoulli,
+    Beta,
+    Binomial,
+    Categorical,
+    Delta,
+    Dirichlet,
+    DirichletCollection,
+    DiscreteTransition,
+    GCV,
+    Gamma,
+    GammaMixture,
+    InverseGamma,
+    InverseWishart,
+    Mixture,
+    MvNormal,
+    Normal,
+    NormalMixture,
+    Poisson,
+    Probit,
+    SoftDot,
+    Sum,
+    Transition,
+    Uniform,
+    Wishart,
+    dot,
+    latent,
+    model,
+    plate,
+)
+from .inference import (  # noqa: F401
+    InferenceResult,
+    KeepEach,
+    KeepLast,
+    infer,
+)
+from .inference_streaming import (  # noqa: F401
+    RxInferenceEngine,
+    autoupdates,
+)
+from .utils import (  # noqa: F401
+    Session,
+    create_session,
+    summarize_session,
+)
+
 __version__ = "0.1.0"

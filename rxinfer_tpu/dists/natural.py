@@ -1,0 +1,181 @@
+"""Natural-parameter views: product-reduction, padding, batched products.
+
+The algebraic core of TPU-native message passing: a product of N conjugate
+messages is a *sum of natural parameters* — one vectorized add/reduction (VPU),
+or a ``psum`` when messages live on different shards (SURVEY.md §2.3: "conjugate
+updates are additive in natural params — this is the key mathematical fact that
+makes message passing collective-friendly").
+
+For every family we define (to_nat, from_nat, canonical_cls) such that
+  prod(d1, d2) == from_nat(to_nat(d1) + to_nat(d2))
+and the ZERO natural vector is the multiplicative identity (a flat/improper
+carrier), which makes padding plated message arrays trivial.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import Distribution
+from .discrete import Categorical, Dirichlet, DirichletCollection
+from .gaussian import (
+    AbstractMvNormal,
+    AbstractNormal,
+    MvNormalWeightedMeanPrecision,
+    NormalWeightedMeanPrecision,
+    as_mv_weighted_mean_precision,
+    as_weighted_mean_precision,
+    pd_inverse,
+)
+from .matrix import InverseWishart, Wishart
+from .scalar_families import (
+    Bernoulli,
+    Beta,
+    GammaShapeRate,
+    GammaShapeScale,
+    InverseGamma,
+    Poisson,
+)
+
+# family key -> (to_nat(d) -> tuple, from_nat(tuple) -> d)
+# Natural tuples are plain tuples of arrays (pytrees), additive under products.
+
+
+def _gauss_to(d: AbstractNormal):
+    f = as_weighted_mean_precision(d)
+    return (f.xi, f.w)
+
+
+def _mv_gauss_to(d: AbstractMvNormal):
+    f = as_mv_weighted_mean_precision(d)
+    return (f.xi, f.w)
+
+
+_TABLE = {
+    "gaussian": (
+        _gauss_to,
+        lambda n: NormalWeightedMeanPrecision(n[0], n[1]),
+    ),
+    "mv_gaussian": (
+        _mv_gauss_to,
+        lambda n: MvNormalWeightedMeanPrecision(n[0], n[1]),
+    ),
+    "beta": (
+        lambda d: (d.a - 1.0, d.b - 1.0),
+        lambda n: Beta(n[0] + 1.0, n[1] + 1.0),
+    ),
+    "bernoulli": (
+        lambda d: (jnp.log(d.p) - jnp.log1p(-d.p),),
+        lambda n: Bernoulli(jax.nn.sigmoid(n[0])),
+    ),
+    "gamma": (
+        lambda d: (d.shape_rate()[0] - 1.0, d.shape_rate()[1]),
+        lambda n: GammaShapeRate(n[0] + 1.0, n[1]),
+    ),
+    "inverse_gamma": (
+        lambda d: (d.a + 1.0, d.b),
+        lambda n: InverseGamma(n[0] - 1.0, n[1]),
+    ),
+    "dirichlet": (
+        lambda d: (d.alpha - 1.0,),
+        lambda n: Dirichlet(n[0] + 1.0),
+    ),
+    "dirichlet_collection": (
+        lambda d: (d.alpha - 1.0,),
+        lambda n: DirichletCollection(n[0] + 1.0),
+    ),
+    "categorical": (
+        lambda d: (d.logits,),
+        lambda n: Categorical(n[0]),
+    ),
+    "wishart": (
+        lambda d: (d.nu - d.s.shape[-1] - 1.0, pd_inverse(d.s)),
+        lambda n: Wishart(n[0] + n[1].shape[-1] + 1.0, pd_inverse(n[1])),
+    ),
+    "inverse_wishart": (
+        lambda d: (d.nu + d.psi.shape[-1] + 1.0, d.psi),
+        lambda n: InverseWishart(n[0] - n[1].shape[-1] - 1.0, n[1]),
+    ),
+    "poisson": (
+        lambda d: (jnp.log(d.lam),),
+        lambda n: Poisson(jnp.exp(n[0])),
+    ),
+}
+
+
+def family_key(d: Distribution) -> str:
+    if isinstance(d, AbstractMvNormal):
+        return "mv_gaussian"
+    if isinstance(d, AbstractNormal):
+        return "gaussian"
+    if isinstance(d, Beta):
+        return "beta"
+    if isinstance(d, Bernoulli):
+        return "bernoulli"
+    if isinstance(d, (GammaShapeRate, GammaShapeScale)):
+        return "gamma"
+    if isinstance(d, InverseGamma):
+        return "inverse_gamma"
+    if isinstance(d, Dirichlet):
+        return "dirichlet"
+    if isinstance(d, DirichletCollection):
+        return "dirichlet_collection"
+    if isinstance(d, Categorical):
+        return "categorical"
+    if isinstance(d, Wishart):
+        return "wishart"
+    if isinstance(d, InverseWishart):
+        return "inverse_wishart"
+    if isinstance(d, Poisson):
+        return "poisson"
+    raise TypeError(f"No natural-parameter view for {type(d).__name__}")
+
+
+def to_natural(d: Distribution):
+    return _TABLE[family_key(d)][0](d)
+
+
+def from_natural(key: str, nat) -> Distribution:
+    return _TABLE[key][1](nat)
+
+
+def _wrap_gamma(d):
+    if isinstance(d, GammaShapeScale):
+        a, b = d.shape_rate()
+        return GammaShapeRate(a, b)
+    return d
+
+
+def prod_reduce(d: Distribution, axis: int = 0) -> Distribution:
+    """Product of a batched array of messages along ``axis`` (natural-param sum).
+
+    This is the plate-aggregation primitive: N likelihood messages to a shared
+    parameter collapse in one reduction (and across shards, one psum)."""
+    key = family_key(d)
+    nat = to_natural(d)
+    summed = tuple(jnp.sum(n, axis=axis) for n in nat)
+    return from_natural(key, summed)
+
+
+def prod_all(dists: list[Distribution]) -> Distribution:
+    """Product of a list of same-support messages via natural addition."""
+    key = family_key(dists[0])
+    nats = [to_natural(_wrap_gamma(d) if key == "gamma" else d) for d in dists]
+    total = nats[0]
+    for n in nats[1:]:
+        total = tuple(a + b for a, b in zip(total, n))
+    return from_natural(key, total)
+
+
+def pad_plate(d: Distribution, lo: int, hi: int, total: int) -> Distribution:
+    """Embed a message batch covering slots [lo, hi) into a length-``total`` batch,
+    padding with the multiplicative identity (zero natural params)."""
+    if lo == 0 and hi == total:
+        return d
+    key = family_key(d)
+    nat = to_natural(d)
+    padded = tuple(
+        jnp.pad(n, [(lo, total - hi)] + [(0, 0)] * (n.ndim - 1)) for n in nat
+    )
+    return from_natural(key, padded)

@@ -1,0 +1,313 @@
+"""Executable blocks of the compiled plan: plain conjugate groups and
+exact-chain blocks.
+
+Every ``update`` method is a pure function (state, data) → state traced into one
+XLA program; all structure (which factors, which slices, which rules) was resolved
+at compile time.  This is the static-schedule replacement for the reference's
+reactive dependency resolution (src/model/plugins/reactivemp_inference.jl:509-540).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dists import (
+    Categorical,
+    MvNormalMeanCovariance,
+    NormalMeanVariance,
+    PointMass,
+)
+from ..dists.gaussian import pd_inverse
+from ..dists.natural import (
+    family_key,
+    from_natural,
+    pad_plate,
+    prod_all,
+    prod_reduce,
+    to_natural,
+)
+from ..graph.ir import Const, Factor, ModelGraph, Ref, SymIndex
+from ..ops.discrete_chain import forward_backward, parallel_forward_backward
+from ..ops.kalman import ChainParams, parallel_smoother, sequential_smoother
+from ..rules.registry import get_message_rule
+
+
+def tree_slice(d, lo: int, hi: int):
+    return jax.tree_util.tree_map(lambda a: a[lo:hi], d)
+
+
+def tree_index(d, i: int):
+    return jax.tree_util.tree_map(lambda a: a[i], d)
+
+
+def _coverage(f: Factor, ref: Ref) -> tuple[int, int] | int | None:
+    """Slot range of ``ref`` as used by factor ``f`` (static)."""
+    if ref.idx is None:
+        return None
+    if isinstance(ref.idx, int):
+        return ref.idx
+    assert f.plate is not None
+    return (f.plate.lo + ref.idx.offset, f.plate.hi + ref.idx.offset)
+
+
+def resolve_iface(value, f: Factor, state: dict, data: dict):
+    """Resolve an interface value to a (possibly batched) marginal distribution."""
+    if isinstance(value, Const):
+        return PointMass(jnp.asarray(value.value, dtype=jnp.float32))
+    ref = value
+    if ref.var.kind == "data":
+        arr = data[ref.var.name]
+        cov = _coverage(f, ref)
+        if cov is None:
+            return PointMass(arr)
+        if isinstance(cov, int):
+            return PointMass(arr[cov])
+        return PointMass(arr[cov[0]:cov[1]])
+    # random
+    q = state[ref.var.name]
+    cov = _coverage(f, ref)
+    if cov is None:
+        return q
+    if isinstance(cov, int):
+        return tree_index(q, cov)
+    lo, hi = cov
+    length = ref.var.length
+    if lo == 0 and hi == length:
+        return q
+    return tree_slice(q, lo, hi)
+
+
+def build_q(f: Factor, state: dict, data: dict, exclude: Optional[str] = None,
+            chain_cross: Optional[dict] = None) -> dict:
+    """Assemble the rule-input marginal dict for factor ``f``.
+
+    ``chain_cross`` maps chain-variable names to their pairwise cross stats; when
+    ``f`` is a chain transition factor the structured 'joint' entry is attached
+    (reference: structured cluster marginals via getlocalclusters)."""
+    q = {}
+    for name, v in f.all_interfaces().items():
+        if name == exclude:
+            continue
+        q[name] = resolve_iface(v, f, state, data)
+    if chain_cross:
+        out_ref = f.out
+        in_ref = f.interfaces.get("in")
+        if (
+            isinstance(in_ref, Ref)
+            and out_ref.var is in_ref.var
+            and out_ref.var.name in chain_cross
+        ):
+            q["joint"] = chain_cross[out_ref.var.name]
+    return q
+
+
+class PlainGroup:
+    """A non-chain random-variable group updated by conjugate VMP:
+    q(v) = prod over adjacent factors of their messages to v (natural-param sums,
+    plate-reduced).  Reference: variable activation + fold-left message product
+    (src/model/plugins/reactivemp_inference.jl:362-447)."""
+
+    def __init__(self, var, family: str, adjacency: list[tuple[Factor, str]]):
+        self.var = var
+        self.family = family
+        # adjacency: (factor, interface-name-where-this-group-appears)
+        self.adjacency = adjacency
+
+    def update(self, state: dict, data: dict, chain_cross: dict) -> Any:
+        msgs = []
+        length = self.var.length
+        for f, iface in self.adjacency:
+            rule = get_message_rule(f.fform, iface)
+            q = build_q(f, state, data, exclude=iface, chain_cross=chain_cross)
+            msg = rule(q)
+            ref = f.out if iface == "out" else f.interfaces[iface]
+            cov = _coverage(f, ref)
+            if length is None:
+                # scalar group: plate-reduce factor-batched messages
+                if f.plate is not None:
+                    msg = prod_reduce(msg, axis=0)
+            else:
+                if isinstance(cov, tuple):
+                    msg = pad_plate(msg, cov[0], cov[1], length)
+                else:
+                    raise NotImplementedError(
+                        f"Array group {self.var.name} with non-plated factor "
+                        f"{f.fform} is not supported yet."
+                    )
+            msgs.append(msg)
+        return prod_all(msgs)
+
+
+class GaussianChainBlock:
+    """Exact Gaussian-chain block solved by (parallel) Kalman smoothing.
+
+    Compile-time spec: prior factor at slot 0, lag-1 linear-Gaussian transition
+    over a plate, and arbitrary Gaussian evidence factors attached to slots.
+    Replaces T sequential BP message updates with one associative scan
+    (SURVEY.md §2.3 strategy (3))."""
+
+    def __init__(
+        self,
+        var,
+        dim: int,
+        scalar: bool,
+        prior: Factor,
+        transition: Factor,
+        evidence: list[tuple[Factor, str]],
+        use_parallel: bool = True,
+    ):
+        self.var = var
+        self.dim = dim
+        self.scalar = scalar
+        self.prior = prior
+        self.transition = transition
+        self.evidence = evidence  # (factor, chain-interface-name)
+        self.use_parallel = use_parallel
+
+    # -- helpers ------------------------------------------------------------------
+    def _lift_vec(self, x):
+        return x[..., None] if self.scalar else x
+
+    def _lift_mat(self, x):
+        return x[..., None, None] if self.scalar else x
+
+    def _prior_moments(self, state, data, chain_cross):
+        q = build_q(self.prior, state, data, exclude="out", chain_cross=None)
+        msg = get_message_rule(self.prior.fform, "out")(q)
+        if self.scalar:
+            return self._lift_vec(jnp.asarray(msg.mean())), self._lift_mat(
+                jnp.asarray(msg.var())
+            )
+        return msg.mean(), msg.cov()
+
+    def _transition_params(self, state, data, length):
+        f = self.transition
+        a = f.interfaces["A"].value if isinstance(f.interfaces.get("A"), Const) else None
+        if a is None:  # pure Normal(mean=x[t-1]) random walk → A = I
+            a = np.eye(self.dim, dtype=np.float32)
+        a = jnp.asarray(a, jnp.float32)
+        if self.scalar and a.ndim == 0:
+            a = a[None, None]
+        b_val = f.interfaces.get("b")
+        b = jnp.asarray(b_val.value if isinstance(b_val, Const) else 0.0, jnp.float32)
+        if self.scalar and b.ndim == 0:
+            b = b[None]
+        if not self.scalar and b.ndim == 0:
+            b = jnp.zeros((self.dim,), jnp.float32)
+        # noise
+        if "cov" in f.interfaces or "var" in f.interfaces:
+            noise = f.interfaces.get("cov", f.interfaces.get("var"))
+            nq = resolve_iface(noise, f, state, data)
+            qv = nq.point if isinstance(nq, PointMass) else nq.mean()
+            q_cov = self._lift_mat(jnp.asarray(qv, jnp.float32))
+        else:
+            noise = f.interfaces["prec"]
+            nq = resolve_iface(noise, f, state, data)
+            from ..rules.expectations import e_precision
+
+            w = self._lift_mat(jnp.asarray(e_precision(nq), jnp.float32))
+            q_cov = pd_inverse(w)
+        tm1 = length - 1
+        bc = lambda x, n: jnp.broadcast_to(x, (n,) + x.shape[-(2 if x.ndim >= 2 else 1):])
+        A = jnp.broadcast_to(a, (tm1, self.dim, self.dim))
+        B = jnp.broadcast_to(b, (tm1, self.dim))
+        Q = jnp.broadcast_to(q_cov, (tm1, self.dim, self.dim))
+        return A, B, Q
+
+    def _evidence(self, state, data, chain_cross, length):
+        xi = jnp.zeros((length, self.dim), jnp.float32)
+        w = jnp.zeros((length, self.dim, self.dim), jnp.float32)
+        for f, iface in self.evidence:
+            rule = get_message_rule(f.fform, iface)
+            q = build_q(f, state, data, exclude=iface, chain_cross=chain_cross)
+            msg = rule(q)
+            from ..dists.gaussian import (
+                as_mv_weighted_mean_precision,
+                as_weighted_mean_precision,
+            )
+
+            if self.scalar:
+                m = as_weighted_mean_precision(msg)
+                mxi, mw = self._lift_vec(m.xi), self._lift_mat(m.w)
+            else:
+                m = as_mv_weighted_mean_precision(msg)
+                mxi, mw = m.xi, m.w
+            ref = f.out if iface == "out" else f.interfaces[iface]
+            cov = _coverage(f, ref)
+            if isinstance(cov, tuple):
+                lo, hi = cov
+                xi = xi.at[lo:hi].add(mxi)
+                w = w.at[lo:hi].add(mw)
+            elif isinstance(cov, int):
+                xi = xi.at[cov].add(mxi)
+                w = w.at[cov].add(mw)
+            else:
+                raise AssertionError("chain evidence must be indexed")
+        return xi, w
+
+    def update(self, state: dict, data: dict, chain_cross: dict):
+        length = self.var.length
+        m0, p0 = self._prior_moments(state, data, chain_cross)
+        a, b, q = self._transition_params(state, data, length)
+        xi, w = self._evidence(state, data, chain_cross, length)
+        params = ChainParams(m0, p0, a, b, q, xi, w)
+        solver = parallel_smoother if (self.use_parallel and length >= 48) else sequential_smoother
+        res = solver(params)
+        if self.scalar:
+            marg = NormalMeanVariance(res.means[..., 0], res.covs[..., 0, 0])
+            cross = res.cross[..., 0, 0]
+        else:
+            marg = MvNormalMeanCovariance(res.means, res.covs)
+            cross = res.cross
+        return marg, cross
+
+
+class DiscreteChainBlock:
+    """Exact discrete-chain block (HMM backbone) via forward-backward scans,
+    given expected log-potentials of its neighbors (structured VMP)."""
+
+    def __init__(self, var, k: int, prior: Factor, transition: Factor,
+                 evidence: list[tuple[Factor, str]], use_parallel: bool = True):
+        self.var = var
+        self.k = k
+        self.prior = prior
+        self.transition = transition
+        self.evidence = evidence
+        self.use_parallel = use_parallel
+
+    def update(self, state: dict, data: dict, chain_cross: dict):
+        length = self.var.length
+        q = build_q(self.prior, state, data, exclude="out")
+        prior_msg = get_message_rule(self.prior.fform, "out")(q)
+        log_prior = prior_msg.logits
+
+        f = self.transition
+        mq = resolve_iface(f.interfaces["matrix"], f, state, data)
+        if isinstance(mq, PointMass):
+            elog_a = jnp.log(jnp.clip(mq.point, 1e-37))
+        else:
+            elog_a = mq.mean_log()
+        log_trans = jnp.broadcast_to(elog_a, (length - 1, self.k, self.k))
+
+        log_ev = jnp.zeros((length, self.k), jnp.float32)
+        for ef, iface in self.evidence:
+            rule = get_message_rule(ef.fform, iface)
+            eq = build_q(ef, state, data, exclude=iface, chain_cross=chain_cross)
+            msg = rule(eq)
+            ref = ef.out if iface == "out" else ef.interfaces[iface]
+            cov = _coverage(ef, ref)
+            if isinstance(cov, tuple):
+                log_ev = log_ev.at[cov[0]:cov[1]].add(msg.logits)
+            elif isinstance(cov, int):
+                log_ev = log_ev.at[cov].add(msg.logits)
+        solver = (
+            parallel_forward_backward if (self.use_parallel and length >= 48)
+            else forward_backward
+        )
+        res = solver(log_prior, log_trans, log_ev)
+        marg = Categorical(jnp.log(jnp.clip(res.gammas, 1e-37)))
+        return marg, res.xis

@@ -1,0 +1,348 @@
+"""Graph → static schedule compiler (the replacement for the reference's entire
+reactive runtime: Rocket streams + ReactiveMP activation,
+SURVEY.md §7 architecture stance).
+
+Lowering pipeline:
+  1. normalize chain transitions (fold plain Gaussians with lagged means into
+     LinearGaussian fforms — node contraction),
+  2. detect chain blocks (Gaussian → Kalman scans, discrete → forward-backward),
+  3. group remaining variables into conjugate VMP PlainGroups,
+  4. schedule the per-iteration sweep: greedy topological order where groups with
+     explicit initialization count as available (the compile-time analogue of the
+     reference's @initialization requirement for loopy models),
+  5. emit a pure (data, n_iterations) → (posteriors, free_energy[]) function,
+     jitted once; iterations are unrolled at trace time.
+
+Compile-time completeness checks replace the reference's runtime update-flag
+protocol (src/inference/inference.jl:46-86).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dists import PointMass
+from ..graph.ir import Const, Factor, ModelGraph, Ref, SymIndex
+from ..rules.registry import RuleNotFoundError, get_message_rule
+from .bethe import FactorFE, slot_degrees, variable_entropy_term
+from .blocks import (
+    DiscreteChainBlock,
+    GaussianChainBlock,
+    PlainGroup,
+    _coverage,
+    build_q,
+)
+from .shapes import resolve_groups
+
+_GAUSSIAN_TRANS = {
+    "LinearGaussianCovariance",
+    "LinearGaussianPrecision",
+    "MvLinearGaussianCovariance",
+    "MvLinearGaussianPrecision",
+}
+
+_PLAIN_GAUSS = {
+    "NormalMeanVariance": ("LinearGaussianCovariance", "var"),
+    "NormalMeanPrecision": ("LinearGaussianPrecision", "prec"),
+    "MvNormalMeanCovariance": ("MvLinearGaussianCovariance", "cov"),
+    "MvNormalMeanPrecision": ("MvLinearGaussianPrecision", "prec"),
+}
+
+
+def _lag_ref(f: Factor):
+    """Return (iface, Ref) of a lag-1 self-reference, if f is a transition."""
+    if not isinstance(f.out.idx, SymIndex):
+        return None
+    for name, v in f.interfaces.items():
+        if (
+            isinstance(v, Ref)
+            and v.var is f.out.var
+            and isinstance(v.idx, SymIndex)
+            and v.idx.offset == f.out.idx.offset - 1
+        ):
+            return name, v
+    return None
+
+
+def normalize_transitions(graph: ModelGraph, infos) -> None:
+    """Fold plain-Gaussian lag transitions into LinearGaussian fforms (A=I, b=0) —
+    node contraction, reference docs/src/manuals/model-specification.md:332-447."""
+    for f in graph.factors:
+        lag = _lag_ref(f)
+        if lag is None:
+            continue
+        if f.fform in _PLAIN_GAUSS and lag[0] == "mean":
+            new_ff, noise_name = _PLAIN_GAUSS[f.fform]
+            shape = infos[f.out.var.name].event_shape
+            dim = shape[0] if shape else None
+            noise_key = [k for k in f.interfaces if k != "mean"][0]
+            noise = f.interfaces[noise_key]
+            f.fform = new_ff
+            f.interfaces = {
+                "in": lag[1],
+                "A": Const(np.eye(dim, dtype=np.float32) if dim else np.float32(1.0)),
+                "b": Const(np.zeros(dim, dtype=np.float32) if dim else np.float32(0.0)),
+                noise_name: noise,
+            }
+
+
+@dataclasses.dataclass
+class ChainSpec:
+    var: Any
+    kind: str  # 'gaussian' | 'discrete'
+    prior: Factor
+    transition: Factor
+    evidence: list
+
+
+def detect_chains(graph: ModelGraph, infos) -> dict[str, ChainSpec]:
+    chains: dict[str, ChainSpec] = {}
+    for var in graph.random_variables():
+        if not var.is_array:
+            continue
+        transitions = []
+        for f in graph.factors:
+            if f.out.var is var and _lag_ref(f) is not None:
+                transitions.append(f)
+        if not transitions:
+            continue
+        if len(transitions) > 1:
+            raise NotImplementedError(
+                f"Variable {var.name} has multiple transition factors."
+            )
+        trans = transitions[0]
+        if trans.fform in _GAUSSIAN_TRANS:
+            kind = "gaussian"
+        elif trans.fform == "DiscreteTransition":
+            kind = "discrete"
+        else:
+            raise NotImplementedError(
+                f"Chain over {var.name} with unsupported transition {trans.fform}."
+            )
+        prior = None
+        evidence = []
+        for f in graph.factors:
+            if f is trans:
+                continue
+            if f.out.var is var:
+                if f.out.idx == 0 and f.plate is None:
+                    prior = f
+                else:
+                    raise NotImplementedError(
+                        f"Chain {var.name}: extra defining factor {f.fform} at "
+                        f"{f.out.idx} (only a slot-0 prior is supported)."
+                    )
+                continue
+            for name, v in f.interfaces.items():
+                if isinstance(v, Ref) and v.var is var:
+                    evidence.append((f, name))
+                    break
+        if prior is None:
+            raise ValueError(f"Chain {var.name} has no prior factor at slot 0.")
+        chains[var.name] = ChainSpec(var, kind, prior, trans, evidence)
+    return chains
+
+
+def _read_deps(var, graph: ModelGraph, chains) -> set[str]:
+    """Random groups whose marginals this group's update reads."""
+    deps: set[str] = set()
+    if var.name in chains:
+        spec = chains[var.name]
+        factors = [spec.prior, spec.transition] + [f for f, _ in spec.evidence]
+    else:
+        factors = [
+            f
+            for f in graph.factors
+            if any(
+                isinstance(v, Ref) and v.var is var
+                for v in f.all_interfaces().values()
+            )
+        ]
+    for f in factors:
+        for v in f.all_interfaces().values():
+            if isinstance(v, Ref) and v.var.kind == "random" and v.var.name != var.name:
+                deps.add(v.var.name)
+    return deps
+
+
+def schedule_sweep(graph, chains, init_names: set[str]) -> list[str]:
+    """Greedy topological sweep order; init-spec'd groups count as available.
+
+    Raises with the reference's UX if the model is unschedulable without
+    initialization (docs: initialization required for loopy/VMP models)."""
+    remaining = [v for v in graph.random_variables()]
+    available: set[str] = set(init_names)
+    updated: set[str] = set()
+    order: list[str] = []
+    deps_map = {v.name: _read_deps(v, graph, chains) for v in remaining}
+    while remaining:
+        progressed = False
+        for v in list(remaining):
+            deps = deps_map[v.name]
+            if all(d in updated or d in available for d in deps):
+                order.append(v.name)
+                updated.add(v.name)
+                remaining.remove(v)
+                progressed = True
+        if not progressed:
+            blocked = {v.name: sorted(deps_map[v.name] - updated - available)
+                       for v in remaining}
+            raise ValueError(
+                "Model contains initialization cycles; provide initialization "
+                f"for some of: {blocked}. (Reference equivalent: @initialization "
+                "is required for variational iterations.)"
+            )
+    return order
+
+
+class CompiledModel:
+    """AOT-compiled inference program for one model × data-shape signature."""
+
+    def __init__(self, graph: ModelGraph, init: Optional[dict] = None,
+                 options: Optional[dict] = None):
+        options = options or {}
+        self.graph = graph
+        self.infos = resolve_groups(graph)
+        normalize_transitions(graph, self.infos)
+        self.chains = detect_chains(graph, self.infos)
+        init = dict(init or {})
+        unknown = set(init) - {v.name for v in graph.random_variables()}
+        if unknown:
+            raise ValueError(f"initialization given for unknown variables {unknown}")
+        self.init = init
+        self.sweep = schedule_sweep(graph, self.chains, set(init))
+        self.use_parallel = options.get("parallel_scans", True)
+
+        # Build executable blocks in sweep order.
+        self.blocks: list[tuple[str, Any]] = []
+        varmap = {v.name: v for v in graph.random_variables()}
+        chain_factor_ids = set()
+        for spec in self.chains.values():
+            chain_factor_ids.add(id(spec.transition))
+        for name in self.sweep:
+            var = varmap[name]
+            if name in self.chains:
+                spec = self.chains[name]
+                shape = self.infos[name].event_shape
+                if spec.kind == "gaussian":
+                    scalar = shape == ()
+                    dim = 1 if scalar else shape[0]
+                    block = GaussianChainBlock(
+                        var, dim, scalar, spec.prior, spec.transition,
+                        spec.evidence, self.use_parallel,
+                    )
+                else:
+                    block = DiscreteChainBlock(
+                        var, shape[0], spec.prior, spec.transition,
+                        spec.evidence, self.use_parallel,
+                    )
+                self.blocks.append(("chain", block))
+            else:
+                adjacency = []
+                for f in graph.factors:
+                    for iface, v in f.all_interfaces().items():
+                        if isinstance(v, Ref) and v.var is var:
+                            adjacency.append((f, iface))
+                            break
+                group = PlainGroup(var, self.infos[name].family, adjacency)
+                # Validate rules exist now (compile-time rule resolution).
+                for f, iface in adjacency:
+                    get_message_rule(f.fform, iface)
+                self.blocks.append(("plain", group))
+
+        # Free-energy plan.
+        self.fe_factors = [
+            FactorFE(
+                f,
+                is_chain_transition=id(f) in chain_factor_ids,
+                chain_scalar=(
+                    self.infos[f.out.var.name].event_shape == ()
+                    if f.out.var.kind == "random" and f.out.var.name in self.chains
+                    else False
+                ),
+            )
+            for f in graph.factors
+        ]
+        self.degrees = {
+            v.name: slot_degrees(graph, v) for v in graph.random_variables()
+        }
+
+        self._jitted: dict = {}
+
+    # -- execution -----------------------------------------------------------------
+    def _init_state(self) -> dict:
+        state = {}
+        for name, spec in self.init.items():
+            var = next(v for v in self.graph.random_variables() if v.name == name)
+            d = spec() if callable(spec) else spec
+            if var.is_array:
+                # broadcast scalar init across slots
+                d = jax.tree_util.tree_map(
+                    lambda a: jnp.broadcast_to(
+                        jnp.asarray(a, jnp.float32),
+                        (var.length,) + jnp.shape(jnp.asarray(a)),
+                    ),
+                    d,
+                )
+            state[name] = d
+        return state
+
+    def _sweep_once(self, state: dict, chain_cross: dict, data: dict):
+        for kind, block in self.blocks:
+            if kind == "chain":
+                marg, cross = block.update(state, data, chain_cross)
+                state[block.var.name] = marg
+                # store rule-ready joint: Cov(out, in) for Gaussian, xis for discrete
+                if isinstance(block, GaussianChainBlock):
+                    chain_cross[block.var.name] = (
+                        cross if block.scalar else jnp.swapaxes(cross, -1, -2)
+                    )
+                else:
+                    chain_cross[block.var.name] = cross
+            else:
+                state[block.var.name] = block.update(state, data, chain_cross)
+        return state, chain_cross
+
+    def _free_energy(self, state, chain_cross, data):
+        total = variable_entropy_term(self.graph, state, self.degrees)
+        for ffe in self.fe_factors:
+            total = total + ffe(state, data, chain_cross)
+        return total
+
+    def make_program(self, iterations: int, free_energy: bool, keep_each: bool):
+        """Build the pure function (data_dict) -> (posteriors, fe, history)."""
+
+        def program(data: dict):
+            state = self._init_state()
+            chain_cross: dict = {}
+            fes = []
+            history = []
+            for _ in range(iterations):
+                state, chain_cross = self._sweep_once(state, chain_cross, data)
+                if free_energy:
+                    fes.append(self._free_energy(state, chain_cross, data))
+                if keep_each:
+                    history.append(dict(state))
+            fe_arr = jnp.stack(fes) if fes else jnp.zeros((0,))
+            return state, fe_arr, history
+
+        return program
+
+    def run(self, data: dict, iterations: int = 1, free_energy: bool = False,
+            keep_each: bool = False, jit: bool = True):
+        key = (iterations, free_energy, keep_each)
+        data = {k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in data.items()}
+        if jit:
+            if key not in self._jitted:
+                self._jitted[key] = jax.jit(
+                    self.make_program(*key)
+                )
+            fn = self._jitted[key]
+        else:
+            fn = self.make_program(*key)
+        return fn(data)

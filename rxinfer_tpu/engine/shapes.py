@@ -1,0 +1,227 @@
+"""Compile-time shape & family inference over the factor graph.
+
+Event shapes and marginal families for every random variable are resolved
+statically (from constant hyperparameters and data shapes) so the compiled XLA
+program has fully static shapes — the TPU-side replacement for the reference's
+runtime type propagation through Julia dispatch (SURVEY.md §7 hard part (b))."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph.ir import Const, Factor, ModelGraph, Ref, Variable
+
+# family keys match dists.natural._TABLE
+_OUT_FAMILY = {
+    "NormalMeanVariance": "gaussian",
+    "NormalMeanPrecision": "gaussian",
+    "LinearGaussianCovariance": "gaussian",
+    "LinearGaussianPrecision": "gaussian",
+    "MvNormalMeanCovariance": "mv_gaussian",
+    "MvNormalMeanPrecision": "mv_gaussian",
+    "MvNormalMeanScalePrecision": "mv_gaussian",
+    "MvLinearGaussianCovariance": "mv_gaussian",
+    "MvLinearGaussianPrecision": "mv_gaussian",
+    "Beta": "beta",
+    "Bernoulli": "bernoulli",
+    "Binomial": "poisson",  # integer support; marginal carrier unused
+    "GammaShapeRate": "gamma",
+    "GammaShapeScale": "gamma",
+    "InverseGamma": "inverse_gamma",
+    "Categorical": "categorical",
+    "Dirichlet": "dirichlet",
+    "DirichletCollection": "dirichlet_collection",
+    "DiscreteTransition": "categorical",
+    "Wishart": "wishart",
+    "InverseWishart": "inverse_wishart",
+    "Poisson": "poisson",
+    "Uniform": "gaussian",  # continuous scalar carrier
+    "NormalMixture": "gaussian",
+    "GammaMixture": "gamma",
+}
+
+
+class GroupInfo:
+    """Static metadata for one random-variable group."""
+
+    def __init__(self, var: Variable):
+        self.var = var
+        self.family: str | None = None
+        self.event_shape: tuple | None = None
+
+    def __repr__(self):
+        return f"GroupInfo({self.var.name}, {self.family}, {self.event_shape})"
+
+
+def _const_shape(v) -> tuple:
+    return tuple(np.shape(v.value))
+
+
+def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None:
+    """Event shape of f.out from its constant/known interfaces."""
+    ifc = f.interfaces
+    ff = f.fform
+
+    def shape_of(name):
+        v = ifc.get(name)
+        if isinstance(v, Const):
+            return _const_shape(v)
+        if isinstance(v, Ref):
+            if v.var.kind == "data":
+                return tuple(v.var.event_shape or ())
+            g = known.get(v.var.name)
+            return g.event_shape if g else None
+        return None
+
+    if ff in ("NormalMeanVariance", "NormalMeanPrecision", "Beta", "Bernoulli",
+              "GammaShapeRate", "GammaShapeScale", "InverseGamma", "Poisson",
+              "Uniform", "Binomial", "NormalMixture", "GammaMixture", "Probit"):
+        return ()
+    if ff in ("MvNormalMeanCovariance", "MvNormalMeanPrecision",
+              "MvNormalMeanScalePrecision"):
+        s = shape_of("mean")
+        if s:
+            return s
+        for key in ("cov", "prec"):
+            s = shape_of(key)
+            if s:
+                return (s[-1],)
+        return None
+    if ff in ("MvLinearGaussianCovariance", "MvLinearGaussianPrecision"):
+        a = shape_of("A")
+        if a and len(a) == 2:
+            return (a[0],)
+        for key in ("cov", "prec"):
+            s = shape_of(key)
+            if s:
+                return (s[-1],)
+        return None
+    if ff in ("LinearGaussianCovariance", "LinearGaussianPrecision"):
+        return ()
+    if ff == "Categorical":
+        s = shape_of("p")
+        return (s[-1],) if s else None
+    if ff == "Dirichlet":
+        s = shape_of("alpha")
+        return s
+    if ff == "DirichletCollection":
+        return shape_of("alpha")
+    if ff == "DiscreteTransition":
+        s = shape_of("matrix")
+        return (s[0],) if s else None
+    if ff in ("Wishart",):
+        s = shape_of("S")
+        return s
+    if ff in ("InverseWishart",):
+        s = shape_of("Psi")
+        return s
+    return None
+
+
+def infer_input_shape(f: Factor, iface: str, out_shape) -> tuple | None:
+    """Event shape of a random *input* interface, where derivable."""
+    ff = f.fform
+    if ff in ("MvLinearGaussianCovariance", "MvLinearGaussianPrecision") and iface == "in":
+        a = f.interfaces.get("A")
+        if isinstance(a, Const):
+            s = _const_shape(a)
+            if len(s) == 2:
+                return (s[1],)
+    if ff == "DiscreteTransition" and iface == "in":
+        m = f.interfaces.get("matrix")
+        if isinstance(m, Const):
+            return (_const_shape(m)[1],)
+    if ff in ("MvNormalMeanCovariance", "MvNormalMeanPrecision") and iface == "mean":
+        return out_shape
+    if ff in ("NormalMeanVariance", "NormalMeanPrecision") and iface == "mean":
+        return ()
+    return None
+
+
+# family of a random input interface (what conjugate carrier its marginal uses)
+def input_family(f: Factor, iface: str) -> str | None:
+    ff = f.fform
+    table = {
+        ("NormalMeanPrecision", "mean"): "gaussian",
+        ("NormalMeanPrecision", "prec"): "gamma",
+        ("NormalMeanVariance", "mean"): "gaussian",
+        ("NormalMeanVariance", "var"): "inverse_gamma",
+        ("MvNormalMeanPrecision", "mean"): "mv_gaussian",
+        ("MvNormalMeanPrecision", "prec"): "wishart",
+        ("MvNormalMeanCovariance", "mean"): "mv_gaussian",
+        ("MvNormalMeanCovariance", "cov"): "inverse_wishart",
+        ("MvLinearGaussianCovariance", "in"): "mv_gaussian",
+        ("MvLinearGaussianPrecision", "in"): "mv_gaussian",
+        ("MvLinearGaussianPrecision", "prec"): "wishart",
+        ("LinearGaussianCovariance", "in"): "gaussian",
+        ("LinearGaussianPrecision", "in"): "gaussian",
+        ("LinearGaussianPrecision", "prec"): "gamma",
+        ("Bernoulli", "p"): "beta",
+        ("Binomial", "p"): "beta",
+        ("Categorical", "p"): "dirichlet",
+        ("DiscreteTransition", "in"): "categorical",
+        ("DiscreteTransition", "matrix"): "dirichlet_collection",
+        ("GammaShapeRate", "rate"): "gamma",
+        ("Poisson", "rate"): "gamma",
+        ("Dirichlet", "alpha"): None,
+        ("NormalMixture", "switch"): "categorical",
+    }
+    if ff == "NormalMixture":
+        if iface.startswith("mean"):
+            return "gaussian"
+        if iface.startswith("prec"):
+            return "gamma"
+    return table.get((ff, iface))
+
+
+def resolve_groups(graph: ModelGraph) -> dict[str, GroupInfo]:
+    """Fixed-point pass assigning (family, event_shape) to every random group."""
+    infos = {v.name: GroupInfo(v) for v in graph.random_variables()}
+
+    for _ in range(8):
+        changed = False
+        for f in graph.factors:
+            # out
+            if f.out.var.kind == "random":
+                gi = infos[f.out.var.name]
+                if gi.family is None and f.fform in _OUT_FAMILY:
+                    gi.family = _OUT_FAMILY[f.fform]
+                    changed = True
+                if gi.event_shape is None:
+                    s = infer_event_shape(f, graph, infos)
+                    if s is not None:
+                        gi.event_shape = s
+                        changed = True
+            # random inputs
+            for name, v in f.interfaces.items():
+                if isinstance(v, Ref) and v.var.kind == "random":
+                    gi = infos[v.var.name]
+                    fam = input_family(f, name)
+                    if gi.family is None and fam is not None:
+                        gi.family = fam
+                        changed = True
+                    if gi.event_shape is None:
+                        out_gi = infos.get(f.out.var.name)
+                        out_shape = out_gi.event_shape if out_gi else (
+                            tuple(f.out.var.event_shape or ()) if f.out.var.kind == "data" else None
+                        )
+                        s = infer_input_shape(f, name, out_shape)
+                        if s is None and fam in ("gamma", "beta", "bernoulli", "poisson", "inverse_gamma"):
+                            s = ()
+                        if s is None and fam == "wishart" and out_shape:
+                            s = (out_shape[-1], out_shape[-1])
+                        if s is None and fam == "inverse_wishart" and out_shape:
+                            s = (out_shape[-1], out_shape[-1])
+                        if s is not None:
+                            gi.event_shape = s
+                            changed = True
+        if not changed:
+            break
+
+    missing = [n for n, gi in infos.items() if gi.family is None or gi.event_shape is None]
+    if missing:
+        raise ValueError(
+            f"Could not infer family/event-shape for variables: {missing}. "
+            "Add explicit initialization or constant parametrization."
+        )
+    return infos

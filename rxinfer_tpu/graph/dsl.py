@@ -261,9 +261,34 @@ class ModelBuilder:
         return f"_{prefix}{self._name_counter}"
 
     # -- node creation -----------------------------------------------------------
+    def _guess_target_name(self) -> Optional[str]:
+        """Best-effort capture of the assignment target (``theta = Beta(...)``) so
+        scalar latents get user-facing names, mirroring the reference's
+        ``theta ~ Beta(...)`` macro capture.  Heuristic: parse the calling source
+        line; falls back to anonymous on any mismatch."""
+        import linecache
+        import re
+        import sys
+
+        frame = sys._getframe(2)
+        # walk out of dsl-internal frames
+        while frame is not None and frame.f_code.co_filename == __file__:
+            frame = frame.f_back
+        if frame is None:
+            return None
+        line = linecache.getline(frame.f_code.co_filename, frame.f_lineno)
+        m = re.match(r"\s*([A-Za-z_]\w*)\s*=[^=]", line)
+        if not m:
+            return None
+        name = m.group(1)
+        if any(v.name == name for v in self.graph.variables):
+            return None
+        return name
+
     def emit(self, fform: str, interfaces: dict, meta=None) -> RVRef:
         """Create a factor with a fresh anonymous output variable; return its ref."""
         p = self.plate_stack[-1] if self.plate_stack else None
+        guessed = None if p is not None else self._guess_target_name()
         if p is not None:
             var = self.graph.add_variable(
                 Variable(self.fresh_name("v"), "random", p.size)
@@ -272,7 +297,9 @@ class ModelBuilder:
             # [lo, hi): slot (t - lo) of the anonymous array belongs to step t.
             out = Ref(var, SymIndex(p, -p.lo))
         else:
-            var = self.graph.add_variable(Variable(self.fresh_name("v"), "random"))
+            var = self.graph.add_variable(
+                Variable(guessed or self.fresh_name("v"), "random")
+            )
             out = Ref(var, None)
         f = Factor(fform, out, interfaces, plate=p, meta=meta)
         self.graph.add_factor(f)
@@ -633,7 +660,14 @@ class ModelGenerator:
                 length = arr.shape[0] if arr.ndim >= 1 else None
                 var = builder.graph.add_variable(Variable(k, "data", length))
                 call_kwargs[k] = DataArray(var, arr.shape, arr.dtype)
-            self.fn(**call_kwargs)
+            ret = self.fn(**call_kwargs)
+            # Explicit naming via dict return: {"theta": rvref, ...}
+            if isinstance(ret, dict):
+                for k, v in ret.items():
+                    if isinstance(v, RVRef):
+                        v.ref.var.name = k
+                    elif isinstance(v, (LatentArray,)):
+                        v._var.name = k
         finally:
             _STATE.builder = prev
         builder.graph.validate()

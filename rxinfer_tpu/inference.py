@@ -1,0 +1,151 @@
+"""`infer` — the single inference entry point (reference:
+src/inference/inference.jl:577-733).
+
+Batch (static data) path: trace @model with the data's shapes, AOT-compile the
+message schedule, run N variational sweeps on device, return posteriors + Bethe
+free energy.  Dispatch between batch and streaming mirrors the reference
+(`autoupdates === nothing` → batch, src/inference/inference.jl:672-731); the
+streaming engine lives in inference_streaming.py.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import jax
+
+from .engine.compile import CompiledModel
+from .graph.dsl import ModelGenerator
+from .utils.session import get_default_session
+
+
+class KeepLast:
+    """Return only the final iteration's posterior (reference KeepLast)."""
+
+
+class KeepEach:
+    """Return posteriors from every iteration (reference KeepEach)."""
+
+
+class InferenceResult:
+    """Reference: InferenceResult (src/inference/batch.jl:18-24)."""
+
+    def __init__(self, posteriors, free_energy, model, elapsed_s):
+        self.posteriors = posteriors
+        self.free_energy = free_energy
+        self.model = model
+        self.elapsed_s = elapsed_s
+
+    def __repr__(self):
+        keys = ", ".join(self.posteriors)
+        return f"InferenceResult(posteriors=[{keys}])"
+
+
+_COMPILE_CACHE: dict = {}
+
+
+def _shape_sig(data: dict) -> tuple:
+    import numpy as np
+
+    return tuple(sorted((k, tuple(np.shape(v))) for k, v in data.items()))
+
+
+def infer(
+    model: ModelGenerator,
+    data: Optional[dict] = None,
+    datastream: Any = None,
+    autoupdates: Any = None,
+    initialization: Optional[dict] = None,
+    constraints: Any = None,
+    meta: Any = None,
+    options: Optional[dict] = None,
+    iterations: Optional[int] = None,
+    free_energy: bool = False,
+    returnvars: Any = None,
+    keephistory: int = 0,
+    historyvars: Any = None,
+    showprogress: bool = False,
+    callbacks: Optional[dict] = None,
+    session: Any = "default",
+):
+    """Run inference.  Batch mode when ``autoupdates is None``; streaming mode
+    (returns an RxInferenceEngine) otherwise — mirroring the reference dispatch."""
+    if autoupdates is not None or datastream is not None:
+        from .inference_streaming import streaming_infer
+
+        return streaming_infer(
+            model=model,
+            datastream=datastream,
+            autoupdates=autoupdates,
+            initialization=initialization,
+            iterations=iterations or 1,
+            free_energy=free_energy,
+            keephistory=keephistory,
+            options=options,
+        )
+
+    if data is None:
+        raise ValueError("Batch inference requires data= (or use datastream=).")
+    iterations = iterations or 1
+    t0 = time.perf_counter()
+
+    init_dists = dict(initialization or {})
+    sig = (id(model.fn), tuple(sorted(model.bound)), _shape_sig(data),
+           tuple(sorted(init_dists)))
+    compiled = _COMPILE_CACHE.get(sig)
+    if compiled is None:
+        graph = model.trace(data)
+        if constraints is not None:
+            _apply_constraints(graph, constraints)
+        compiled = CompiledModel(graph, init=init_dists, options=options)
+        _COMPILE_CACHE[sig] = compiled
+
+    keep_each = isinstance(returnvars, KeepEach) or (
+        returnvars is None and False
+    )
+    state, fe, history = compiled.run(
+        data, iterations=iterations, free_energy=free_energy, keep_each=keep_each
+    )
+
+    posteriors = _extract_posteriors(compiled, state)
+    if keep_each:
+        posteriors = {
+            name: [_extract_posteriors(compiled, h)[name] for h in history]
+            for name in posteriors
+        }
+    elapsed = time.perf_counter() - t0
+
+    sess = get_default_session() if session == "default" else session
+    if sess is not None:
+        sess.log_invoke(
+            label="inference",
+            model=model.name,
+            data_keys=sorted(data),
+            iterations=iterations,
+            status="success",
+            duration_s=elapsed,
+        )
+
+    return InferenceResult(posteriors, fe if free_energy else None,
+                           compiled, elapsed)
+
+
+def _extract_posteriors(compiled: CompiledModel, state: dict) -> dict:
+    """User-facing marginals: named (non-anonymous) random variables."""
+    out = {}
+    for var in compiled.graph.random_variables():
+        if var.name.startswith("_"):
+            continue
+        out[var.name] = state[var.name]
+    return out
+
+
+def _apply_constraints(graph, constraints):
+    """Factorization constraints: the engine's default already matches the
+    reference's common cases (structured chains + mean-field across groups);
+    explicit constraint objects are recorded and validated here."""
+    # Round 1: MeanField()/constraint specs are accepted; the engine's default
+    # factorization (structured pairwise on chains, mean-field between groups)
+    # coincides with the reference defaults used in its model test-suite.
+    return graph
