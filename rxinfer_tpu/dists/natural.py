@@ -133,7 +133,7 @@ def family_key(d: Distribution) -> str:
 
 
 def to_natural(d: Distribution):
-    return _TABLE[family_key(d)][0](d)
+    return tuple(jnp.asarray(n) for n in _TABLE[family_key(d)][0](d))
 
 
 def from_natural(key: str, nat) -> Distribution:
@@ -147,15 +147,41 @@ def _wrap_gamma(d):
     return d
 
 
-def prod_reduce(d: Distribution, axis: int = 0) -> Distribution:
-    """Product of a batched array of messages along ``axis`` (natural-param sum).
+# Event ranks of each family's natural-parameter leaves (used to distinguish the
+# plate/batch axis from event axes when reducing or padding message batches).
+NAT_EVENT_RANKS = {
+    "gaussian": (0, 0),
+    "mv_gaussian": (1, 2),
+    "beta": (0, 0),
+    "bernoulli": (0,),
+    "gamma": (0, 0),
+    "inverse_gamma": (0, 0),
+    "dirichlet": (1,),
+    "dirichlet_collection": (2,),
+    "categorical": (1,),
+    "wishart": (0, 2),
+    "inverse_wishart": (0, 2),
+    "poisson": (0,),
+}
 
-    This is the plate-aggregation primitive: N likelihood messages to a shared
-    parameter collapse in one reduction (and across shards, one psum)."""
+
+def prod_reduce(d: Distribution, size: int, axis: int = 0) -> Distribution:
+    """Product of ``size`` plated messages along ``axis`` (natural-param sum).
+
+    Message leaves that lack the plate axis (shared across copies — all inputs to
+    that rule were unbatched) contribute ``size * leaf``.  This is the
+    plate-aggregation primitive: N likelihood messages to a shared parameter
+    collapse in one reduction (and across shards, one psum)."""
     key = family_key(d)
     nat = to_natural(d)
-    summed = tuple(jnp.sum(n, axis=axis) for n in nat)
-    return from_natural(key, summed)
+    ranks = NAT_EVENT_RANKS[key]
+    out = []
+    for n, r in zip(nat, ranks):
+        if n.ndim == r:
+            out.append(size * n)
+        else:
+            out.append(jnp.sum(n, axis=axis))
+    return from_natural(key, tuple(out))
 
 
 def prod_all(dists: list[Distribution]) -> Distribution:
@@ -170,12 +196,17 @@ def prod_all(dists: list[Distribution]) -> Distribution:
 
 def pad_plate(d: Distribution, lo: int, hi: int, total: int) -> Distribution:
     """Embed a message batch covering slots [lo, hi) into a length-``total`` batch,
-    padding with the multiplicative identity (zero natural params)."""
-    if lo == 0 and hi == total:
-        return d
+    padding with the multiplicative identity (zero natural params).  Leaves lacking
+    the plate axis are broadcast first."""
     key = family_key(d)
     nat = to_natural(d)
-    padded = tuple(
-        jnp.pad(n, [(lo, total - hi)] + [(0, 0)] * (n.ndim - 1)) for n in nat
-    )
-    return from_natural(key, padded)
+    ranks = NAT_EVENT_RANKS[key]
+    out = []
+    for n, r in zip(nat, ranks):
+        if n.ndim == r:
+            n = jnp.broadcast_to(n, (hi - lo,) + n.shape)
+        if lo == 0 and hi == total:
+            out.append(n)
+        else:
+            out.append(jnp.pad(n, [(lo, total - hi)] + [(0, 0)] * (n.ndim - 1)))
+    return from_natural(key, tuple(out))

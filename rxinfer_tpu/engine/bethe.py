@@ -37,7 +37,8 @@ def slot_degrees(graph: ModelGraph, var) -> np.ndarray:
             if isinstance(v, Ref) and v.var is var:
                 cov = _coverage(f, v)
                 if cov is None:
-                    deg[0] += 1
+                    # shared (scalar) interface: a plated factor is plate.size copies
+                    deg[0] += f.plate.size if f.plate is not None else 1
                 elif isinstance(cov, int):
                     deg[cov] += 1
                 else:
@@ -75,8 +76,14 @@ class FactorFE:
 
     def __call__(self, state, data, chain_cross):
         f = self.factor
+        n_copies = f.plate.size if f.plate is not None else 1
         q = build_q(f, state, data, chain_cross=chain_cross)
-        ae = jnp.sum(self.energy_fn(q))
+        ae = self.energy_fn(q)
+        # A plated factor with only shared/scalar interfaces yields a scalar
+        # energy that stands for plate.size copies.
+        if jnp.ndim(ae) == 0 and n_copies > 1:
+            ae = ae * n_copies
+        ae = jnp.sum(ae)
 
         # factor-local entropy H[q_a]
         if self.is_chain_transition:
@@ -100,7 +107,11 @@ class FactorFE:
                 if qv is None or isinstance(qv, PointMass):
                     continue
                 if isinstance(v, Ref) and v.var.kind == "random":
-                    h = h + jnp.sum(qv.entropy())
+                    hv = qv.entropy()
+                    # shared interface of a plated factor → one copy per slot
+                    if f.plate is not None and _coverage(f, v) is None:
+                        hv = hv * n_copies
+                    h = h + jnp.sum(hv)
         return ae - h
 
 

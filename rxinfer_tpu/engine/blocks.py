@@ -129,7 +129,7 @@ class PlainGroup:
             if length is None:
                 # scalar group: plate-reduce factor-batched messages
                 if f.plate is not None:
-                    msg = prod_reduce(msg, axis=0)
+                    msg = prod_reduce(msg, f.plate.size, axis=0)
             else:
                 if isinstance(cov, tuple):
                     msg = pad_plate(msg, cov[0], cov[1], length)

@@ -95,7 +95,7 @@ class NormalMeanPrecisionNode:
     @staticmethod
     def message_to_prec(q):
         c = e_sq(q["out"]) - 2.0 * e_mean(q["out"]) * e_mean(q["mean"]) + e_sq(q["mean"])
-        return GammaShapeRate(jnp.asarray(1.5), 0.5 * c)
+        return GammaShapeRate(jnp.full_like(c, 1.5), 0.5 * c)
 
     @staticmethod
     def average_energy(q):
@@ -136,7 +136,7 @@ class MvNormalMeanCovarianceNode:
         # the prior (IW(nu0,Psi0) × msg = IW(nu0+1, Psi0+C)).
         c = _mv_centered_second_moment(q)
         d = c.shape[-1]
-        return InverseWishart(jnp.asarray(-float(d)), c)
+        return InverseWishart(jnp.full(c.shape[:-2], -float(d)), c)
 
     @staticmethod
     def average_energy(q):
@@ -169,7 +169,8 @@ class MvNormalMeanPrecisionNode:
         # Conjugate Wishart message: ∝ |W|^{1/2} exp(-1/2 tr(W C))
         c = _mv_centered_second_moment(q)
         d = c.shape[-1]
-        return Wishart(jnp.asarray(float(d) + 2.0), pd_inverse(c))
+        nu = jnp.full(c.shape[:-2], float(d) + 2.0)
+        return Wishart(nu, pd_inverse(c))
 
     @staticmethod
     def average_energy(q):
@@ -277,7 +278,7 @@ class MvLinearGaussianPrecisionNode(_MvLinearGaussianBase):
     def message_to_prec(q):
         c = _MvLinearGaussianBase._centered_second_moment(q)
         d = c.shape[-1]
-        return Wishart(jnp.asarray(float(d) + 2.0), pd_inverse(c))
+        return Wishart(jnp.full(c.shape[:-2], float(d) + 2.0), pd_inverse(c))
 
 
 class _LinearGaussianScalarBase:
@@ -339,7 +340,8 @@ class LinearGaussianPrecisionNode(_LinearGaussianScalarBase):
 
     @classmethod
     def message_to_prec(cls, q):
-        return GammaShapeRate(jnp.asarray(1.5), 0.5 * cls._c2(q))
+        c2 = cls._c2(q)
+        return GammaShapeRate(jnp.full_like(c2, 1.5), 0.5 * c2)
 
 
 # =================================================================================
