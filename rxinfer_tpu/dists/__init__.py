@@ -61,7 +61,7 @@ from .discrete import (
     DirichletCollection,
     Multinomial,
 )
-from .matrix import InverseWishart, Wishart
+from .matrix import InverseWishart, Wishart, WishartInverseScale
 from .pointmass import PointMass, SampleList, register_pointmass_products
 
 # PointMass absorbs products with every registered family.

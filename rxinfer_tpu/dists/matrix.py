@@ -90,6 +90,39 @@ def _prod_wishart(x: Wishart, y: Wishart) -> Wishart:
 
 
 @dist_dataclass
+class WishartInverseScale(Distribution):
+    """Wishart message carrier parameterized by the *inverse* scale (natural
+    form): density ∝ |X|^{(nu-d-1)/2} exp(-1/2 tr(s_inv X)).
+
+    Used for likelihood messages to precision variables whose per-copy scatter
+    C_i is low-rank/singular (e.g. a single observation's outer product): the
+    natural parameters (nu-d-1, C_i) sum across the plate WITHOUT any inversion,
+    and only the full-rank posterior is ever converted back to a proper Wishart.
+    """
+
+    nu: jnp.ndarray
+    s_inv: jnp.ndarray
+
+    @property
+    def event_ndim(self) -> int:
+        return 2
+
+    @property
+    def dim(self) -> int:
+        return self.s_inv.shape[-1]
+
+    def mean(self):
+        s = pd_inverse(self.s_inv)
+        return (self.nu[..., None, None] if jnp.ndim(self.nu) else self.nu) * s
+
+    def to_wishart(self) -> Wishart:
+        return Wishart(self.nu, pd_inverse(self.s_inv))
+
+    def batch_shape(self):
+        return jnp.shape(self.s_inv)[:-2]
+
+
+@dist_dataclass
 class InverseWishart(Distribution):
     """InverseWishart(nu, Psi); E[X] = Psi / (nu - d - 1)."""
 

@@ -28,7 +28,7 @@ from .gaussian import (
     as_weighted_mean_precision,
     pd_inverse,
 )
-from .matrix import InverseWishart, Wishart
+from .matrix import InverseWishart, Wishart, WishartInverseScale
 from .scalar_families import (
     Bernoulli,
     Beta,
@@ -90,7 +90,11 @@ _TABLE = {
         lambda n: Categorical(n[0]),
     ),
     "wishart": (
-        lambda d: (d.nu - d.s.shape[-1] - 1.0, pd_inverse(d.s)),
+        lambda d: (
+            (d.nu - d.s_inv.shape[-1] - 1.0, d.s_inv)
+            if isinstance(d, WishartInverseScale)
+            else (d.nu - d.s.shape[-1] - 1.0, pd_inverse(d.s))
+        ),
         lambda n: Wishart(n[0] + n[1].shape[-1] + 1.0, pd_inverse(n[1])),
     ),
     "inverse_wishart": (
@@ -123,7 +127,7 @@ def family_key(d: Distribution) -> str:
         return "dirichlet_collection"
     if isinstance(d, Categorical):
         return "categorical"
-    if isinstance(d, Wishart):
+    if isinstance(d, (Wishart, WishartInverseScale)):
         return "wishart"
     if isinstance(d, InverseWishart):
         return "inverse_wishart"

@@ -38,6 +38,8 @@ _OUT_FAMILY = {
     "Uniform": "gaussian",  # continuous scalar carrier
     "NormalMixture": "gaussian",
     "GammaMixture": "gamma",
+    "GaussianDotCovariance": "gaussian",
+    "GaussianDotPrecision": "gaussian",
 }
 
 
@@ -96,7 +98,8 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
             if s:
                 return (s[-1],)
         return None
-    if ff in ("LinearGaussianCovariance", "LinearGaussianPrecision"):
+    if ff in ("LinearGaussianCovariance", "LinearGaussianPrecision",
+              "GaussianDotCovariance", "GaussianDotPrecision"):
         return ()
     if ff == "Categorical":
         s = shape_of("p")
@@ -131,6 +134,12 @@ def infer_input_shape(f: Factor, iface: str, out_shape) -> tuple | None:
         m = f.interfaces.get("matrix")
         if isinstance(m, Const):
             return (_const_shape(m)[1],)
+    if ff in ("GaussianDotCovariance", "GaussianDotPrecision") and iface == "in":
+        a = f.interfaces.get("A")
+        if isinstance(a, Const):
+            return (_const_shape(a)[-1],)
+        if isinstance(a, Ref) and a.var.kind == "data":
+            return (tuple(a.var.event_shape)[-1],)
     if ff in ("MvNormalMeanCovariance", "MvNormalMeanPrecision") and iface == "mean":
         return out_shape
     if ff in ("NormalMeanVariance", "NormalMeanPrecision") and iface == "mean":
@@ -156,6 +165,9 @@ def input_family(f: Factor, iface: str) -> str | None:
         ("LinearGaussianCovariance", "in"): "gaussian",
         ("LinearGaussianPrecision", "in"): "gaussian",
         ("LinearGaussianPrecision", "prec"): "gamma",
+        ("GaussianDotCovariance", "in"): "mv_gaussian",
+        ("GaussianDotPrecision", "in"): "mv_gaussian",
+        ("GaussianDotPrecision", "prec"): "gamma",
         ("Bernoulli", "p"): "beta",
         ("Binomial", "p"): "beta",
         ("Categorical", "p"): "dirichlet",

@@ -138,9 +138,21 @@ class AddExpr:
 
 
 def dot(a, x: RVRef) -> LinearExpr:
-    """Inner product of a constant vector with a random vector (reference ``dot``)."""
+    """Inner product of a known vector with a random vector (reference ``dot``).
+
+    ``a`` may be a constant vector or an (indexed) data array — e.g. regression
+    features: ``y[i] = Normal(mean=dot(phi[i], theta), var=1.0)``."""
+    if isinstance(a, RVRef):
+        if a.ref.var.kind != "data":
+            raise TypeError(
+                "dot() with two random arguments needs the SoftDot node "
+                "(reference SoftDot); pass features as data or constants."
+            )
+        return LinearExpr(a.ref, x, None)
     a = np.asarray(a)
-    return LinearExpr(a.reshape(1, -1), x, None)
+    if a.ndim != 1:
+        raise TypeError("dot() expects a vector first argument.")
+    return LinearExpr(a, x, None)
 
 
 # ---------------------------------------------------------------------------------
@@ -180,13 +192,20 @@ class DataArray:
 
     Data arrays know their shape/dtype at trace time but not their values (values
     are runtime arguments of the compiled program — the equivalent of
-    ``new_observation!`` becoming buffer donation, SURVEY.md §3.1)."""
+    ``new_observation!`` becoming buffer donation, SURVEY.md §3.1).
+
+    Whether the leading axis is a plate or part of the event is decided by USAGE:
+    indexing (``y[t]``) marks it a plate; passing the array whole (``mean=pm`` or
+    ``y.observe(...)``) marks the full shape as one event (needed for streaming
+    single-step models where priors arrive as data)."""
 
     def __init__(self, var: Variable, shape: tuple, dtype):
         self._var = var
         self.shape = shape
         self.dtype = dtype
-        var.event_shape = shape[1:] if var.is_array else shape
+        # undecided until first use; default whole-event
+        var.length = None
+        var.event_shape = shape
         var.dtype = dtype
 
     def __len__(self):
@@ -196,7 +215,13 @@ class DataArray:
     def plate_size(self):
         return self.shape[0]
 
+    def _mark_indexed(self):
+        if self._var.length is None:
+            self._var.length = self.shape[0]
+            self._var.event_shape = self.shape[1:]
+
     def _norm_idx(self, key):
+        self._mark_indexed()
         if isinstance(key, SymIndex):
             return key
         key = int(key)
@@ -326,6 +351,9 @@ def _as_interface(v) -> Any:
     """Normalize a node argument to Ref or Const."""
     if isinstance(v, RVRef):
         return v.ref
+    if isinstance(v, DataArray):
+        # whole-array use: the full shape is one event (streaming priors etc.)
+        return Ref(v._var, None)
     if isinstance(v, (LinearExpr, AddExpr)):
         return v
     return Const(np.asarray(v))
@@ -427,15 +455,30 @@ def _gaussian(kind_scalar: str, kwargs: dict) -> RVRef:
         # Fold deterministic linear map into a LinearGaussian factor
         # (reference: node contraction of anonymous deterministic nodes,
         # docs/src/manuals/model-specification.md:332-447).
+        a_val = mean.a
+        # dot-product mean (scalar out, vector random in): dedicated node
+        is_dot = (not mv) and (
+            isinstance(a_val, Ref) or (a_val is not None and np.ndim(a_val) == 1)
+        )
+        a_ifc = (
+            a_val if isinstance(a_val, Ref)
+            else Const(np.asarray(a_val)) if a_val is not None
+            else Const(np.asarray(1.0))
+        )
         interfaces = {
             "in": mean.x.ref,
-            "A": Const(np.asarray(mean.a)) if mean.a is not None else Const(np.asarray(1.0)),
+            "A": a_ifc,
             "b": Const(np.asarray(mean.b)) if mean.b is not None else Const(np.asarray(0.0)),
             noise_name: _as_interface(noise_val),
         }
-        fform = ("Mv" if mv else "") + "LinearGaussian" + (
-            "Covariance" if noise_name in ("cov", "var") else "Precision"
-        )
+        if is_dot:
+            fform = "GaussianDot" + (
+                "Covariance" if noise_name in ("var",) else "Precision"
+            )
+        else:
+            fform = ("Mv" if mv else "") + "LinearGaussian" + (
+                "Covariance" if noise_name in ("cov", "var") else "Precision"
+            )
         return _builder().emit(fform, interfaces)
 
     return _builder().emit(base, {"mean": _as_interface(mean), noise_name: _as_interface(noise_val)})

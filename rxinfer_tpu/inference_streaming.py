@@ -5,10 +5,10 @@ The reference's reactive executor is replaced by a compiled *step function*:
 posteriors→priors feedback (`autoupdates`) is a pure function
 ``new_prior_args = f(posteriors)`` (the reference's own semantics,
 src/inference/autoupdates.jl:614-659), so an observation step is
-``state' = step(state, observation)`` — jitted once, then driven either by a
-Python event loop (true streaming) or by ``lax.scan`` over a whole observation
-array (offline filtering at full device throughput; see engine/filtering.py for
-the batched multi-chain fast path).
+``args' = step(args, observation)`` — jitted once, then driven either by a
+Python event loop (true streaming, `on_next`) or by ``lax.scan`` over a whole
+observation array (`run_offline` — full device throughput with zero host
+round-trips per step).
 """
 
 from __future__ import annotations
@@ -23,20 +23,37 @@ from .engine.compile import CompiledModel
 
 
 class autoupdates:
-    """Mapping from data-argument names to functions of the posterior dict.
+    """Posterior→prior feedback spec (the reference @autoupdates).
 
-    Example (reference @autoupdates equivalent):
+    Example:
         au = autoupdates(
-            prior_mean=lambda q: q["x"].mean(),
-            prior_var=lambda q: q["x"].var(),
+            initial={"pm": m0, "pc": P0},
+            pm=lambda q: q["x"].mean(),
+            pc=lambda q: q["x"].cov(),
         )
-    """
+    ``initial`` provides the first tick's data-argument values (the reference
+    fetches these from @initialization-set marginals)."""
 
-    def __init__(self, **mapping: Callable[[dict], Any]):
+    def __init__(self, initial: Optional[dict] = None, **mapping: Callable[[dict], Any]):
         self.mapping = dict(mapping)
+        self.initial = {
+            k: jnp.asarray(v, jnp.float32) for k, v in (initial or {}).items()
+        }
 
     def __call__(self, posteriors: dict) -> dict:
-        return {k: fn(posteriors) for k, fn in self.mapping.items()}
+        return {
+            k: jnp.asarray(fn(posteriors), jnp.float32)
+            for k, fn in self.mapping.items()
+        }
+
+
+class RxInferenceEvent:
+    def __init__(self, name: str, payload=None):
+        self.name = name
+        self.payload = payload
+
+    def __repr__(self):
+        return f"RxInferenceEvent({self.name})"
 
 
 class RxInferenceEngine:
@@ -44,12 +61,13 @@ class RxInferenceEngine:
     autoupdate arguments; `on_next(obs)` performs one tick (the reference's
     executor on_next!, src/inference/streaming.jl:311-436)."""
 
-    def __init__(self, model, autoupdates_spec: autoupdates, initial_args: dict,
+    def __init__(self, model, autoupdates_spec: autoupdates,
                  iterations: int = 1, free_energy: bool = False,
-                 keephistory: int = 0, options: Optional[dict] = None):
+                 keephistory: int = 0, options: Optional[dict] = None,
+                 event_callbacks: Optional[dict] = None):
         self.model = model
         self.autoupdates = autoupdates_spec
-        self.args = dict(initial_args)
+        self.args = dict(autoupdates_spec.initial)
         self.iterations = iterations
         self.free_energy = free_energy
         self.keephistory = keephistory
@@ -58,9 +76,17 @@ class RxInferenceEngine:
         self.fe_history: list = []
         self.posteriors: Optional[dict] = None
         self._compiled: Optional[CompiledModel] = None
-        self.events: list[str] = []
+        self.events: list[RxInferenceEvent] = []
+        self._callbacks = event_callbacks or {}
         self.is_running = False
         self.is_errored = False
+
+    def _fire(self, name: str, payload=None):
+        ev = RxInferenceEvent(name, payload)
+        self.events.append(ev)
+        cb = self._callbacks.get(name)
+        if cb:
+            cb(ev)
 
     def _ensure_compiled(self, obs: dict):
         if self._compiled is None:
@@ -71,6 +97,7 @@ class RxInferenceEngine:
     def on_next(self, obs: dict):
         """Process one observation: run autoupdates-fed inference step."""
         self._ensure_compiled(obs)
+        self._fire("before_iteration")
         data = {**obs, **self.args}
         state, fe, _ = self._compiled.run(
             data, iterations=self.iterations, free_energy=self.free_energy
@@ -78,22 +105,47 @@ class RxInferenceEngine:
         from .inference import _extract_posteriors
 
         self.posteriors = _extract_posteriors(self._compiled, state)
-        self.args = {
-            k: jnp.asarray(v, jnp.float32)
-            for k, v in self.autoupdates(self.posteriors).items()
-        }
+        self.args = self.autoupdates(self.posteriors)
         if self.free_energy:
             self.fe_history.append(fe)
         if self.keephistory:
             self.history.append(self.posteriors)
             if len(self.history) > self.keephistory:
                 self.history.pop(0)
+        self._fire("after_iteration")
         return self.posteriors
+
+    def run_offline(self, observations: dict):
+        """Offline fast path: scan the compiled step over whole observation
+        arrays (dict name -> (T, ...)); returns stacked per-step posteriors.
+
+        This is the TPU-native equivalent of feeding the reference engine a
+        complete static datastream (src/inference/streaming.jl:562-575) — one
+        compiled ``lax.scan``, no host round-trips."""
+        first = {k: jnp.asarray(v[0], jnp.float32) for k, v in observations.items()}
+        self._ensure_compiled(first)
+        compiled = self._compiled
+        program = compiled.make_program(self.iterations, self.free_energy, False)
+        au = self.autoupdates
+
+        from .inference import _extract_posteriors
+
+        def step(args, obs_t):
+            state, fe, _ = program({**obs_t, **args})
+            post = _extract_posteriors(compiled, state)
+            return au(post), (post, fe)
+
+        obs_arrays = {
+            k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in observations.items()
+        }
+        final_args, (posts, fes) = jax.lax.scan(step, dict(self.args), obs_arrays)
+        self.args = {k: v for k, v in final_args.items()}
+        return posts, fes
 
     # -- lifecycle (reference: start/stop, events) --------------------------------
     def start(self, datastream: Iterable[dict]):
         self.is_running = True
-        self.events.append("before_autostart")
+        self._fire("before_autostart")
         try:
             for obs in datastream:
                 if not self.is_running:
@@ -101,10 +153,10 @@ class RxInferenceEngine:
                 self.on_next(obs)
         except Exception:
             self.is_errored = True
-            self.events.append("on_error")
+            self._fire("on_error")
             raise
         finally:
-            self.events.append("after_autostart")
+            self._fire("after_autostart")
         return self
 
     def stop(self):
@@ -112,14 +164,13 @@ class RxInferenceEngine:
 
 
 def streaming_infer(model, datastream, autoupdates, initialization=None,
-                    iterations=1, free_energy=False, keephistory=0, options=None,
-                    initial_args: Optional[dict] = None):
+                    iterations=1, free_energy=False, keephistory=0, options=None):
     """Streaming dispatch target of `infer` (reference
     src/inference/inference.jl:700-731)."""
     if autoupdates is None:
         raise ValueError("streaming inference requires autoupdates=")
     engine = RxInferenceEngine(
-        model, autoupdates, initial_args or {}, iterations=iterations,
+        model, autoupdates, iterations=iterations,
         free_energy=free_energy, keephistory=keephistory, options=options,
     )
     if datastream is not None:

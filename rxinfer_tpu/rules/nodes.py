@@ -35,6 +35,7 @@ from ..dists import (
     PointMass,
     Poisson,
     Wishart,
+    WishartInverseScale,
     pd_inverse,
     pd_logdet,
 )
@@ -166,11 +167,12 @@ class MvNormalMeanPrecisionNode:
 
     @staticmethod
     def message_to_prec(q):
-        # Conjugate Wishart message: ∝ |W|^{1/2} exp(-1/2 tr(W C))
+        # Conjugate Wishart message: ∝ |W|^{1/2} exp(-1/2 tr(W C)).  Carried in
+        # inverse-scale (natural) form — C can be singular per copy.
         c = _mv_centered_second_moment(q)
         d = c.shape[-1]
         nu = jnp.full(c.shape[:-2], float(d) + 2.0)
-        return Wishart(nu, pd_inverse(c))
+        return WishartInverseScale(nu, c)
 
     @staticmethod
     def average_energy(q):
@@ -278,7 +280,7 @@ class MvLinearGaussianPrecisionNode(_MvLinearGaussianBase):
     def message_to_prec(q):
         c = _MvLinearGaussianBase._centered_second_moment(q)
         d = c.shape[-1]
-        return Wishart(jnp.full(c.shape[:-2], float(d) + 2.0), pd_inverse(c))
+        return WishartInverseScale(jnp.full(c.shape[:-2], float(d) + 2.0), c)
 
 
 class _LinearGaussianScalarBase:
@@ -791,3 +793,80 @@ NormalMixtureNode = _NormalMixtureMeta(
 from .registry import _NODES  # noqa: E402
 
 _NODES["NormalMixture"] = NormalMixtureNode
+
+
+# =================================================================================
+# GaussianDot: scalar out = a^T x + b + noise, vector random x, known vector a
+# (reference: dot() + Normal contraction / SoftDot with known weights; the
+# linear-regression workhorse, test/models/regression)
+# =================================================================================
+
+class _GaussianDotBase:
+    interfaces = ("out", "in", "A", "b", "var")
+
+    @staticmethod
+    def _a(q):
+        return q["A"].point
+
+    @classmethod
+    def _noise_var(cls, q):
+        if "var" in q:
+            return e_mean(q["var"])
+        return 1.0 / e_precision(q["prec"])
+
+    @classmethod
+    def message_to_out(cls, q):
+        a = cls._a(q)
+        b = q["b"].point
+        m, v = e_mean(q["in"]), e_cov(q["in"])
+        mean = jnp.einsum("...i,...i->...", a, m) + b
+        var = jnp.einsum("...i,...ij,...j->...", a, v, a) + cls._noise_var(q)
+        return NormalMeanVariance(mean, var)
+
+    @classmethod
+    def message_to_in(cls, q):
+        a = cls._a(q)
+        b = q["b"].point
+        s = cls._noise_var(q) + e_var(q["out"])
+        diff = e_mean(q["out"]) - b
+        xi = a * (diff / s)[..., None]
+        w = a[..., :, None] * a[..., None, :] / s[..., None, None]
+        return MvNormalWeightedMeanPrecision(xi, w)
+
+    @classmethod
+    def _c2(cls, q):
+        a = cls._a(q)
+        b = q["b"].point
+        m, v = e_mean(q["in"]), e_cov(q["in"])
+        diff = e_mean(q["out"]) - jnp.einsum("...i,...i->...", a, m) - b
+        return (
+            e_var(q["out"])
+            + jnp.einsum("...i,...ij,...j->...", a, v, a)
+            + diff * diff
+        )
+
+    @classmethod
+    def average_energy(cls, q):
+        if "prec" in q and not isinstance(q["prec"], PointMass):
+            elogw = e_log_precision(q["prec"])
+            w = e_precision(q["prec"])
+        else:
+            nv = cls._noise_var(q)
+            elogw = -jnp.log(nv)
+            w = 1.0 / nv
+        return 0.5 * (_LOG2PI - elogw + w * cls._c2(q))
+
+
+@node("GaussianDotCovariance")
+class GaussianDotCovarianceNode(_GaussianDotBase):
+    pass
+
+
+@node("GaussianDotPrecision")
+class GaussianDotPrecisionNode(_GaussianDotBase):
+    interfaces = ("out", "in", "A", "b", "prec")
+
+    @classmethod
+    def message_to_prec(cls, q):
+        c2 = cls._c2(q)
+        return GammaShapeRate(jnp.full_like(c2, 1.5), 0.5 * c2)

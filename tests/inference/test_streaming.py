@@ -1,0 +1,107 @@
+"""Streaming engine + autoupdates (reference: streaming LGSSM filtering,
+benchmarks notebook cell 7; engine lifecycle tests
+test/inference/inference_tests.jl:752-1534)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import rxinfer_tpu as rx
+from rxinfer_tpu.ops.kalman import ChainParams, sequential_filter
+
+
+def _setup(T=40, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    theta = np.pi / 20
+    A = np.array(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]],
+        dtype=np.float32,
+    )
+    Q = 0.5 * np.eye(d, dtype=np.float32)
+    B = np.eye(d, dtype=np.float32)
+    R = np.eye(d, dtype=np.float32)
+    y = rng.standard_normal((T, d)).astype(np.float32)
+    return A, Q, B, R, y
+
+
+def make_step_model(A, Q, B, R):
+    @rx.model
+    def step(y, pm, pc):
+        # prediction prior: x = A x_prev + w  folded into the supplied prior
+        x = rx.MvNormal(mean=pm, cov=pc)
+        y.observe(rx.MvNormal(mean=B @ x, cov=R))
+        return {"x": x}
+
+    return step
+
+
+def _autoupdates(A, Q):
+    # posterior -> next-step prior: m' = A m, P' = A P A^T + Q  (the prediction
+    # step expressed as an autoupdate, exactly the reference's filtering model)
+    return rx.autoupdates(
+        initial={"pm": np.zeros(2, np.float32), "pc": 25 * np.eye(2, dtype=np.float32)},
+        pm=lambda q: A @ q["x"].mean(),
+        pc=lambda q: A @ q["x"].cov() @ A.T + Q,
+    )
+
+
+def _oracle_filter(A, Q, B, R, y):
+    T, d = y.shape
+    F = np.tile(A, (T - 1, 1, 1))
+    b = np.zeros((T - 1, d), np.float32)
+    Qs = np.tile(Q, (T - 1, 1, 1))
+    Rinv = np.linalg.inv(R)
+    W = np.tile(B.T @ Rinv @ B, (T, 1, 1)).astype(np.float32)
+    xi = np.einsum("ji,jk,tk->ti", B, Rinv, y).astype(np.float32)
+    p = ChainParams(
+        jnp.zeros(d), 25 * jnp.eye(d),
+        jnp.asarray(F), jnp.asarray(b), jnp.asarray(Qs),
+        jnp.asarray(xi), jnp.asarray(W),
+    )
+    return sequential_filter(p)
+
+
+def test_streaming_matches_batch_filter():
+    A, Q, B, R, y = _setup()
+    au = _autoupdates(A, Q)
+    engine = rx.infer(
+        model=make_step_model(A, Q, B, R),
+        datastream=[{"y": y[t]} for t in range(len(y))],
+        autoupdates=au,
+        keephistory=100,
+    )
+    fm, fP = _oracle_filter(A, Q, B, R, y)
+    np.testing.assert_allclose(
+        engine.posteriors["x"].mean(), np.asarray(fm[-1]), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        engine.posteriors["x"].cov(), np.asarray(fP[-1]), rtol=1e-3, atol=1e-3
+    )
+    assert len(engine.history) == len(y)
+    np.testing.assert_allclose(
+        engine.history[10]["x"].mean(), np.asarray(fm[10]), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_offline_scan_fast_path():
+    A, Q, B, R, y = _setup(T=60, seed=3)
+    au = _autoupdates(A, Q)
+    engine = rx.RxInferenceEngine(make_step_model(A, Q, B, R), au)
+    posts, _ = engine.run_offline({"y": y})
+    fm, fP = _oracle_filter(A, Q, B, R, y)
+    np.testing.assert_allclose(posts["x"].mean(), np.asarray(fm), rtol=1e-3, atol=1e-3)
+
+
+def test_engine_lifecycle_events():
+    A, Q, B, R, y = _setup(T=5)
+    au = _autoupdates(A, Q)
+    seen = []
+    engine = rx.RxInferenceEngine(
+        make_step_model(A, Q, B, R), au,
+        event_callbacks={"after_iteration": lambda ev: seen.append(ev.name)},
+    )
+    engine.start([{"y": y[t]} for t in range(5)])
+    assert len(seen) == 5
+    names = [e.name for e in engine.events]
+    assert names[0] == "before_autostart" and names[-1] == "after_autostart"
+    engine.stop()
+    assert not engine.is_running and not engine.is_errored
