@@ -93,6 +93,8 @@ def build_q(f: Factor, state: dict, data: dict, exclude: Optional[str] = None,
         if name == exclude:
             continue
         q[name] = resolve_iface(v, f, state, data)
+    if f.meta is not None:
+        q["_meta"] = f.meta
     if chain_cross:
         out_ref = f.out
         in_ref = f.interfaces.get("in")
@@ -122,7 +124,12 @@ class PlainGroup:
         length = self.var.length
         for f, iface in self.adjacency:
             rule = get_message_rule(f.fform, iface)
-            q = build_q(f, state, data, exclude=iface, chain_cross=chain_cross)
+            from ..rules.registry import get_node
+
+            needs_self = getattr(get_node(f.fform), "needs_self_marginal", False)
+            q = build_q(f, state, data,
+                        exclude=None if needs_self else iface,
+                        chain_cross=chain_cross)
             msg = rule(q)
             ref = f.out if iface == "out" else f.interfaces[iface]
             cov = _coverage(f, ref)

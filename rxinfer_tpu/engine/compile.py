@@ -69,6 +69,49 @@ def _lag_ref(f: Factor):
     return None
 
 
+_GAUSS_MEAN_CONTRACT = {
+    "NormalMeanVariance": "NonlinearGaussianCovariance",
+    "NormalMeanPrecision": "NonlinearGaussianPrecision",
+    "MvNormalMeanCovariance": "NonlinearGaussianCovariance",
+    "MvNormalMeanPrecision": "NonlinearGaussianPrecision",
+}
+
+
+def contract_deltas(graph: ModelGraph) -> None:
+    """Fold ``Normal(mean=Delta(fn, ...), noise)`` pairs into NonlinearGaussian
+    factors (reference: anonymous-node contraction around delta nodes,
+    docs/src/manuals/inference/delta-node.md).  Backward messages then become
+    IEKF/UKF-style likelihood messages — exact for linear fn."""
+    for delta_f in [f for f in graph.factors if f.fform == "Delta"]:
+        w = delta_f.out.var
+        if not w.name.startswith("_"):
+            continue  # user kept a handle on the intermediate: leave explicit
+        neighbors = []
+        for f in graph.factors:
+            if f is delta_f:
+                continue
+            for v in f.all_interfaces().values():
+                if isinstance(v, Ref) and v.var is w:
+                    neighbors.append(f)
+                    break
+        if len(neighbors) != 1:
+            continue
+        g = neighbors[0]
+        mean_ref = g.interfaces.get("mean")
+        if g.fform not in _GAUSS_MEAN_CONTRACT or not isinstance(mean_ref, Ref):
+            continue
+        if mean_ref.var is not w or g.plate is not delta_f.plate:
+            continue
+        noise_key = [k for k in g.interfaces if k != "mean"][0]
+        new_interfaces = dict(delta_f.interfaces)
+        new_interfaces[noise_key] = g.interfaces[noise_key]
+        g.fform = _GAUSS_MEAN_CONTRACT[g.fform]
+        g.interfaces = new_interfaces
+        g.meta = delta_f.meta
+        graph.factors.remove(delta_f)
+        graph.variables.remove(w)
+
+
 def normalize_transitions(graph: ModelGraph, infos) -> None:
     """Fold plain-Gaussian lag transitions into LinearGaussian fforms (A=I, b=0) —
     node contraction, reference docs/src/manuals/model-specification.md:332-447."""
@@ -207,6 +250,7 @@ class CompiledModel:
                  options: Optional[dict] = None):
         options = options or {}
         self.graph = graph
+        contract_deltas(graph)
         self.infos = resolve_groups(graph)
         normalize_transitions(graph, self.infos)
         self.chains = detect_chains(graph, self.infos)
@@ -255,19 +299,10 @@ class CompiledModel:
                     get_message_rule(f.fform, iface)
                 self.blocks.append(("plain", group))
 
-        # Free-energy plan.
-        self.fe_factors = [
-            FactorFE(
-                f,
-                is_chain_transition=id(f) in chain_factor_ids,
-                chain_scalar=(
-                    self.infos[f.out.var.name].event_shape == ()
-                    if f.out.var.kind == "random" and f.out.var.name in self.chains
-                    else False
-                ),
-            )
-            for f in graph.factors
-        ]
+        # Free-energy plan (built lazily: some nodes, e.g. Delta, define no
+        # average energy and should only fail if free_energy=True is requested).
+        self._chain_factor_ids = chain_factor_ids
+        self._fe_factors = None
         self.degrees = {
             v.name: slot_degrees(graph, v) for v in graph.random_variables()
         }
@@ -307,6 +342,23 @@ class CompiledModel:
             else:
                 state[block.var.name] = block.update(state, data, chain_cross)
         return state, chain_cross
+
+    @property
+    def fe_factors(self):
+        if self._fe_factors is None:
+            self._fe_factors = [
+                FactorFE(
+                    f,
+                    is_chain_transition=id(f) in self._chain_factor_ids,
+                    chain_scalar=(
+                        self.infos[f.out.var.name].event_shape == ()
+                        if f.out.var.kind == "random" and f.out.var.name in self.chains
+                        else False
+                    ),
+                )
+                for f in self.graph.factors
+            ]
+        return self._fe_factors
 
     def _free_energy(self, state, chain_cross, data):
         total = variable_entropy_term(self.graph, state, self.degrees)

@@ -43,6 +43,12 @@ _OUT_FAMILY = {
 }
 
 
+def _delta_out_family(f, infos):
+    in_keys = [k for k in f.interfaces if k.startswith("in")]
+    del in_keys
+    return None
+
+
 class GroupInfo:
     """Static metadata for one random-variable group."""
 
@@ -118,6 +124,20 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
     if ff in ("InverseWishart",):
         s = shape_of("Psi")
         return s
+    if ff in ("Delta", "NonlinearGaussianCovariance", "NonlinearGaussianPrecision"):
+        fn = (f.meta or {}).get("fn")
+        in_keys = sorted((k for k in f.interfaces if k.startswith("in")),
+                         key=lambda k: int(k[2:]))
+        shapes = [shape_of(k) for k in in_keys]
+        if fn is None or any(s is None for s in shapes):
+            return None
+        probes = [np.zeros(s, dtype=np.float32) if s else np.float32(0.0)
+                  for s in shapes]
+        try:
+            out = np.asarray(fn(*probes))
+        except Exception:
+            return None
+        return tuple(out.shape)
     return None
 
 
@@ -183,6 +203,11 @@ def input_family(f: Factor, iface: str) -> str | None:
             return "gaussian"
         if iface.startswith("prec"):
             return "gamma"
+    if ff in ("Delta", "NonlinearGaussianCovariance",
+              "NonlinearGaussianPrecision") and iface.startswith("in"):
+        return None  # shape decides gaussian vs mv_gaussian (filled in pass)
+    if ff == "NonlinearGaussianPrecision" and iface == "prec":
+        return "gamma"
     return table.get((ff, iface))
 
 
@@ -204,6 +229,11 @@ def resolve_groups(graph: ModelGraph) -> dict[str, GroupInfo]:
                     if s is not None:
                         gi.event_shape = s
                         changed = True
+                if f.fform in ("Delta", "NonlinearGaussianCovariance",
+                               "NonlinearGaussianPrecision") \
+                        and gi.family is None and gi.event_shape is not None:
+                    gi.family = "mv_gaussian" if len(gi.event_shape) == 1 else "gaussian"
+                    changed = True
             # random inputs
             for name, v in f.interfaces.items():
                 if isinstance(v, Ref) and v.var.kind == "random":

@@ -1,0 +1,532 @@
+"""Delta (nonlinear deterministic) node: out = fn(in0, in1, ...).
+
+Reference: ReactiveMP delta-node machinery with approximation methods as node
+meta (docs/src/manuals/inference/delta-node.md:14-119):
+  * Linearization  — first-order Taylor via jax.jacfwd (the reference uses
+    ForwardDiff; here the transform is traced and fused into the schedule),
+  * Unscented      — sigma-point transform (alpha/beta/kappa parameters),
+  * known inverse  — exact backward mean transport through fn⁻¹.
+
+Messages are moment-matched Gaussians.  Multiple inputs are handled by joint
+linearization / joint sigma points over the concatenated input vector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..dists import (
+    MvNormalMeanCovariance,
+    MvNormalWeightedMeanPrecision,
+    NormalMeanVariance,
+    NormalWeightedMeanPrecision,
+    PointMass,
+)
+from ..dists.gaussian import _symmetrize, pd_inverse
+from .expectations import e_cov, e_mean, e_var
+from .registry import node
+
+
+@dataclasses.dataclass
+class Linearization:
+    """First-order Taylor approximation (reference Linearization())."""
+
+
+@dataclasses.dataclass
+class Unscented:
+    """Sigma-point transform (reference Unscented(alpha,beta,kappa))."""
+
+    alpha: float = 1e-3
+    beta: float = 2.0
+    kappa: float = 0.0
+
+
+@dataclasses.dataclass
+class DeltaMeta:
+    """Reference DeltaMeta(method=..., inverse=...)."""
+
+    method: object = None
+    inverse: Optional[Callable | Sequence[Callable]] = None
+
+
+def _meta(q) -> dict:
+    m = q.get("_meta") or {}
+    return m
+
+
+def _inputs(q):
+    return sorted((k for k in q if k.startswith("in")), key=lambda k: int(k[2:]))
+
+
+def _moments(d):
+    """(mean, cov-or-var, is_vector)"""
+    m = jnp.asarray(e_mean(d))
+    if m.ndim == 0:
+        return m, jnp.asarray(e_var(d)), False
+    return m, jnp.asarray(e_cov(d)), True
+
+
+def _flatten_inputs(q, keys):
+    """Concatenate input means / block-diag covariances into one vector space."""
+    ms, vs, dims, vecs = [], [], [], []
+    for k in keys:
+        m, v, vec = _moments(q[k])
+        if not vec:
+            m = m[None]
+            v = v[None, None]
+        ms.append(m)
+        vs.append(v)
+        dims.append(m.shape[-1])
+        vecs.append(vec)
+    mean = jnp.concatenate(ms, axis=-1)
+    total = sum(dims)
+    cov = jnp.zeros(mean.shape[:-1] + (total, total), mean.dtype)
+    off = 0
+    for v, d in zip(vs, dims):
+        cov = cov.at[..., off:off + d, off:off + d].set(v)
+        off += d
+    return mean, cov, dims, vecs
+
+
+def _split_apply(fn, dims, vecs):
+    """Wrap fn to take one flat vector."""
+
+    def wrapped(z):
+        args = []
+        off = 0
+        for d, vec in zip(dims, vecs):
+            part = z[off:off + d]
+            args.append(part if vec else part[0])
+            off += d
+        out = fn(*args)
+        return jnp.atleast_1d(out)
+
+    return wrapped
+
+
+def _push_linearized(fn_flat, m, v):
+    """Linearization: (f(m), J V J^T, J)."""
+    f0 = fn_flat(m)
+    jac = jax.jacfwd(fn_flat)(m)
+    cov = jac @ v @ jac.T
+    return f0, _symmetrize(cov), jac
+
+
+def _sigma_points(m, v, alpha, beta, kappa):
+    n = m.shape[-1]
+    lam = alpha * alpha * (n + kappa) - n
+    chol = jnp.linalg.cholesky(_symmetrize((n + lam) * v))
+    pts = [m]
+    for i in range(n):
+        pts.append(m + chol[:, i])
+    for i in range(n):
+        pts.append(m - chol[:, i])
+    pts = jnp.stack(pts, axis=0)
+    wm0 = lam / (n + lam)
+    wc0 = wm0 + (1 - alpha * alpha + beta)
+    wi = 1.0 / (2 * (n + lam))
+    wm = jnp.concatenate([jnp.asarray([wm0]), jnp.full((2 * n,), wi)])
+    wc = jnp.concatenate([jnp.asarray([wc0]), jnp.full((2 * n,), wi)])
+    return pts, wm, wc
+
+
+def _push_unscented(fn_flat, m, v, params: Unscented):
+    pts, wm, wc = _sigma_points(m, v, params.alpha, params.beta, params.kappa)
+    ys = jax.vmap(fn_flat)(pts)
+    mean = jnp.sum(wm[:, None] * ys, axis=0)
+    dy = ys - mean
+    cov = jnp.einsum("s,si,sj->ij", wc, dy, dy)
+    dz = pts - m
+    cross = jnp.einsum("s,si,sj->ij", wc, dz, dy)  # Cov(z, y)
+    return mean, _symmetrize(cov), cross
+
+
+@node("Delta")
+class DeltaNode:
+    """Rules dispatch on the approximation method in the factor meta."""
+
+    # backward rules consume (and divide out) the target input's own marginal
+    needs_self_marginal = True
+
+    @staticmethod
+    def message_to_out(q):
+        meta = _meta(q)
+        fn = meta["fn"]
+        method = meta.get("method") or Linearization()
+        keys = _inputs(q)
+        m, v, dims, vecs = _flatten_inputs(q, keys)
+        fn_flat = _split_apply(fn, dims, vecs)
+        if isinstance(method, Unscented):
+            mean, cov, _ = _push_unscented(fn_flat, m, v, method)
+        else:
+            mean, cov, _ = _push_linearized(fn_flat, m, v)
+        if mean.shape[-1] == 1:
+            return NormalMeanVariance(mean[0], jnp.clip(cov[0, 0], 1e-12))
+        return MvNormalMeanCovariance(mean, cov)
+
+    @staticmethod
+    def _backward(q, target_idx: int):
+        """Message to input ``target_idx`` by joint-Gaussian conditioning:
+        approximate the joint of (inputs, out) by the chosen transform, condition
+        on the out marginal, then divide out the input's own marginal
+        (moment-matched equivalent of the reference's RTS-style delta backward
+        pass)."""
+        meta = _meta(q)
+        fn = meta["fn"]
+        method = meta.get("method") or Linearization()
+        inverse = meta.get("inverse")
+        keys = _inputs(q)
+
+        m_out, v_out, out_vec = _moments(q["out"])
+        if not out_vec:
+            m_out = m_out[None]
+            v_out = jnp.reshape(v_out, (1, 1))
+
+        if inverse is not None and len(keys) == 1:
+            # known-inverse shortcut (reference DeltaMeta(inverse=...)):
+            inv_flat = _split_apply(inverse, [m_out.shape[-1]], [out_vec])
+            if isinstance(method, Unscented):
+                mean, cov, _ = _push_unscented(inv_flat, m_out, v_out, method)
+            else:
+                mean, cov, _ = _push_linearized(inv_flat, m_out, v_out)
+            vec_i = jnp.ndim(e_mean(q[keys[0]])) >= 1
+            if not vec_i:
+                return NormalMeanVariance(mean[0], jnp.clip(cov[0, 0], 1e-12))
+            return MvNormalMeanCovariance(mean, cov)
+
+        m, v, dims, vecs = _flatten_inputs(q, keys)
+        fn_flat = _split_apply(fn, dims, vecs)
+        if isinstance(method, Unscented):
+            f0, s_yy, s_zy = _push_unscented(fn_flat, m, v, method)
+        else:
+            f0, s_yy, jac = _push_linearized(fn_flat, m, v)
+            s_zy = v @ jac.T
+
+        # joint-Gaussian conditioning on the (noisy) out-side message:
+        #   q*(z) = N(m + K (m_out - f0), V - K (S_yy + V_out) K^T),
+        #   K = S_zy (S_yy + V_out)^{-1}
+        s_total = s_yy + v_out
+        k = jnp.linalg.solve(_symmetrize(s_total), s_zy.T).T
+        m_post = m + k @ (m_out - f0)
+        v_post = _symmetrize(v - k @ s_total @ k.T)
+
+        # Divide the joint-approximate posterior by the input's own prior
+        # marginal to obtain the *message* (RxInfer delta nodes emit messages,
+        # not marginals): natural-parameter subtraction.
+        off = sum(dims[:target_idx])
+        d_i = dims[target_idx]
+        m_i = m_post[off:off + d_i]
+        v_i = v_post[off:off + d_i, off:off + d_i]
+        w_post = pd_inverse(v_i)
+        xi_post = w_post @ m_i
+
+        q_in = q[keys[target_idx]]
+        m_prior, v_prior, vec_i = _moments(q_in)
+        if not vec_i:
+            m_prior = m_prior[None]
+            v_prior = jnp.reshape(v_prior, (1, 1))
+        w_prior = pd_inverse(v_prior)
+        xi_prior = w_prior @ m_prior
+
+        w_msg = w_post - w_prior
+        xi_msg = xi_post - xi_prior
+        # guard: keep message proper-ish (tiny positive precision floor)
+        if not vec_i:
+            return NormalWeightedMeanPrecision(xi_msg[0], w_msg[0, 0])
+        return MvNormalWeightedMeanPrecision(xi_msg, w_msg)
+
+
+def _delta_getattr(name):
+    if name.startswith("message_to_in"):
+        i = int(name[len("message_to_in"):])
+        return batched_delta_rule(lambda q: DeltaNode._backward(q, i))
+    raise AttributeError(name)
+
+
+class _DeltaMeta(type):
+    def __getattr__(cls, name):
+        return _delta_getattr(name)
+
+
+DeltaNode = _DeltaMeta("DeltaNode", (DeltaNode,), {})
+from .registry import _NODES  # noqa: E402
+
+_NODES["Delta"] = DeltaNode
+
+
+# =================================================================================
+# NonlinearGaussian: out = fn(in0, in1, ...) + noise — the contraction of a Delta
+# node feeding a Gaussian mean (the reference's dominant delta pattern:
+# y ~ Normal(mean=f(x), var), docs/src/manuals/inference/delta-node.md).
+# Backward messages divide the conditioned joint by the input marginal, so for
+# linear fn they are EXACT likelihood messages independent of the marginal
+# (IEKF/UKF-style iterated relinearization otherwise).
+# =================================================================================
+
+from ..dists import GammaShapeRate
+from ..dists.matrix import WishartInverseScale
+
+
+def _ng_noise_cov(q, d_out):
+    if "var" in q:
+        v = e_mean(q["var"])
+        return jnp.reshape(v, (1, 1)) if d_out == 1 else v
+    if "cov" in q:
+        v = q["cov"].point if isinstance(q["cov"], PointMass) else q["cov"].mean()
+        return v
+    from .expectations import e_precision
+
+    w = e_precision(q["prec"])
+    if jnp.ndim(w) == 0:
+        return jnp.reshape(1.0 / w, (1, 1))
+    return pd_inverse(w)
+
+
+class _NonlinearGaussianBase:
+    needs_self_marginal = True
+
+    @staticmethod
+    def _transform(q):
+        meta = _meta(q)
+        fn = meta["fn"]
+        method = meta.get("method") or Linearization()
+        keys = _inputs(q)
+        m, v, dims, vecs = _flatten_inputs(q, keys)
+        fn_flat = _split_apply(fn, dims, vecs)
+        if isinstance(method, Unscented):
+            f0, s_yy, s_zy = _push_unscented(fn_flat, m, v, method)
+        else:
+            f0, s_yy, jac = _push_linearized(fn_flat, m, v)
+            s_zy = v @ jac.T
+        return keys, m, v, dims, vecs, f0, s_yy, s_zy
+
+    @classmethod
+    def message_to_out(cls, q):
+        _, _, _, _, _, f0, s_yy, _ = cls._transform(q)
+        noise = _ng_noise_cov(q, f0.shape[-1])
+        cov = s_yy + noise
+        if f0.shape[-1] == 1:
+            return NormalMeanVariance(f0[0], cov[0, 0])
+        return MvNormalMeanCovariance(f0, _symmetrize(cov))
+
+    @classmethod
+    def _backward(cls, q, target_idx: int):
+        keys, m, v, dims, vecs, f0, s_yy, s_zy = cls._transform(q)
+        m_out, v_out, out_vec = _moments(q["out"])
+        if not out_vec:
+            m_out = jnp.reshape(m_out, (1,))
+            v_out = jnp.reshape(v_out, (1, 1))
+        noise = _ng_noise_cov(q, f0.shape[-1])
+        s_total = _symmetrize(s_yy + v_out + noise)
+        k = jnp.linalg.solve(s_total, s_zy.T).T
+        m_post = m + k @ (m_out - f0)
+        v_post = _symmetrize(v - k @ s_total @ k.T)
+
+        off = sum(dims[:target_idx])
+        d_i = dims[target_idx]
+        m_i = m_post[off:off + d_i]
+        v_i = v_post[off:off + d_i, off:off + d_i]
+        w_post = pd_inverse(v_i)
+        xi_post = w_post @ m_i
+
+        q_in = q[keys[target_idx]]
+        m_prior, v_prior, vec_i = _moments(q_in)
+        if not vec_i:
+            m_prior = jnp.reshape(m_prior, (1,))
+            v_prior = jnp.reshape(v_prior, (1, 1))
+        w_prior = pd_inverse(v_prior)
+        w_msg = w_post - w_prior
+        xi_msg = xi_post - w_prior @ m_prior
+
+        if not vec_i:
+            return NormalWeightedMeanPrecision(xi_msg[0], w_msg[0, 0])
+        return MvNormalWeightedMeanPrecision(xi_msg, w_msg)
+
+    @classmethod
+    def _c2(cls, q):
+        """E[(out - f(in))(out - f(in))^T] (moment-matched)."""
+        _, _, _, _, _, f0, s_yy, _ = cls._transform(q)
+        m_out, v_out, out_vec = _moments(q["out"])
+        if not out_vec:
+            m_out = jnp.reshape(m_out, (1,))
+            v_out = jnp.reshape(v_out, (1, 1))
+        diff = m_out - f0
+        return v_out + s_yy + diff[:, None] * diff[None, :]
+
+    @classmethod
+    def average_energy(cls, q):
+        c = cls._c2(q)
+        d = c.shape[-1]
+        noise = _ng_noise_cov(q, d)
+        if "prec" in q and not isinstance(q["prec"], PointMass):
+            from .expectations import e_log_precision, e_precision
+
+            w = e_precision(q["prec"])
+            if jnp.ndim(w) == 0:
+                w = jnp.reshape(w, (1, 1))
+                elogdet = e_log_precision(q["prec"])
+            else:
+                from .expectations import e_logdet
+
+                elogdet = e_logdet(q["prec"])
+        else:
+            w = pd_inverse(noise)
+            elogdet = -jnp.linalg.slogdet(noise)[1]
+        ld2pi = d * 1.8378770664093453
+        return 0.5 * (ld2pi - elogdet + jnp.einsum("ij,ji->", w, c))
+
+
+def _ng_getattr(name):
+    if name.startswith("message_to_in"):
+        i = int(name[len("message_to_in"):])
+        return batched_delta_rule(lambda q: _NonlinearGaussianBase._backward(q, i))
+    raise AttributeError(name)
+
+
+class _NGMeta(type):
+    def __getattr__(cls, name):
+        return _ng_getattr(name)
+
+
+@node("NonlinearGaussianCovariance")
+class NonlinearGaussianCovarianceNode(_NonlinearGaussianBase, metaclass=_NGMeta):
+    pass
+
+
+@node("NonlinearGaussianPrecision")
+class NonlinearGaussianPrecisionNode(_NonlinearGaussianBase, metaclass=_NGMeta):
+    @classmethod
+    def message_to_prec(cls, q):
+        c = cls._c2(q)
+        if c.shape[-1] == 1:
+            c2 = c[0, 0]
+            return GammaShapeRate(jnp.full_like(c2, 1.5), 0.5 * c2)
+        d = c.shape[-1]
+        return WishartInverseScale(jnp.asarray(float(d) + 2.0), c)
+
+
+# =================================================================================
+# Plate batching for delta rules: the single-copy math above is vmapped over the
+# plate axis, with per-leaf in_axes inferred from each marginal's event rank
+# (class-based).  Unbatched inputs broadcast (in_axes=None).
+# =================================================================================
+
+from ..dists import (
+    Beta as _Beta,
+    GammaShapeRate as _GSR,
+    GammaShapeScale as _GSS,
+    InverseGamma as _IG,
+    InverseWishart as _IW,
+    MvNormalMeanCovariance as _MvMC,
+    MvNormalMeanPrecision as _MvMP,
+    MvNormalWeightedMeanPrecision as _MvWMP,
+    NormalMeanPrecision as _NMP,
+    NormalMeanVariance as _NMV,
+    NormalWeightedMeanPrecision as _NWMP,
+    Wishart as _W,
+)
+from ..dists.gaussian import AbstractMvNormal as _AbstractMv
+from ..dists.matrix import WishartInverseScale as _WIS
+
+_LEAF_RANKS = {
+    _NMV: (0, 0), _NMP: (0, 0), _NWMP: (0, 0),
+    _MvMC: (1, 2), _MvMP: (1, 2), _MvWMP: (1, 2),
+    _Beta: (0, 0), _GSR: (0, 0), _GSS: (0, 0), _IG: (0, 0),
+    _W: (0, 2), _IW: (0, 2), _WIS: (0, 2),
+}
+
+
+def _dist_axes(d, pm_event_ndim: int):
+    """Per-leaf vmap axes for one marginal: 0 where a batch dim exists, else None."""
+    import dataclasses as _dc
+
+    if isinstance(d, PointMass):
+        ax = 0 if jnp.ndim(d.point) > pm_event_ndim else None
+        return PointMass(ax), (0 if ax == 0 else None)
+    ranks = _LEAF_RANKS.get(type(d))
+    if ranks is None:
+        return jax.tree_util.tree_map(lambda _: None, d), None
+    fields = [f.name for f in _dc.fields(d)]
+    axes = []
+    batched = None
+    for name, r in zip(fields, ranks):
+        leaf = getattr(d, name)
+        if jnp.ndim(leaf) > r:
+            axes.append(0)
+            batched = 0
+        else:
+            axes.append(None)
+    return type(d)(*axes), batched
+
+
+def _probe_out_vec(meta, q, keys):
+    fn = meta["fn"]
+    dims, vecs = [], []
+    for k in keys:
+        d = q[k]
+        vec = isinstance(d, _AbstractMv)
+        m = jnp.asarray(e_mean(d))
+        dims.append(m.shape[-1] if vec else 1)
+        vecs.append(vec)
+    probes = [
+        jnp.zeros((dm,)) if vec else jnp.asarray(0.0)
+        for dm, vec in zip(dims, vecs)
+    ]
+    out = jax.eval_shape(fn, *probes)
+    return len(out.shape) >= 1
+
+
+def batched_delta_rule(fn_single):
+    """Wrap a single-copy delta rule so it vmaps over a leading plate axis."""
+
+    def rule(q):
+        meta = _meta(q)
+        keys = _inputs(q)
+        out_vec = (
+            _probe_out_vec(meta, q, keys) if "out" in q else False
+        )
+        dists = {k: v for k, v in q.items() if k != "_meta"}
+        axes = {}
+        any_batched = False
+        for k, d in dists.items():
+            if k == "out":
+                ev = 1 if out_vec else 0
+            elif k.startswith("in"):
+                ev = 1 if isinstance(d, _AbstractMv) else 0
+            else:
+                ev = None  # noise/shared params: never plate-batched
+            if ev is None:
+                axes[k] = jax.tree_util.tree_map(lambda _: None, d)
+            else:
+                ax, b = _dist_axes(d, ev)
+                axes[k] = ax
+                any_batched = any_batched or (b == 0)
+        if not any_batched:
+            return fn_single(q)
+        return jax.vmap(
+            lambda dd: fn_single({**dd, "_meta": meta}), in_axes=(axes,)
+        )(dists)
+
+    return rule
+
+
+def _wrap_class_rules(cls):
+    for name in list(vars(cls)):
+        if name.startswith("message_to_") or name == "average_energy":
+            fn = getattr(cls, name)
+            setattr(cls, name, staticmethod(batched_delta_rule(fn)))
+    return cls
+
+
+# Apply plate batching to the concrete rule entry points.
+DeltaNode.message_to_out = staticmethod(batched_delta_rule(DeltaNode.message_to_out))
+for _cls in (NonlinearGaussianCovarianceNode, NonlinearGaussianPrecisionNode):
+    _cls.message_to_out = staticmethod(batched_delta_rule(_cls.message_to_out))
+    _cls.average_energy = staticmethod(batched_delta_rule(_cls.average_energy))
+NonlinearGaussianPrecisionNode.message_to_prec = staticmethod(
+    batched_delta_rule(NonlinearGaussianPrecisionNode.message_to_prec)
+)
