@@ -79,6 +79,14 @@ class FactorFE:
         n_copies = f.plate.size if f.plate is not None else 1
         q = build_q(f, state, data, chain_cross=chain_cross)
         ae = self.energy_fn(q)
+        # Missing-data correction: removing an unobserved likelihood factor
+        # changes FE by exactly -AE_a (its entropy term cancels against the
+        # degree decrement), so masking AE alone is exact.
+        from .blocks import factor_data_mask
+
+        mask = factor_data_mask(f, data)
+        if mask is not None:
+            ae = ae * mask
         # A plated factor with only shared/scalar interfaces yields a scalar
         # energy that stands for plate.size copies.
         if jnp.ndim(ae) == 0 and n_copies > 1:

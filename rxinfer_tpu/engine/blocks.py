@@ -55,12 +55,16 @@ def _coverage(f: Factor, ref: Ref) -> tuple[int, int] | int | None:
 
 
 def resolve_iface(value, f: Factor, state: dict, data: dict):
-    """Resolve an interface value to a (possibly batched) marginal distribution."""
+    """Resolve an interface value to a (possibly batched) marginal distribution.
+
+    NaNs in data mark MISSING observations (reference: feeding ``missing`` for
+    prediction, src/inference/batch.jl:216-246); they are zero-filled here and
+    the corresponding factor copies are masked out via ``factor_data_mask``."""
     if isinstance(value, Const):
         return PointMass(jnp.asarray(value.value, dtype=jnp.float32))
     ref = value
     if ref.var.kind == "data":
-        arr = data[ref.var.name]
+        arr = jnp.nan_to_num(data[ref.var.name])
         cov = _coverage(f, ref)
         if cov is None:
             return PointMass(arr)
@@ -79,6 +83,54 @@ def resolve_iface(value, f: Factor, state: dict, data: dict):
     if lo == 0 and hi == length:
         return q
     return tree_slice(q, lo, hi)
+
+
+def factor_data_mask(f: Factor, data: dict):
+    """Per-copy observation mask for a factor: 1.0 where every data interface is
+    fully finite, 0.0 where any is NaN (missing).  None when the factor touches
+    no data (all-observed fast path keeps zero overhead: mask folds away)."""
+    masks = []
+    for v in f.all_interfaces().values():
+        if isinstance(v, Ref) and v.var.kind == "data":
+            arr = data[v.var.name]
+            cov = _coverage(f, v)
+            if cov is None:
+                sl = arr
+                finite = jnp.all(jnp.isfinite(sl))
+            elif isinstance(cov, int):
+                finite = jnp.all(jnp.isfinite(arr[cov]))
+            else:
+                sl = arr[cov[0]:cov[1]]
+                finite = jnp.all(
+                    jnp.isfinite(sl), axis=tuple(range(1, sl.ndim))
+                )
+            masks.append(finite)
+    if not masks:
+        return None
+    total = masks[0]
+    for m in masks[1:]:
+        total = jnp.logical_and(total, m)
+    return total.astype(jnp.float32)
+
+
+def mask_message(msg, mask):
+    """Zero the natural parameters of masked-out factor copies (zero natural
+    params are the multiplicative identity — a missing observation contributes
+    no evidence)."""
+    if mask is None:
+        return msg
+    key = family_key(msg)
+    nat = to_natural(msg)
+    from ..dists.natural import NAT_EVENT_RANKS
+
+    ranks = NAT_EVENT_RANKS[key]
+    out = []
+    for n, r in zip(nat, ranks):
+        if n.ndim > r and jnp.ndim(mask) > 0:
+            out.append(n * mask.reshape(mask.shape + (1,) * (n.ndim - 1)))
+        else:
+            out.append(n * mask)
+    return from_natural(key, tuple(out))
 
 
 def build_q(f: Factor, state: dict, data: dict, exclude: Optional[str] = None,
@@ -130,7 +182,7 @@ class PlainGroup:
             q = build_q(f, state, data,
                         exclude=None if needs_self else iface,
                         chain_cross=chain_cross)
-            msg = rule(q)
+            msg = mask_message(rule(q), factor_data_mask(f, data))
             ref = f.out if iface == "out" else f.interfaces[iface]
             cov = _coverage(f, ref)
             if length is None:
@@ -243,6 +295,10 @@ class GaussianChainBlock:
             else:
                 m = as_mv_weighted_mean_precision(msg)
                 mxi, mw = m.xi, m.w
+            mask = factor_data_mask(f, data)
+            if mask is not None:
+                mxi = mxi * mask.reshape(mask.shape + (1,) * (mxi.ndim - mask.ndim))
+                mw = mw * mask.reshape(mask.shape + (1,) * (mw.ndim - mask.ndim))
             ref = f.out if iface == "out" else f.interfaces[iface]
             cov = _coverage(f, ref)
             if isinstance(cov, tuple):
@@ -305,12 +361,18 @@ class DiscreteChainBlock:
             rule = get_message_rule(ef.fform, iface)
             eq = build_q(ef, state, data, exclude=iface, chain_cross=chain_cross)
             msg = rule(eq)
+            logits = msg.logits
+            mask = factor_data_mask(ef, data)
+            if mask is not None:
+                logits = logits * mask.reshape(
+                    mask.shape + (1,) * (logits.ndim - mask.ndim)
+                )
             ref = ef.out if iface == "out" else ef.interfaces[iface]
             cov = _coverage(ef, ref)
             if isinstance(cov, tuple):
-                log_ev = log_ev.at[cov[0]:cov[1]].add(msg.logits)
+                log_ev = log_ev.at[cov[0]:cov[1]].add(logits)
             elif isinstance(cov, int):
-                log_ev = log_ev.at[cov].add(msg.logits)
+                log_ev = log_ev.at[cov].add(logits)
         solver = (
             parallel_forward_backward if (self.use_parallel and length >= 48)
             else forward_backward

@@ -385,6 +385,23 @@ class CompiledModel:
 
         return program
 
+    def predict(self, state: dict, data: dict, varname: str):
+        """Posterior-predictive distribution of a data variable's slots: the
+        defining factor's forward message under the posterior marginals
+        (reference: predictvars / feeding missing, src/inference/batch.jl:216-246,
+        432-437)."""
+        var = self.graph.data_vars[varname]
+        factors = [f for f in self.graph.factors if f.out.var is var]
+        if len(factors) != 1:
+            raise ValueError(
+                f"predictvars: data variable {varname} has {len(factors)} defining "
+                "factors; prediction needs exactly one."
+            )
+        f = factors[0]
+        rule = get_message_rule(f.fform, "out")
+        q = build_q(f, state, data, exclude="out", chain_cross=None)
+        return rule(q)
+
     def run(self, data: dict, iterations: int = 1, free_energy: bool = False,
             keep_each: bool = False, jit: bool = True):
         key = (iterations, free_energy, keep_each)

@@ -62,6 +62,7 @@ def infer(
     options: Optional[dict] = None,
     iterations: Optional[int] = None,
     free_energy: bool = False,
+    predictvars: Any = None,
     returnvars: Any = None,
     keephistory: int = 0,
     historyvars: Any = None,
@@ -109,6 +110,13 @@ def infer(
     )
 
     posteriors = _extract_posteriors(compiled, state)
+    predictions = {}
+    if predictvars:
+        import jax.numpy as jnp
+
+        data_j = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
+        for name in predictvars:
+            predictions[name] = compiled.predict(state, data_j, name)
     if keep_each:
         posteriors = {
             name: [_extract_posteriors(compiled, h)[name] for h in history]
@@ -127,8 +135,10 @@ def infer(
             duration_s=elapsed,
         )
 
-    return InferenceResult(posteriors, fe if free_energy else None,
-                           compiled, elapsed)
+    result = InferenceResult(posteriors, fe if free_energy else None,
+                             compiled, elapsed)
+    result.predictions = predictions
+    return result
 
 
 def _extract_posteriors(compiled: CompiledModel, state: dict) -> dict:
