@@ -402,6 +402,51 @@ class CompiledModel:
         q = build_q(f, state, data, exclude="out", chain_cross=None)
         return rule(q)
 
+    def make_sweep_fn(self, free_energy: bool):
+        """One jitted VMP sweep as a pure carry function (host-loop mode for
+        per-iteration callbacks / early stopping)."""
+
+        def fn(carry, data):
+            state, chain_cross = dict(carry[0]), dict(carry[1])
+            state, chain_cross = self._sweep_once(state, chain_cross, data)
+            fe = (
+                self._free_energy(state, chain_cross, data)
+                if free_energy
+                else jnp.zeros(())
+            )
+            return (state, chain_cross), fe
+
+        return fn
+
+    def run_iterative(self, data: dict, iterations: int, free_energy: bool,
+                      registry, keep_each: bool = False):
+        """Host-driven iteration loop firing per-iteration callbacks (reference
+        batch hot loop, src/inference/batch.jl:391-430); each sweep is one
+        compiled XLA program."""
+        data = {k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in data.items()}
+        key = ("sweep", free_energy)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(self.make_sweep_fn(free_energy))
+        fn = self._jitted[key]
+        carry = (self._init_state(), {})
+        fes, history = [], []
+        for i in range(iterations):
+            registry.invoke("before_iteration", iteration=i)
+            carry, fe = fn(carry, data)
+            if free_energy:
+                fes.append(fe)
+            if keep_each:
+                history.append(dict(carry[0]))
+            ev = registry.invoke(
+                "after_iteration",
+                iteration=i,
+                free_energy=(float(fe) if free_energy else None),
+            )
+            if ev.stop_iteration:
+                break
+        fe_arr = jnp.stack(fes) if fes else jnp.zeros((0,))
+        return carry[0], fe_arr, history
+
     def run(self, data: dict, iterations: int = 1, free_energy: bool = False,
             keep_each: bool = False, jit: bool = True):
         key = (iterations, free_energy, keep_each)

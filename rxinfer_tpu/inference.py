@@ -68,6 +68,8 @@ def infer(
     historyvars: Any = None,
     showprogress: bool = False,
     callbacks: Optional[dict] = None,
+    benchmark: bool = False,
+    trace: bool = False,
     session: Any = "default",
 ):
     """Run inference.  Batch mode when ``autoupdates is None``; streaming mode
@@ -91,23 +93,42 @@ def infer(
     iterations = iterations or 1
     t0 = time.perf_counter()
 
+    from .utils.callbacks import (
+        BenchmarkCallbacks,
+        CallbackRegistry,
+        TraceCallbacks,
+    )
+
+    registry = CallbackRegistry(callbacks)
+    bench_cb = BenchmarkCallbacks().attach(registry) if benchmark else None
+    trace_cb = TraceCallbacks().attach(registry) if trace else None
+
     init_dists = dict(initialization or {})
     sig = (id(model.fn), tuple(sorted(model.bound)), _shape_sig(data),
            tuple(sorted(init_dists)))
     compiled = _COMPILE_CACHE.get(sig)
     if compiled is None:
+        registry.invoke("before_model_creation")
         graph = model.trace(data)
         if constraints is not None:
             _apply_constraints(graph, constraints)
         compiled = CompiledModel(graph, init=init_dists, options=options)
         _COMPILE_CACHE[sig] = compiled
+        registry.invoke("after_model_creation")
 
-    keep_each = isinstance(returnvars, KeepEach) or (
-        returnvars is None and False
-    )
-    state, fe, history = compiled.run(
-        data, iterations=iterations, free_energy=free_energy, keep_each=keep_each
-    )
+    keep_each = isinstance(returnvars, KeepEach)
+    registry.invoke("before_inference")
+    if registry.empty:
+        state, fe, history = compiled.run(
+            data, iterations=iterations, free_energy=free_energy,
+            keep_each=keep_each,
+        )
+    else:
+        state, fe, history = compiled.run_iterative(
+            data, iterations=iterations, free_energy=free_energy,
+            registry=registry, keep_each=keep_each,
+        )
+    registry.invoke("after_inference")
 
     posteriors = _extract_posteriors(compiled, state)
     predictions = {}
@@ -138,6 +159,8 @@ def infer(
     result = InferenceResult(posteriors, fe if free_energy else None,
                              compiled, elapsed)
     result.predictions = predictions
+    result.benchmark = bench_cb
+    result.trace = trace_cb
     return result
 
 

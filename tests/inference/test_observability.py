@@ -1,0 +1,107 @@
+"""Callbacks, events, benchmark/trace instrumentation, early stopping,
+KeepEach history, session logging, checkpointing (reference: src/callbacks/,
+src/session.jl; SURVEY.md §5)."""
+
+import numpy as np
+
+import rxinfer_tpu as rx
+from rxinfer_tpu.dists import GammaShapeRate
+from rxinfer_tpu.utils.callbacks import StopEarlyIterationStrategy
+from rxinfer_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _model_and_data():
+    rng = np.random.default_rng(0)
+    y = (2.0 + 0.7 * rng.standard_normal(100)).astype(np.float32)
+
+    @rx.model
+    def gauss(y):
+        mu = rx.Normal(mean=0.0, var=100.0)
+        tau = rx.Gamma(shape=1.0, rate=1.0)
+        for i in rx.plate(len(y)):
+            y[i] = rx.Normal(mean=mu, precision=tau)
+        return {"mu": mu, "tau": tau}
+
+    return gauss, y
+
+
+def test_iteration_callbacks_fire():
+    gauss, y = _model_and_data()
+    seen = []
+    rx.infer(
+        model=gauss, data={"y": y}, iterations=4,
+        initialization={"tau": GammaShapeRate(1.0, 1.0)},
+        callbacks={"after_iteration": lambda ev: seen.append(ev.payload["iteration"])},
+    )
+    assert seen == [0, 1, 2, 3]
+
+
+def test_early_stopping():
+    gauss, y = _model_and_data()
+    stopper = StopEarlyIterationStrategy(atol=1e-4)
+    count = []
+    res = rx.infer(
+        model=gauss, data={"y": y}, iterations=50, free_energy=True,
+        initialization={"tau": GammaShapeRate(1.0, 1.0)},
+        callbacks={
+            "after_iteration": lambda ev: (count.append(1), stopper(ev))[-1],
+        },
+    )
+    # converges long before 50 iterations
+    assert len(count) < 25
+    assert len(np.asarray(res.free_energy)) == len(count)
+
+
+def test_benchmark_and_trace():
+    gauss, y = _model_and_data()
+    res = rx.infer(
+        model=gauss, data={"y": y}, iterations=3, free_energy=True,
+        initialization={"tau": GammaShapeRate(1.0, 1.0)},
+        benchmark=True, trace=True,
+    )
+    stats = res.benchmark.stats()
+    assert stats["iteration"]["n"] == 3
+    assert stats["iteration"]["mean_ms"] > 0
+    names = [e.name for e in res.trace.traced()]
+    assert names.count("before_iteration") == 3
+    assert "before_inference" in names and "after_inference" in names
+
+
+def test_keep_each_history():
+    gauss, y = _model_and_data()
+    res = rx.infer(
+        model=gauss, data={"y": y}, iterations=5,
+        initialization={"tau": GammaShapeRate(1.0, 1.0)},
+        returnvars=rx.KeepEach(),
+    )
+    assert isinstance(res.posteriors["mu"], list)
+    assert len(res.posteriors["mu"]) == 5
+    # later iterations refine: last mean closer to sample mean than first
+    m_first = float(res.posteriors["mu"][0].mean())
+    m_last = float(res.posteriors["mu"][-1].mean())
+    assert abs(m_last - y.mean()) <= abs(m_first - y.mean()) + 1e-5
+
+
+def test_session_logging():
+    gauss, y = _model_and_data()
+    from rxinfer_tpu.utils.session import get_default_session
+
+    before = get_default_session().get_session_stats("inference").total
+    rx.infer(model=gauss, data={"y": y}, iterations=1,
+             initialization={"tau": GammaShapeRate(1.0, 1.0)})
+    stats = get_default_session().get_session_stats("inference")
+    assert stats.total == before + 1
+    summary = rx.summarize_session()
+    assert "inference" in summary
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    gauss, y = _model_and_data()
+    res = rx.infer(model=gauss, data={"y": y}, iterations=5,
+                   initialization={"tau": GammaShapeRate(1.0, 1.0)})
+    path = str(tmp_path / "ckpt.pkl")
+    save_checkpoint(path, res.posteriors)
+    restored = load_checkpoint(path)
+    assert np.isclose(float(restored["mu"].mean()),
+                      float(res.posteriors["mu"].mean()))
+    assert np.isclose(float(restored["tau"].a), float(res.posteriors["tau"].a))
