@@ -21,6 +21,14 @@ from .dists import *  # noqa: F401,F403 — distribution families are top-level 
 # inside an @model trace they create factor nodes, outside they construct
 # distributions — the raw classes remain available under rxinfer_tpu.dists).
 from .graph import (  # noqa: F401
+    AbstractFormConstraint,
+    Constraints,
+    FixedMarginalFormConstraint,
+    FullFactorization,
+    MeanField,
+    PointMassFormConstraint,
+    SampleListFormConstraint,
+    constraints,
     AR,
     Bernoulli,
     Beta,
@@ -61,6 +69,13 @@ from .inference_streaming import (  # noqa: F401
     RxInferenceEngine,
     autoupdates,
 )
+from .rules import DeltaMeta, Linearization, Unscented  # noqa: F401
+from .utils.callbacks import (  # noqa: F401
+    BenchmarkCallbacks,
+    StopEarlyIterationStrategy,
+    TraceCallbacks,
+)
+from .utils.checkpoint import load_checkpoint, save_checkpoint  # noqa: F401
 from .utils import (  # noqa: F401
     Session,
     create_session,

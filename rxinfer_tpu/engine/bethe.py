@@ -124,10 +124,15 @@ class FactorFE:
 
 
 def variable_entropy_term(graph: ModelGraph, state, degrees: dict):
-    """Σ_i (d_i - 1) H[q_i] over random variables (per slot)."""
+    """Σ_i (d_i - 1) H[q_i] over random variables (per slot).
+
+    PointMass marginals (form-constrained) contribute zero — their -inf
+    entropies cancel against the factor-side terms per CountingReal semantics."""
     total = 0.0
     for var in graph.random_variables():
         q = state[var.name]
+        if isinstance(q, PointMass):
+            continue
         h = q.entropy()
         deg = degrees[var.name]
         if var.is_array:

@@ -165,11 +165,16 @@ class PlainGroup:
     plate-reduced).  Reference: variable activation + fold-left message product
     (src/model/plugins/reactivemp_inference.jl:362-447)."""
 
-    def __init__(self, var, family: str, adjacency: list[tuple[Factor, str]]):
+    def __init__(self, var, family: str, adjacency: list[tuple[Factor, str]],
+                 form_constraint=None):
         self.var = var
         self.family = family
         # adjacency: (factor, interface-name-where-this-group-appears)
         self.adjacency = adjacency
+        # functional-form constraint applied after the message product
+        # (reference: constrain_form + EnsureSupportedFunctionalForm,
+        # src/constraints/form/)
+        self.form_constraint = form_constraint
 
     def update(self, state: dict, data: dict, chain_cross: dict) -> Any:
         msgs = []
@@ -198,7 +203,10 @@ class PlainGroup:
                         f"{f.fform} is not supported yet."
                     )
             msgs.append(msg)
-        return prod_all(msgs)
+        q = prod_all(msgs)
+        if self.form_constraint is not None:
+            q = self.form_constraint.constrain(q)
+        return q
 
 
 class GaussianChainBlock:

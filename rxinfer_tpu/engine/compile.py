@@ -247,9 +247,10 @@ class CompiledModel:
     """AOT-compiled inference program for one model × data-shape signature."""
 
     def __init__(self, graph: ModelGraph, init: Optional[dict] = None,
-                 options: Optional[dict] = None):
+                 options: Optional[dict] = None, constraints: Any = None):
         options = options or {}
         self.graph = graph
+        self.constraints = constraints
         contract_deltas(graph)
         self.infos = resolve_groups(graph)
         normalize_transitions(graph, self.infos)
@@ -293,7 +294,11 @@ class CompiledModel:
                         if isinstance(v, Ref) and v.var is var:
                             adjacency.append((f, iface))
                             break
-                group = PlainGroup(var, self.infos[name].family, adjacency)
+                form = None
+                if constraints is not None and getattr(constraints, "forms", None):
+                    form = constraints.forms.get(name)
+                group = PlainGroup(var, self.infos[name].family, adjacency,
+                                   form_constraint=form)
                 # Validate rules exist now (compile-time rule resolution).
                 for f, iface in adjacency:
                     get_message_rule(f.fform, iface)

@@ -40,6 +40,7 @@ _OUT_FAMILY = {
     "GammaMixture": "gamma",
     "GaussianDotCovariance": "gaussian",
     "GaussianDotPrecision": "gaussian",
+    "Probit": "bernoulli",
 }
 
 
@@ -197,11 +198,16 @@ def input_family(f: Factor, iface: str) -> str | None:
         ("Poisson", "rate"): "gamma",
         ("Dirichlet", "alpha"): None,
         ("NormalMixture", "switch"): "categorical",
+        ("GammaMixture", "switch"): "categorical",
+        ("Probit", "in"): "gaussian",
     }
     if ff == "NormalMixture":
         if iface.startswith("mean"):
             return "gaussian"
         if iface.startswith("prec"):
+            return "gamma"
+    if ff == "GammaMixture":
+        if iface.startswith("shape") or iface.startswith("rate"):
             return "gamma"
     if ff in ("Delta", "NonlinearGaussianCovariance",
               "NonlinearGaussianPrecision") and iface.startswith("in"):

@@ -105,14 +105,13 @@ def infer(
 
     init_dists = dict(initialization or {})
     sig = (id(model.fn), tuple(sorted(model.bound)), _shape_sig(data),
-           tuple(sorted(init_dists)))
+           tuple(sorted(init_dists)), id(constraints) if constraints else None)
     compiled = _COMPILE_CACHE.get(sig)
     if compiled is None:
         registry.invoke("before_model_creation")
         graph = model.trace(data)
-        if constraints is not None:
-            _apply_constraints(graph, constraints)
-        compiled = CompiledModel(graph, init=init_dists, options=options)
+        compiled = CompiledModel(graph, init=init_dists, options=options,
+                                 constraints=constraints)
         _COMPILE_CACHE[sig] = compiled
         registry.invoke("after_model_creation")
 
