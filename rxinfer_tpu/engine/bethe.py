@@ -100,6 +100,14 @@ class FactorFE:
             q_out, q_in = q["out"], q["in"]
             if f.fform == "DiscreteTransition":
                 h = jnp.sum(discrete_pair_entropy(cross))
+            elif f.fform == "AR":
+                # AR transition is degenerate in the embedded state (shift
+                # rows); the effective cluster is (out_0, in) of dim k+1.
+                v00 = q_out.cov()[..., 0:1, 0:1]
+                c0 = cross[..., 0:1, :]
+                h = jnp.sum(
+                    gaussian_pair_entropy(v00, q_in.cov(), c0)
+                )
             else:
                 h = jnp.sum(
                     gaussian_pair_entropy(

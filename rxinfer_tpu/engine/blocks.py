@@ -337,6 +337,36 @@ class GaussianChainBlock:
         return marg, cross
 
 
+class ARChainBlock(GaussianChainBlock):
+    """Order-k autoregressive chain: companion transition built from the current
+    E[theta], innovation precision from E[gamma] (rules/ar.py documents the
+    factorization).  The tiny diagonal jitter keeps the embedded (singular)
+    process noise invertible for the smoother algebra."""
+
+    JITTER = 1e-6
+
+    def _transition_params(self, state, data, length):
+        f = self.transition
+        from ..rules.expectations import e_mean, e_precision
+
+        theta_q = resolve_iface(f.interfaces["theta"], f, state, data)
+        gamma_q = resolve_iface(f.interfaces["gamma"], f, state, data)
+        k = self.dim
+        th = jnp.asarray(e_mean(theta_q), jnp.float32).reshape(k)
+        a = jnp.zeros((k, k), jnp.float32)
+        a = a.at[0, :].set(th)
+        if k > 1:
+            a = a.at[jnp.arange(1, k), jnp.arange(0, k - 1)].set(1.0)
+        g = jnp.asarray(e_precision(gamma_q), jnp.float32)
+        q_cov = jnp.eye(k, dtype=jnp.float32) * self.JITTER
+        q_cov = q_cov.at[0, 0].add(1.0 / g)
+        tm1 = length - 1
+        A = jnp.broadcast_to(a, (tm1, k, k))
+        B = jnp.zeros((tm1, k))
+        Q = jnp.broadcast_to(q_cov, (tm1, k, k))
+        return A, B, Q
+
+
 class DiscreteChainBlock:
     """Exact discrete-chain block (HMM backbone) via forward-backward scans,
     given expected log-potentials of its neighbors (structured VMP)."""

@@ -31,6 +31,7 @@ from ..graph.ir import Const, Factor, ModelGraph, Ref, SymIndex
 from ..rules.registry import RuleNotFoundError, get_message_rule
 from .bethe import FactorFE, slot_degrees, variable_entropy_term
 from .blocks import (
+    ARChainBlock,
     DiscreteChainBlock,
     GaussianChainBlock,
     PlainGroup,
@@ -161,6 +162,8 @@ def detect_chains(graph: ModelGraph, infos) -> dict[str, ChainSpec]:
         trans = transitions[0]
         if trans.fform in _GAUSSIAN_TRANS:
             kind = "gaussian"
+        elif trans.fform == "AR":
+            kind = "ar"
         elif trans.fform == "DiscreteTransition":
             kind = "discrete"
         else:
@@ -274,10 +277,11 @@ class CompiledModel:
             if name in self.chains:
                 spec = self.chains[name]
                 shape = self.infos[name].event_shape
-                if spec.kind == "gaussian":
+                if spec.kind in ("gaussian", "ar"):
                     scalar = shape == ()
                     dim = 1 if scalar else shape[0]
-                    block = GaussianChainBlock(
+                    cls = ARChainBlock if spec.kind == "ar" else GaussianChainBlock
+                    block = cls(
                         var, dim, scalar, spec.prior, spec.transition,
                         spec.evidence, self.use_parallel,
                     )
@@ -372,20 +376,55 @@ class CompiledModel:
         return total
 
     def make_program(self, iterations: int, free_energy: bool, keep_each: bool):
-        """Build the pure function (data_dict) -> (posteriors, fe, history)."""
+        """Build the pure function (data_dict) -> (posteriors, fe, history).
+
+        The first sweep runs eagerly in the trace (it establishes the state
+        structure); remaining iterations are a ``lax.scan`` so compile time is
+        O(1) in the iteration count.  keep_each falls back to the unrolled form
+        (it must materialize every iteration's state anyway)."""
 
         def program(data: dict):
             state = self._init_state()
             chain_cross: dict = {}
-            fes = []
             history = []
-            for _ in range(iterations):
-                state, chain_cross = self._sweep_once(state, chain_cross, data)
-                if free_energy:
-                    fes.append(self._free_energy(state, chain_cross, data))
-                if keep_each:
+            state, chain_cross = self._sweep_once(state, chain_cross, data)
+            fe0 = (
+                self._free_energy(state, chain_cross, data)
+                if free_energy
+                else jnp.zeros(())
+            )
+            if keep_each:
+                history.append(dict(state))
+                fes = [fe0]
+                for _ in range(iterations - 1):
+                    state, chain_cross = self._sweep_once(state, chain_cross, data)
+                    if free_energy:
+                        fes.append(self._free_energy(state, chain_cross, data))
                     history.append(dict(state))
-            fe_arr = jnp.stack(fes) if fes else jnp.zeros((0,))
+                fe_arr = jnp.stack(fes) if free_energy else jnp.zeros((0,))
+                return state, fe_arr, history
+
+            if iterations > 1:
+                def body(carry, _):
+                    st, cr = carry
+                    st, cr = self._sweep_once(dict(st), dict(cr), data)
+                    f = (
+                        self._free_energy(st, cr, data)
+                        if free_energy
+                        else jnp.zeros(())
+                    )
+                    return (st, cr), f
+
+                (state, chain_cross), fes_rest = jax.lax.scan(
+                    body, (state, chain_cross), None, length=iterations - 1
+                )
+                fe_arr = (
+                    jnp.concatenate([fe0[None], fes_rest])
+                    if free_energy
+                    else jnp.zeros((0,))
+                )
+            else:
+                fe_arr = fe0[None] if free_energy else jnp.zeros((0,))
             return state, fe_arr, history
 
         return program

@@ -41,6 +41,7 @@ _OUT_FAMILY = {
     "GaussianDotCovariance": "gaussian",
     "GaussianDotPrecision": "gaussian",
     "Probit": "bernoulli",
+    "AR": "mv_gaussian",
 }
 
 
@@ -119,6 +120,9 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
     if ff == "DiscreteTransition":
         s = shape_of("matrix")
         return (s[0],) if s else None
+    if ff == "AR":
+        k = (f.meta or {}).get("order")
+        return (int(k),) if k else None
     if ff in ("Wishart",):
         s = shape_of("S")
         return s
@@ -155,6 +159,9 @@ def infer_input_shape(f: Factor, iface: str, out_shape) -> tuple | None:
         m = f.interfaces.get("matrix")
         if isinstance(m, Const):
             return (_const_shape(m)[1],)
+    if ff == "AR" and iface in ("in", "theta"):
+        k = (f.meta or {}).get("order")
+        return (int(k),) if k else None
     if ff in ("GaussianDotCovariance", "GaussianDotPrecision") and iface == "in":
         a = f.interfaces.get("A")
         if isinstance(a, Const):
@@ -200,6 +207,9 @@ def input_family(f: Factor, iface: str) -> str | None:
         ("NormalMixture", "switch"): "categorical",
         ("GammaMixture", "switch"): "categorical",
         ("Probit", "in"): "gaussian",
+        ("AR", "in"): "mv_gaussian",
+        ("AR", "theta"): "mv_gaussian",
+        ("AR", "gamma"): "gamma",
     }
     if ff == "NormalMixture":
         if iface.startswith("mean"):
