@@ -95,7 +95,9 @@ _TABLE = {
             if isinstance(d, WishartInverseScale)
             else (d.nu - d.s.shape[-1] - 1.0, pd_inverse(d.s))
         ),
-        lambda n: Wishart(n[0] + n[1].shape[-1] + 1.0, pd_inverse(n[1])),
+        # keep the inverse-scale carrier: per-copy natural matrices may be
+        # singular; only the aggregated posterior is converted (to_wishart()).
+        lambda n: WishartInverseScale(n[0] + n[1].shape[-1] + 1.0, n[1]),
     ),
     "inverse_wishart": (
         lambda d: (d.nu + d.psi.shape[-1] + 1.0, d.psi),

@@ -126,10 +126,12 @@ def mask_message(msg, mask):
     ranks = NAT_EVENT_RANKS[key]
     out = []
     for n, r in zip(nat, ranks):
-        if n.ndim > r and jnp.ndim(mask) > 0:
-            out.append(n * mask.reshape(mask.shape + (1,) * (n.ndim - 1)))
-        else:
+        if jnp.ndim(mask) == 0:
             out.append(n * mask)
+            continue
+        if n.ndim == r:  # shared leaf: broadcast over the plate before masking
+            n = jnp.broadcast_to(n, mask.shape + n.shape)
+        out.append(n * mask.reshape(mask.shape + (1,) * (n.ndim - mask.ndim)))
     return from_natural(key, tuple(out))
 
 
@@ -204,6 +206,10 @@ class PlainGroup:
                     )
             msgs.append(msg)
         q = prod_all(msgs)
+        from ..dists.matrix import WishartInverseScale
+
+        if isinstance(q, WishartInverseScale):
+            q = q.to_wishart()
         if self.form_constraint is not None:
             q = self.form_constraint.constrain(q)
         return q
