@@ -296,7 +296,12 @@ class GaussianChainBlock:
         w = jnp.zeros((length, self.dim, self.dim), jnp.float32)
         for f, iface in self.evidence:
             rule = get_message_rule(f.fform, iface)
-            q = build_q(f, state, data, exclude=iface, chain_cross=chain_cross)
+            from ..rules.registry import get_node
+
+            needs_self = getattr(get_node(f.fform), "needs_self_marginal", False)
+            q = build_q(f, state, data,
+                        exclude=None if needs_self else iface,
+                        chain_cross=chain_cross)
             msg = rule(q)
             from ..dists.gaussian import (
                 as_mv_weighted_mean_precision,
@@ -341,6 +346,29 @@ class GaussianChainBlock:
             marg = MvNormalMeanCovariance(res.means, res.covs)
             cross = res.cross
         return marg, cross
+
+
+class GCVChainBlock(GaussianChainBlock):
+    """Gaussian chain whose per-step transition variance is controlled by a
+    higher-level latent: Q_t = 1/E[exp(-(kappa z_t + omega))] (the HGF x-level;
+    rules/gcv.py).  Scalar chains only (reference GCV is scalar)."""
+
+    def _transition_params(self, state, data, length):
+        f = self.transition
+        # only the volatility-side interfaces are needed (out/in are this chain)
+        q = {
+            name: resolve_iface(v, f, state, data)
+            for name, v in f.interfaces.items()
+            if name in ("z", "kappa", "omega")
+        }
+        from ..rules.gcv import expected_precision
+
+        w_t = expected_precision(q)             # (T-1,)
+        q_cov = (1.0 / w_t)[:, None, None]
+        tm1 = length - 1
+        a = jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32), (tm1, 1, 1))
+        b = jnp.zeros((tm1, 1))
+        return a, b, jnp.broadcast_to(q_cov, (tm1, 1, 1))
 
 
 class ARChainBlock(GaussianChainBlock):

@@ -33,6 +33,7 @@ from .bethe import FactorFE, slot_degrees, variable_entropy_term
 from .blocks import (
     ARChainBlock,
     DiscreteChainBlock,
+    GCVChainBlock,
     GaussianChainBlock,
     PlainGroup,
     _coverage,
@@ -164,6 +165,8 @@ def detect_chains(graph: ModelGraph, infos) -> dict[str, ChainSpec]:
             kind = "gaussian"
         elif trans.fform == "AR":
             kind = "ar"
+        elif trans.fform == "GCV":
+            kind = "gcv"
         elif trans.fform == "DiscreteTransition":
             kind = "discrete"
         else:
@@ -277,10 +280,11 @@ class CompiledModel:
             if name in self.chains:
                 spec = self.chains[name]
                 shape = self.infos[name].event_shape
-                if spec.kind in ("gaussian", "ar"):
+                if spec.kind in ("gaussian", "ar", "gcv"):
                     scalar = shape == ()
                     dim = 1 if scalar else shape[0]
-                    cls = ARChainBlock if spec.kind == "ar" else GaussianChainBlock
+                    cls = {"ar": ARChainBlock, "gcv": GCVChainBlock,
+                           "gaussian": GaussianChainBlock}[spec.kind]
                     block = cls(
                         var, dim, scalar, spec.prior, spec.transition,
                         spec.evidence, self.use_parallel,

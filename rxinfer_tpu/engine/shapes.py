@@ -42,6 +42,8 @@ _OUT_FAMILY = {
     "GaussianDotPrecision": "gaussian",
     "Probit": "bernoulli",
     "AR": "mv_gaussian",
+    "SoftDot": "gaussian",
+    "GCV": "gaussian",
 }
 
 
@@ -85,7 +87,8 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
 
     if ff in ("NormalMeanVariance", "NormalMeanPrecision", "Beta", "Bernoulli",
               "GammaShapeRate", "GammaShapeScale", "InverseGamma", "Poisson",
-              "Uniform", "Binomial", "NormalMixture", "GammaMixture", "Probit"):
+              "Uniform", "Binomial", "NormalMixture", "GammaMixture", "Probit",
+              "SoftDot", "GCV"):
         return ()
     if ff in ("MvNormalMeanCovariance", "MvNormalMeanPrecision",
               "MvNormalMeanScalePrecision"):
@@ -210,6 +213,11 @@ def input_family(f: Factor, iface: str) -> str | None:
         ("AR", "in"): "mv_gaussian",
         ("AR", "theta"): "mv_gaussian",
         ("AR", "gamma"): "gamma",
+        ("SoftDot", "theta"): "mv_gaussian",
+        ("SoftDot", "x"): "mv_gaussian",
+        ("SoftDot", "gamma"): "gamma",
+        ("GCV", "in"): "gaussian",
+        ("GCV", "z"): "gaussian",
     }
     if ff == "NormalMixture":
         if iface.startswith("mean"):

@@ -648,11 +648,17 @@ def AR(prev, theta, gamma, order: int) -> RVRef:
     )
 
 
-def GCV(x_prev, kappa, omega) -> RVRef:
-    """Gaussian controlled-variance node (HGF building block; reference GCV)."""
+def GCV(x_prev, z, kappa=1.0, omega=0.0) -> RVRef:
+    """Gaussian controlled-variance node: out ~ N(x_prev, exp(kappa*z + omega))
+    (HGF building block; reference GCV + GCVMetadata)."""
     return _builder().emit(
         "GCV",
-        {"in": _as_interface(x_prev), "kappa": _as_interface(kappa), "omega": _as_interface(omega)},
+        {
+            "in": _as_interface(x_prev),
+            "z": _as_interface(z),
+            "kappa": _as_interface(kappa),
+            "omega": _as_interface(omega),
+        },
     )
 
 

@@ -13,6 +13,7 @@ from . import delta  # noqa: F401 — Delta node (Linearization/Unscented)
 from .delta import DeltaMeta, Linearization, Unscented  # noqa: F401
 from . import special  # noqa: F401 — Probit, GammaMixture
 from . import ar  # noqa: F401 — autoregressive node
+from . import gcv  # noqa: F401 — Gaussian controlled variance (HGF)
 from .expectations import (  # noqa: F401
     e_cov,
     e_log,

@@ -153,3 +153,79 @@ GammaMixtureNode = _GammaMixtureMeta("GammaMixtureNode", (GammaMixtureNode,), {}
 from .registry import _NODES  # noqa: E402
 
 _NODES["GammaMixture"] = GammaMixtureNode
+
+
+@node("SoftDot")
+class SoftDotNode:
+    """out ~ N(theta^T x, 1/gamma) with BOTH theta and x random (reference
+    SoftDot node — soft inner product for time-varying regression)."""
+
+    interfaces = ("out", "theta", "x", "gamma")
+
+    @staticmethod
+    def _outer(d):
+        from .expectations import e_cov
+
+        m = e_mean(d)
+        return e_cov(d) + m[..., None] * m[..., None, :], m
+
+    @classmethod
+    def message_to_out(cls, q):
+        from ..dists import NormalMeanPrecision
+        from .expectations import e_precision
+
+        mt = e_mean(q["theta"])
+        mx = e_mean(q["x"])
+        return NormalMeanPrecision(
+            jnp.einsum("...i,...i->...", mt, mx), e_precision(q["gamma"])
+        )
+
+    @classmethod
+    def message_to_theta(cls, q):
+        from ..dists import MvNormalWeightedMeanPrecision
+        from .expectations import e_precision
+
+        g = e_precision(q["gamma"])
+        xx, mx = cls._outer(q["x"])
+        y = e_mean(q["out"])
+        return MvNormalWeightedMeanPrecision(
+            g[..., None] * y[..., None] * mx if jnp.ndim(g) else g * y[..., None] * mx,
+            (g[..., None, None] if jnp.ndim(g) else g) * xx,
+        )
+
+    @classmethod
+    def message_to_x(cls, q):
+        from ..dists import MvNormalWeightedMeanPrecision
+        from .expectations import e_precision
+
+        g = e_precision(q["gamma"])
+        tt, mt = cls._outer(q["theta"])
+        y = e_mean(q["out"])
+        return MvNormalWeightedMeanPrecision(
+            (g[..., None] if jnp.ndim(g) else g) * y[..., None] * mt,
+            (g[..., None, None] if jnp.ndim(g) else g) * tt,
+        )
+
+    @classmethod
+    def _c2(cls, q):
+        tt, mt = cls._outer(q["theta"])
+        xx, mx = cls._outer(q["x"])
+        y = e_mean(q["out"])
+        return (
+            e_sq(q["out"])
+            - 2.0 * y * jnp.einsum("...i,...i->...", mt, mx)
+            + jnp.einsum("...ij,...ji->...", tt, xx)
+        )
+
+    @classmethod
+    def message_to_gamma(cls, q):
+        c2 = cls._c2(q)
+        return GammaShapeRate(jnp.full_like(c2, 1.5), 0.5 * c2)
+
+    @classmethod
+    def average_energy(cls, q):
+        from .expectations import e_log_precision, e_precision
+
+        g = e_precision(q["gamma"])
+        elogg = e_log_precision(q["gamma"])
+        return 0.5 * (1.8378770664093453 - elogg + g * cls._c2(q))
