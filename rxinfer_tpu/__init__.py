@@ -29,7 +29,11 @@ from .graph import (  # noqa: F401
     PointMassFormConstraint,
     SampleListFormConstraint,
     constraints,
+    AND,
     AR,
+    IMPLY,
+    NOT,
+    OR,
     Bernoulli,
     Beta,
     Binomial,

@@ -191,13 +191,34 @@ def prod_reduce(d: Distribution, size: int, axis: int = 0) -> Distribution:
 
 
 def prod_all(dists: list[Distribution]) -> Distribution:
-    """Product of a list of same-support messages via natural addition."""
-    key = family_key(dists[0])
+    """Product of a list of same-support messages via natural addition.
+
+    Mixed families raise — the compile/runtime analogue of the reference's
+    EnsureSupportedFunctionalForm error on unresolved non-conjugate products
+    (src/constraints/form/form_ensure_supported.jl:15-54)."""
+    keys = [family_key(d) for d in dists]
+    key = keys[0]
+    if any(k != key for k in keys):
+        from .base import ProductError
+
+        raise ProductError(
+            f"Non-conjugate message product: families {sorted(set(keys))} meet on "
+            "one variable. Use a functional form constraint (PointMass/SampleList/"
+            "projection) or refactor the model."
+        )
     nats = [to_natural(_wrap_gamma(d) if key == "gamma" else d) for d in dists]
     total = nats[0]
     for n in nats[1:]:
         total = tuple(a + b for a, b in zip(total, n))
     return from_natural(key, total)
+
+
+def nat_div(a: Distribution, b: Distribution) -> Distribution:
+    """Divide distribution a by b (natural-parameter subtraction) — the cavity
+    operation of EP-style message updates."""
+    key = family_key(a)
+    na, nb = to_natural(a), to_natural(b)
+    return from_natural(key, tuple(x - y for x, y in zip(na, nb)))
 
 
 def pad_plate(d: Distribution, lo: int, hi: int, total: int) -> Distribution:

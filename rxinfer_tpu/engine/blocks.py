@@ -25,6 +25,7 @@ from ..dists.gaussian import pd_inverse
 from ..dists.natural import (
     family_key,
     from_natural,
+    nat_div,
     pad_plate,
     prod_all,
     prod_reduce,
@@ -185,11 +186,26 @@ class PlainGroup:
             rule = get_message_rule(f.fform, iface)
             from ..rules.registry import get_node
 
-            needs_self = getattr(get_node(f.fform), "needs_self_marginal", False)
+            node_cls = get_node(f.fform)
+            needs_self = getattr(node_cls, "needs_self_marginal", False)
+            uses_cavity = getattr(node_cls, "uses_cavity", False)
             q = build_q(f, state, data,
                         exclude=None if needs_self else iface,
                         chain_cross=chain_cross)
+            if uses_cavity:
+                # EP-style: divide each neighbor's marginal by this factor's
+                # previous message to it (makes tree-structured discrete logic
+                # exact at the fixed point; reference: BP message semantics)
+                for name, v in f.all_interfaces().items():
+                    if name == iface or name not in q:
+                        continue
+                    if isinstance(v, Ref) and v.var.kind == "random":
+                        key = f"_msg:{f.id}:{name}"
+                        if key in state:
+                            q[name] = nat_div(q[name], state[key])
             msg = mask_message(rule(q), factor_data_mask(f, data))
+            if uses_cavity:
+                state[f"_msg:{f.id}:{iface}"] = msg
             ref = f.out if iface == "out" else f.interfaces[iface]
             cov = _coverage(f, ref)
             if length is None:

@@ -253,10 +253,21 @@ class CompiledModel:
     """AOT-compiled inference program for one model × data-shape signature."""
 
     def __init__(self, graph: ModelGraph, init: Optional[dict] = None,
-                 options: Optional[dict] = None, constraints: Any = None):
+                 options: Optional[dict] = None, constraints: Any = None,
+                 meta: Optional[dict] = None):
         options = options or {}
         self.graph = graph
         self.constraints = constraints
+        # @meta equivalent: attach per-node-type metadata (reference MetaPlugin,
+        # docs/src/manuals/inference/meta-specification.md) — e.g.
+        # meta={"Delta": {"method": Unscented()}}
+        if meta:
+            for f in graph.factors:
+                extra = meta.get(f.fform)
+                if extra is not None:
+                    merged = dict(f.meta or {})
+                    merged.update(extra if isinstance(extra, dict) else {"meta": extra})
+                    f.meta = merged
         contract_deltas(graph)
         self.infos = resolve_groups(graph)
         normalize_transitions(graph, self.infos)

@@ -44,6 +44,11 @@ _OUT_FAMILY = {
     "AR": "mv_gaussian",
     "SoftDot": "gaussian",
     "GCV": "gaussian",
+    "OR": "bernoulli",
+    "AND": "bernoulli",
+    "NOT": "bernoulli",
+    "IMPLY": "bernoulli",
+    "Mixture": None,
 }
 
 
@@ -88,7 +93,7 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
     if ff in ("NormalMeanVariance", "NormalMeanPrecision", "Beta", "Bernoulli",
               "GammaShapeRate", "GammaShapeScale", "InverseGamma", "Poisson",
               "Uniform", "Binomial", "NormalMixture", "GammaMixture", "Probit",
-              "SoftDot", "GCV"):
+              "SoftDot", "GCV", "OR", "AND", "NOT", "IMPLY"):
         return ()
     if ff in ("MvNormalMeanCovariance", "MvNormalMeanPrecision",
               "MvNormalMeanScalePrecision"):
@@ -218,6 +223,14 @@ def input_family(f: Factor, iface: str) -> str | None:
         ("SoftDot", "gamma"): "gamma",
         ("GCV", "in"): "gaussian",
         ("GCV", "z"): "gaussian",
+        ("OR", "in1"): "bernoulli",
+        ("OR", "in2"): "bernoulli",
+        ("AND", "in1"): "bernoulli",
+        ("AND", "in2"): "bernoulli",
+        ("IMPLY", "in1"): "bernoulli",
+        ("IMPLY", "in2"): "bernoulli",
+        ("NOT", "in"): "bernoulli",
+        ("Mixture", "switch"): "categorical",
     }
     if ff == "NormalMixture":
         if iface.startswith("mean"):
@@ -245,8 +258,9 @@ def resolve_groups(graph: ModelGraph) -> dict[str, GroupInfo]:
             # out
             if f.out.var.kind == "random":
                 gi = infos[f.out.var.name]
-                if gi.family is None and f.fform in _OUT_FAMILY:
-                    gi.family = _OUT_FAMILY[f.fform]
+                fam = _OUT_FAMILY.get(f.fform)
+                if gi.family is None and fam is not None:
+                    gi.family = fam
                     changed = True
                 if gi.event_shape is None:
                     s = infer_event_shape(f, graph, infos)

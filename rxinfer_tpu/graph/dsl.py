@@ -628,6 +628,23 @@ def Sum(*terms) -> RVRef:
     return _builder().emit("Sum", interfaces)
 
 
+def OR(a, b) -> RVRef:
+    """Boolean OR node (reference alias ``a || b``)."""
+    return _builder().emit("OR", {"in1": _as_interface(a), "in2": _as_interface(b)})
+
+
+def AND(a, b) -> RVRef:
+    return _builder().emit("AND", {"in1": _as_interface(a), "in2": _as_interface(b)})
+
+
+def NOT(a) -> RVRef:
+    return _builder().emit("NOT", {"in": _as_interface(a)})
+
+
+def IMPLY(a, b) -> RVRef:
+    return _builder().emit("IMPLY", {"in1": _as_interface(a), "in2": _as_interface(b)})
+
+
 def Probit(x) -> RVRef:
     return _builder().emit("Probit", {"in": _as_interface(x)})
 

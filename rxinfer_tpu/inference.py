@@ -105,13 +105,14 @@ def infer(
 
     init_dists = dict(initialization or {})
     sig = (id(model.fn), tuple(sorted(model.bound)), _shape_sig(data),
-           tuple(sorted(init_dists)), id(constraints) if constraints else None)
+           tuple(sorted(init_dists)), id(constraints) if constraints else None,
+           id(meta) if meta else None)
     compiled = _COMPILE_CACHE.get(sig)
     if compiled is None:
         registry.invoke("before_model_creation")
         graph = model.trace(data)
         compiled = CompiledModel(graph, init=init_dists, options=options,
-                                 constraints=constraints)
+                                 constraints=constraints, meta=meta)
         _COMPILE_CACHE[sig] = compiled
         registry.invoke("after_model_creation")
 

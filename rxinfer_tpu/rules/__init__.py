@@ -14,6 +14,7 @@ from .delta import DeltaMeta, Linearization, Unscented  # noqa: F401
 from . import special  # noqa: F401 — Probit, GammaMixture
 from . import ar  # noqa: F401 — autoregressive node
 from . import gcv  # noqa: F401 — Gaussian controlled variance (HGF)
+from . import boolean  # noqa: F401 — OR/AND/NOT/IMPLY
 from .expectations import (  # noqa: F401
     e_cov,
     e_log,

@@ -229,3 +229,61 @@ class SoftDotNode:
         g = e_precision(q["gamma"])
         elogg = e_log_precision(q["gamma"])
         return 0.5 * (1.8378770664093453 - elogg + g * cls._c2(q))
+
+
+@node("Mixture")
+class MixtureNode:
+    """Generic mixture: out = comp_{switch} (reference Mixture(switch=...)).
+
+    Gaussian moment-matched messages; components are Gaussian-family marginals."""
+
+    @staticmethod
+    def _k(q):
+        return sum(1 for key in q if key.startswith("comp"))
+
+    @classmethod
+    def message_to_out(cls, q):
+        from ..dists import NormalMeanVariance
+
+        k = cls._k(q)
+        r = q["switch"].mean()
+        m = sum(r[..., i] * e_mean(q[f"comp{i}"]) for i in range(k))
+        second = sum(
+            r[..., i] * (e_var(q[f"comp{i}"]) + e_mean(q[f"comp{i}"]) ** 2)
+            for i in range(k)
+        )
+        return NormalMeanVariance(m, jnp.clip(second - m * m, 1e-10))
+
+    @classmethod
+    def message_to_switch(cls, q):
+        k = cls._k(q)
+        m_out, v_out = e_mean(q["out"]), e_var(q["out"])
+        logits = []
+        for i in range(k):
+            mi, vi = e_mean(q[f"comp{i}"]), e_var(q[f"comp{i}"])
+            s = v_out + vi
+            logits.append(-0.5 * (jnp.log(s) + (m_out - mi) ** 2 / s))
+        return Categorical(jnp.stack(logits, axis=-1))
+
+    @classmethod
+    def _message_to_comp_i(cls, q, i):
+        r = q["switch"].mean()[..., i]
+        m_out, v_out = e_mean(q["out"]), e_var(q["out"])
+        w = r / jnp.clip(v_out, 1e-10)
+        return NormalWeightedMeanPrecision(w * m_out, w)
+
+
+def _mixture_getattr(name):
+    if name.startswith("message_to_comp"):
+        i = int(name[len("message_to_comp"):])
+        return lambda q: MixtureNode._message_to_comp_i(q, i)
+    raise AttributeError(name)
+
+
+class _MixtureMeta(type):
+    def __getattr__(cls, name):
+        return _mixture_getattr(name)
+
+
+MixtureNode = _MixtureMeta("MixtureNode", (MixtureNode,), {})
+_NODES["Mixture"] = MixtureNode
