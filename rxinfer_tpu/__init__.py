@@ -37,6 +37,7 @@ from .graph import (  # noqa: F401
     Bernoulli,
     Beta,
     Binomial,
+    BinomialPolya,
     Categorical,
     Delta,
     Dirichlet,
@@ -48,6 +49,8 @@ from .graph import (  # noqa: F401
     InverseGamma,
     InverseWishart,
     Mixture,
+    Multinomial,
+    MultinomialPolya,
     MvNormal,
     Normal,
     NormalMixture,

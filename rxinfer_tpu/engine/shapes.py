@@ -49,6 +49,9 @@ _OUT_FAMILY = {
     "NOT": "bernoulli",
     "IMPLY": "bernoulli",
     "Mixture": None,
+    "BinomialPolya": "poisson",
+    "MultinomialPolya": "poisson",
+    "Multinomial": "poisson",
 }
 
 
@@ -167,6 +170,13 @@ def infer_input_shape(f: Factor, iface: str, out_shape) -> tuple | None:
         m = f.interfaces.get("matrix")
         if isinstance(m, Const):
             return (_const_shape(m)[1],)
+    if ff in ("BinomialPolya", "MultinomialPolya") and iface == "beta":
+        x = f.interfaces.get("x")
+        if isinstance(x, Const):
+            return (_const_shape(x)[-1],)
+        if isinstance(x, Ref) and x.var.kind == "data":
+            return (tuple(x.var.event_shape)[-1],)
+        return None
     if ff == "AR" and iface in ("in", "theta"):
         k = (f.meta or {}).get("order")
         return (int(k),) if k else None
@@ -231,6 +241,9 @@ def input_family(f: Factor, iface: str) -> str | None:
         ("IMPLY", "in2"): "bernoulli",
         ("NOT", "in"): "bernoulli",
         ("Mixture", "switch"): "categorical",
+        ("BinomialPolya", "beta"): "mv_gaussian",
+        ("MultinomialPolya", "beta"): "mv_gaussian",
+        ("Multinomial", "p"): "dirichlet",
     }
     if ff == "NormalMixture":
         if iface.startswith("mean"):
@@ -245,6 +258,8 @@ def input_family(f: Factor, iface: str) -> str | None:
         return None  # shape decides gaussian vs mv_gaussian (filled in pass)
     if ff == "NonlinearGaussianPrecision" and iface == "prec":
         return "gamma"
+    if ff in ("BinomialPolya", "MultinomialPolya") and iface == "beta":
+        return "mv_gaussian"
     return table.get((ff, iface))
 
 

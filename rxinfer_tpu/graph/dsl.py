@@ -569,6 +569,32 @@ def InverseWishart(nu, Psi) -> RVRef:
     )
 
 
+def Multinomial(n, p) -> RVRef:
+    if _active() is None:
+        from .. import dists as D
+        import jax.numpy as jnp
+        return D.Multinomial(jnp.asarray(n, jnp.float32),
+                             jnp.log(jnp.clip(jnp.asarray(p, jnp.float32), 1e-37)))
+    return _builder().emit(
+        "Multinomial", {"n": _as_interface(n), "p": _as_interface(p)}
+    )
+
+
+def BinomialPolya(x, n, beta) -> RVRef:
+    """Binomial regression via Polya-Gamma augmentation (reference BinomialPolya)."""
+    return _builder().emit(
+        "BinomialPolya",
+        {"x": _as_interface(x), "n": _as_interface(n), "beta": _as_interface(beta)},
+    )
+
+
+def MultinomialPolya(x, n, beta) -> RVRef:
+    return _builder().emit(
+        "MultinomialPolya",
+        {"x": _as_interface(x), "n": _as_interface(n), "beta": _as_interface(beta)},
+    )
+
+
 def Poisson(rate) -> RVRef:
     if _active() is None:
         return _direct_dist("Poisson", rate)

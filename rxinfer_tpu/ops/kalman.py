@@ -133,14 +133,38 @@ def _filter_compose(elem_i, elem_j):
     return a, b, _symmetrize(c), eta, _symmetrize(j)
 
 
-def parallel_filter(p: ChainParams):
-    """Parallel Kalman filter: returns filtered means (T,d) and covs (T,d,d)."""
+def _cast_tree(tree, dtype):
+    return tuple(x.astype(dtype) for x in tree)
+
+
+def _compose_with_payload(compose, payload_dtype):
+    """Wrap an associative compose so the scan's intermediate element storage is
+    ``payload_dtype`` (bf16 message payloads) while the arithmetic stays fp32
+    (BASELINE.json: "message payloads run in bf16 with fp32 accumulation")."""
+    if payload_dtype is None:
+        return compose
+
+    def fn(a, b):
+        out = compose(_cast_tree(a, jnp.float32), _cast_tree(b, jnp.float32))
+        return _cast_tree(out, payload_dtype)
+
+    return fn
+
+
+def parallel_filter(p: ChainParams, payload_dtype=None):
+    """Parallel Kalman filter: returns filtered means (T,d) and covs (T,d,d).
+
+    ``payload_dtype=jnp.bfloat16`` halves the HBM traffic of the scan levels at
+    ~1e-2 relative accuracy (validated in tests)."""
     elems = _make_filter_elements(p)
+    if payload_dtype is not None:
+        elems = _cast_tree(elems, payload_dtype)
     composed = jax.lax.associative_scan(
-        jax.vmap(_filter_compose), elems, axis=0
+        jax.vmap(_compose_with_payload(_filter_compose, payload_dtype)),
+        elems, axis=0,
     )
     _, b, c, _, _ = composed
-    return b, c
+    return b.astype(jnp.float32), c.astype(jnp.float32)
 
 
 def sequential_filter(p: ChainParams):
@@ -214,14 +238,20 @@ def _smooth_compose(elem_later, elem_earlier):
     return e, g, _symmetrize(l)
 
 
-def parallel_smoother(p: ChainParams) -> SmoothResult:
+def parallel_smoother(p: ChainParams, payload_dtype=None) -> SmoothResult:
     """Full parallel Kalman smoother: filter + backward pass + pairwise
     cross-covariances (needed for structured Bethe energies and EM)."""
-    filt_means, filt_covs = parallel_filter(p)
+    filt_means, filt_covs = parallel_filter(p, payload_dtype)
     elems = _make_smoother_elements(p, filt_means, filt_covs)
+    if payload_dtype is not None:
+        elems = _cast_tree(elems, payload_dtype)
     e_all, g_all, l_all = jax.lax.associative_scan(
-        jax.vmap(_smooth_compose), elems, axis=0, reverse=True
+        jax.vmap(_compose_with_payload(_smooth_compose, payload_dtype)),
+        elems, axis=0, reverse=True
     )
+    e_all = e_all.astype(jnp.float32)
+    g_all = g_all.astype(jnp.float32)
+    l_all = l_all.astype(jnp.float32)
     means, covs = g_all, l_all
 
     # Cross covariance Cov(x_t, x_{t+1}) = E_t P_{t+1|T}

@@ -870,3 +870,64 @@ class GaussianDotPrecisionNode(_GaussianDotBase):
     def message_to_prec(cls, q):
         c2 = cls._c2(q)
         return GammaShapeRate(jnp.full_like(c2, 1.5), 0.5 * c2)
+
+
+@node("MvNormalMeanScalePrecision")
+class MvNormalMeanScalePrecisionNode:
+    """out ~ N(mean, (gamma I)^{-1}) (reference MvNormalMeanScalePrecision)."""
+
+    interfaces = ("out", "mean", "gamma")
+
+    @staticmethod
+    def message_to_out(q):
+        from ..dists import MvNormalMeanScalePrecision as MSP
+
+        return MSP(e_mean(q["mean"]), e_precision(q["gamma"]))
+
+    @staticmethod
+    def message_to_mean(q):
+        from ..dists import MvNormalMeanScalePrecision as MSP
+
+        return MSP(e_mean(q["out"]), e_precision(q["gamma"]))
+
+    @staticmethod
+    def message_to_gamma(q):
+        c = _mv_centered_second_moment(q)
+        d = c.shape[-1]
+        tr = jnp.einsum("...ii->...", c)
+        return GammaShapeRate(jnp.full_like(tr, 1.0 + 0.5 * d), 0.5 * tr)
+
+    @staticmethod
+    def average_energy(q):
+        c = _mv_centered_second_moment(q)
+        d = c.shape[-1]
+        g = e_precision(q["gamma"])
+        elogg = e_log_precision(q["gamma"])
+        tr = jnp.einsum("...ii->...", c)
+        return 0.5 * (d * _LOG2PI - d * elogg + g * tr)
+
+
+@node("Multinomial")
+class MultinomialNode:
+    """out ~ Multinomial(n, p); interfaces out, n, p (reference Multinomial)."""
+
+    interfaces = ("out", "n", "p")
+
+    @staticmethod
+    def message_to_p(q):
+        from ..dists import Dirichlet as DirichletDist
+
+        counts = e_mean(q["out"])
+        return DirichletDist(1.0 + counts)
+
+    @staticmethod
+    def average_energy(q):
+        from ..rules.nodes import _e_log_simplex
+
+        counts = e_mean(q["out"])
+        n = e_mean(q["n"])
+        return -(
+            gammaln(n + 1.0)
+            - jnp.sum(gammaln(counts + 1.0), axis=-1)
+            + jnp.sum(counts * _e_log_simplex(q["p"]), axis=-1)
+        )

@@ -157,3 +157,17 @@ def test_filter_step_batched():
     m_new = P_new @ (np.linalg.solve(P_pred, m_pred) + xi[i])
     np.testing.assert_allclose(m2[i], m_new, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(P2[i], P_new, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_payload_smoother_accuracy():
+    """bf16 message payloads with fp32 accumulation (BASELINE.json precision
+    policy): posterior means within ~1e-2 of the fp32 smoother."""
+    import jax.numpy as jnp
+
+    args = _random_lgssm(T=200, d=2, dy=2, seed=9)
+    p = _params(*args)
+    fp32 = jax.jit(parallel_smoother)(p)
+    bf16 = jax.jit(lambda p: parallel_smoother(p, payload_dtype=jnp.bfloat16))(p)
+    scale = np.abs(np.asarray(fp32.means)).max()
+    assert np.abs(np.asarray(bf16.means) - np.asarray(fp32.means)).max() < 0.05 * scale
+    assert np.isfinite(np.asarray(bf16.covs)).all()
