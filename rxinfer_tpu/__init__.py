@@ -39,6 +39,7 @@ from .graph import (  # noqa: F401
     Binomial,
     BinomialPolya,
     Categorical,
+    ContinuousTransition,
     Delta,
     Dirichlet,
     DirichletCollection,
@@ -83,6 +84,7 @@ from .utils.callbacks import (  # noqa: F401
     TraceCallbacks,
 )
 from .utils.checkpoint import load_checkpoint, save_checkpoint  # noqa: F401
+from .engine.projection import ProjectedTo  # noqa: F401
 from .utils import (  # noqa: F401
     Session,
     create_session,

@@ -221,6 +221,12 @@ class PlainGroup:
                         f"{f.fform} is not supported yet."
                     )
             msgs.append(msg)
+        if self.form_constraint is not None and hasattr(
+            self.form_constraint, "project_product"
+        ):
+            # non-conjugate product: project the message product onto the
+            # target family (reference ProjectedTo / ProjectionExt)
+            return self.form_constraint.project_product(msgs)
         q = prod_all(msgs)
         from ..dists.matrix import WishartInverseScale
 

@@ -52,6 +52,7 @@ _OUT_FAMILY = {
     "BinomialPolya": "poisson",
     "MultinomialPolya": "poisson",
     "Multinomial": "poisson",
+    "ContinuousTransition": "mv_gaussian",
 }
 
 
@@ -244,6 +245,9 @@ def input_family(f: Factor, iface: str) -> str | None:
         ("BinomialPolya", "beta"): "mv_gaussian",
         ("MultinomialPolya", "beta"): "mv_gaussian",
         ("Multinomial", "p"): "dirichlet",
+        ("ContinuousTransition", "in"): "mv_gaussian",
+        ("ContinuousTransition", "theta"): "mv_gaussian",
+        ("ContinuousTransition", "prec"): "wishart",
     }
     if ff == "NormalMixture":
         if iface.startswith("mean"):

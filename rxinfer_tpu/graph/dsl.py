@@ -595,6 +595,16 @@ def MultinomialPolya(x, n, beta) -> RVRef:
     )
 
 
+def ContinuousTransition(x, theta, prec) -> RVRef:
+    """out = reshape(theta) @ x + noise with random vectorized transition matrix
+    (reference ContinuousTransition / CTransition)."""
+    return _builder().emit(
+        "ContinuousTransition",
+        {"in": _as_interface(x), "theta": _as_interface(theta),
+         "prec": _as_interface(prec)},
+    )
+
+
 def Poisson(rate) -> RVRef:
     if _active() is None:
         return _direct_dist("Poisson", rate)

@@ -16,6 +16,7 @@ from . import ar  # noqa: F401 — autoregressive node
 from . import gcv  # noqa: F401 — Gaussian controlled variance (HGF)
 from . import boolean  # noqa: F401 — OR/AND/NOT/IMPLY
 from . import polya  # noqa: F401 — Polya-Gamma regression nodes
+from . import ctransition  # noqa: F401 — random transition matrices
 from .expectations import (  # noqa: F401
     e_cov,
     e_log,
