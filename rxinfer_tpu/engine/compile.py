@@ -279,6 +279,8 @@ class CompiledModel:
         self.init = init
         self.sweep = schedule_sweep(graph, self.chains, set(init))
         self.use_parallel = options.get("parallel_scans", True)
+        # reference: ObjectiveDiagnosticCheckNaNs/Infs (src/score/diagnostics.jl)
+        self.check_objective = options.get("check_objective", False)
 
         # Build executable blocks in sweep order.
         self.blocks: list[tuple[str, Any]] = []
@@ -496,10 +498,18 @@ class CompiledModel:
                 fes.append(fe)
             if keep_each:
                 history.append(dict(carry[0]))
+            fe_host = float(fe) if free_energy else None
+            if free_energy and self.check_objective and not np.isfinite(fe_host):
+                raise FloatingPointError(
+                    f"Bethe free energy became non-finite at iteration {i} "
+                    f"({fe_host}). Reference diagnostic: ObjectiveDiagnosticCheck"
+                    "NaNs/Infs (src/score/diagnostics.jl) — check the model "
+                    "parametrization and initialization."
+                )
             ev = registry.invoke(
                 "after_iteration",
                 iteration=i,
-                free_energy=(float(fe) if free_energy else None),
+                free_energy=fe_host,
             )
             if ev.stop_iteration:
                 break

@@ -6,4 +6,11 @@ from .session import (
     get_default_session,
     set_session_logging,
     summarize_session,
+    summarize_session_table,
+)
+from .telemetry import (
+    enable_telemetry,
+    log_using,
+    set_telemetry_endpoint,
+    share_session_data,
 )

@@ -123,3 +123,18 @@ def create_session(capacity: int = DEFAULT_CAPACITY) -> Session:
 def summarize_session(session: Optional[Session] = None) -> dict:
     s = session or get_default_session()
     return s.summarize() if s else {}
+
+
+def summarize_session_table(session: Optional[Session] = None) -> str:
+    """Plain-text table (reference: PrettyTablesExt summarize pretty table)."""
+    summary = summarize_session(session)
+    if not summary:
+        return "(no invocations logged)"
+    header = f"{'label':<16}{'total':>8}{'failed':>8}{'mean ms':>12}"
+    lines = [header, "-" * len(header)]
+    for label, row in summary.items():
+        lines.append(
+            f"{label:<16}{row['total']:>8}{row['failed']:>8}"
+            f"{row['mean_duration_s'] * 1e3:>12.2f}"
+        )
+    return "\n".join(lines)
