@@ -75,10 +75,25 @@ class NormalMeanVarianceNode:
         return NormalMeanVariance(e_mean(q["out"]), e_mean(q["var"]) + e_var(q["out"]))
 
     @staticmethod
-    def average_energy(q):
-        v = e_mean(q["var"])
+    def message_to_var(q):
+        """Conjugate InverseGamma message: ∝ v^{-1/2} exp(-C/(2v)) — the
+        improper a=-1/2 carrier; prior product adds (1/2, C/2)."""
+        from ..dists import InverseGamma as IG
+
         c = e_sq(q["out"]) - 2.0 * e_mean(q["out"]) * e_mean(q["mean"]) + e_sq(q["mean"])
-        return 0.5 * (_LOG2PI + jnp.log(v) + c / v)
+        return IG(jnp.full_like(c, -0.5), 0.5 * c)
+
+    @staticmethod
+    def average_energy(q):
+        var_d = q["var"]
+        if isinstance(var_d, PointMass):
+            e_inv_v = 1.0 / var_d.point
+            e_log_v = jnp.log(var_d.point)
+        else:
+            e_inv_v = var_d.mean_inverse()
+            e_log_v = var_d.mean_log()
+        c = e_sq(q["out"]) - 2.0 * e_mean(q["out"]) * e_mean(q["mean"]) + e_sq(q["mean"])
+        return 0.5 * (_LOG2PI + e_log_v + c * e_inv_v)
 
 
 @node("NormalMeanPrecision")
