@@ -61,6 +61,7 @@ from .graph import (  # noqa: F401
     Sum,
     Transition,
     Uniform,
+    Uninformative,
     Wishart,
     dot,
     latent,

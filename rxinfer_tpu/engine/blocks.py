@@ -205,7 +205,15 @@ class PlainGroup:
                             q[name] = nat_div(q[name], state[key])
             msg = mask_message(rule(q), factor_data_mask(f, data))
             if uses_cavity:
-                state[f"_msg:{f.id}:{iface}"] = msg
+                # store per-copy messages with a stable shape/dtype (broadcast
+                # unbatched messages over the plate) so the store is a valid
+                # lax.scan carry
+                stored = msg
+                if f.plate is not None:
+                    stored = pad_plate(stored, 0, f.plate.size, f.plate.size)
+                state[f"_msg:{f.id}:{iface}"] = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.float32), stored
+                )
             ref = f.out if iface == "out" else f.interfaces[iface]
             cov = _coverage(f, ref)
             if length is None:

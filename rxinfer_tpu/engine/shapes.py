@@ -53,6 +53,12 @@ _OUT_FAMILY = {
     "MultinomialPolya": "poisson",
     "Multinomial": "poisson",
     "ContinuousTransition": "mv_gaussian",
+    "Sum": "gaussian",
+    "Uninformative": "gaussian",
+    "GaussianSumCovariance": "gaussian",
+    "GaussianSumPrecision": "gaussian",
+    "MvGaussianSumCovariance": "mv_gaussian",
+    "MvGaussianSumPrecision": "mv_gaussian",
 }
 
 
@@ -97,7 +103,8 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
     if ff in ("NormalMeanVariance", "NormalMeanPrecision", "Beta", "Bernoulli",
               "GammaShapeRate", "GammaShapeScale", "InverseGamma", "Poisson",
               "Uniform", "Binomial", "NormalMixture", "GammaMixture", "Probit",
-              "SoftDot", "GCV", "OR", "AND", "NOT", "IMPLY"):
+              "SoftDot", "GCV", "OR", "AND", "NOT", "IMPLY", "Sum",
+              "Uninformative"):
         return ()
     if ff in ("MvNormalMeanCovariance", "MvNormalMeanPrecision",
               "MvNormalMeanScalePrecision"):
@@ -119,8 +126,20 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
                 return (s[-1],)
         return None
     if ff in ("LinearGaussianCovariance", "LinearGaussianPrecision",
-              "GaussianDotCovariance", "GaussianDotPrecision"):
+              "GaussianDotCovariance", "GaussianDotPrecision",
+              "GaussianSumCovariance", "GaussianSumPrecision"):
         return ()
+    if ff in ("MvGaussianSumCovariance", "MvGaussianSumPrecision"):
+        for key in ("cov", "prec"):
+            s = shape_of(key)
+            if s:
+                return (s[-1],)
+        for k in f.interfaces:
+            if k.startswith("in"):
+                s = shape_of(k)
+                if s:
+                    return s
+        return None
     if ff == "Categorical":
         s = shape_of("p")
         return (s[-1],) if s else None
@@ -191,6 +210,10 @@ def infer_input_shape(f: Factor, iface: str, out_shape) -> tuple | None:
         return out_shape
     if ff in ("NormalMeanVariance", "NormalMeanPrecision") and iface == "mean":
         return ()
+    if ff in ("GaussianSumCovariance", "GaussianSumPrecision") and iface.startswith("in"):
+        return ()
+    if ff in ("MvGaussianSumCovariance", "MvGaussianSumPrecision") and iface.startswith("in"):
+        return out_shape
     return None
 
 
@@ -215,6 +238,8 @@ def input_family(f: Factor, iface: str) -> str | None:
         ("GaussianDotCovariance", "in"): "mv_gaussian",
         ("GaussianDotPrecision", "in"): "mv_gaussian",
         ("GaussianDotPrecision", "prec"): "gamma",
+        ("GaussianSumPrecision", "prec"): "gamma",
+        ("MvGaussianSumPrecision", "prec"): "wishart",
         ("Bernoulli", "p"): "beta",
         ("Binomial", "p"): "beta",
         ("Categorical", "p"): "dirichlet",
@@ -260,6 +285,10 @@ def input_family(f: Factor, iface: str) -> str | None:
     if ff in ("Delta", "NonlinearGaussianCovariance",
               "NonlinearGaussianPrecision") and iface.startswith("in"):
         return None  # shape decides gaussian vs mv_gaussian (filled in pass)
+    if ff in ("Sum", "GaussianSumCovariance", "GaussianSumPrecision") and iface.startswith("in"):
+        return "gaussian"
+    if ff in ("MvGaussianSumCovariance", "MvGaussianSumPrecision") and iface.startswith("in"):
+        return "mv_gaussian"
     if ff == "NonlinearGaussianPrecision" and iface == "prec":
         return "gamma"
     if ff in ("BinomialPolya", "MultinomialPolya") and iface == "beta":

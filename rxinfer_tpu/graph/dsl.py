@@ -448,7 +448,20 @@ def _gaussian(kind_scalar: str, kwargs: dict) -> RVRef:
         return _direct_dist(base, mean, noise_val)
 
     if isinstance(mean, AddExpr):
-        # x ~ Normal(mean = a + b, ...) with random a, b: introduce the sum node.
+        # x ~ Normal(mean = a + b, ...) with random a, b: contract into a single
+        # GaussianSum factor (exact BP messages + well-defined average energy;
+        # reference anonymous-node contraction,
+        # docs/src/manuals/model-specification.md:332-447).
+        if noise_name in ("var", "cov", "prec"):
+            interfaces = {
+                f"in{i}": _as_interface(t) for i, t in enumerate(mean.terms)
+            }
+            interfaces[noise_name] = _as_interface(noise_val)
+            fform = ("Mv" if mv else "") + "GaussianSum" + (
+                "Covariance" if noise_name in ("var", "cov") else "Precision"
+            )
+            return _builder().emit(fform, interfaces)
+        # scale-precision parametrization: fall back to an explicit Sum node
         s = Sum(*mean.terms)
         mean = s
     if isinstance(mean, LinearExpr):
@@ -679,6 +692,11 @@ def NOT(a) -> RVRef:
 
 def IMPLY(a, b) -> RVRef:
     return _builder().emit("IMPLY", {"in1": _as_interface(a), "in2": _as_interface(b)})
+
+
+def Uninformative() -> RVRef:
+    """Flat prior (reference Uninformative node)."""
+    return _builder().emit("Uninformative", {})
 
 
 def Probit(x) -> RVRef:

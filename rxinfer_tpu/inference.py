@@ -70,6 +70,7 @@ def infer(
     callbacks: Optional[dict] = None,
     benchmark: bool = False,
     trace: bool = False,
+    catch_exception: bool = False,
     session: Any = "default",
 ):
     """Run inference.  Batch mode when ``autoupdates is None``; streaming mode
@@ -90,6 +91,30 @@ def infer(
 
     if data is None:
         raise ValueError("Batch inference requires data= (or use datastream=).")
+    if catch_exception:
+        # reference: batch catch_exception=true returns a partial
+        # InferenceResult with (error, traceback) (src/inference/batch.jl:440-476)
+        try:
+            return infer(
+                model=model, data=data, initialization=initialization,
+                constraints=constraints, meta=meta, options=options,
+                iterations=iterations, free_energy=free_energy,
+                predictvars=predictvars, returnvars=returnvars,
+                keephistory=keephistory, historyvars=historyvars,
+                showprogress=showprogress, callbacks=callbacks,
+                benchmark=benchmark, trace=trace, catch_exception=False,
+                session=session,
+            )
+        except Exception as exc:  # noqa: BLE001
+            import traceback as _tb
+
+            result = InferenceResult({}, None, None, 0.0)
+            result.error = exc
+            result.traceback = _tb.format_exc()
+            result.predictions = {}
+            result.benchmark = None
+            result.trace = None
+            return result
     iterations = iterations or 1
     t0 = time.perf_counter()
 

@@ -946,3 +946,200 @@ class MultinomialNode:
             - jnp.sum(gammaln(counts + 1.0), axis=-1)
             + jnp.sum(counts * _e_log_simplex(q["p"]), axis=-1)
         )
+
+
+@node("Sum")
+class SumNode:
+    """Deterministic sum out = Σ in_i of Gaussian variables (reference '+' node,
+    left-folded by the backend, src/model/graphppl.jl:58-83).  Deterministic
+    nodes pass messages, not marginals: the engine's cavity store divides out
+    this factor's previous messages (exact BP on trees)."""
+
+    uses_cavity = True
+
+    @staticmethod
+    def _terms(q):
+        return sorted((k for k in q if k.startswith("in")), key=lambda k: int(k[2:]))
+
+    @classmethod
+    def message_to_out(cls, q):
+        keys = cls._terms(q)
+        m = sum(e_mean(q[k]) for k in keys)
+        v = sum(e_var(q[k]) for k in keys)
+        return NormalMeanVariance(m, v)
+
+    @classmethod
+    def _message_to_in_i(cls, q, i):
+        keys = cls._terms(q)
+        m = e_mean(q["out"]) - sum(e_mean(q[k]) for k in keys if k != f"in{i}")
+        v = e_var(q["out"]) + sum(e_var(q[k]) for k in keys if k != f"in{i}")
+        return NormalMeanVariance(m, v)
+
+
+class _DynamicInMeta(type):
+    """Resolves message_to_in{i} dynamically via cls._message_to_in_i (variadic
+    in-interfaces: Sum / GaussianSum)."""
+
+    def __getattr__(cls, name):
+        if name.startswith("message_to_in"):
+            i = int(name[len("message_to_in"):])
+            return lambda q: cls._message_to_in_i(q, i)
+        raise AttributeError(name)
+
+
+SumNode = _DynamicInMeta("SumNode", (SumNode,), {})
+_NODES["Sum"] = SumNode
+
+
+# ---------------------------------------------------------------------------------
+# GaussianSum: out ~ N(Σ in_i, noise) — compile-time contraction of
+# Normal(mean = a + b + ..., var|precision = ...) with random terms (reference:
+# anonymous '+' node contraction, src/model/graphppl.jl:58-83 +
+# docs/src/manuals/model-specification.md:332-447).  Contracting keeps exact BP
+# messages AND a well-defined average energy (a standalone delta Sum node has
+# no Bethe energy term).
+# ---------------------------------------------------------------------------------
+
+class _GaussianSumScalarBase:
+    uses_cavity = True
+
+    @staticmethod
+    def _terms(q):
+        return sorted((k for k in q if k.startswith("in")), key=lambda k: int(k[2:]))
+
+    @staticmethod
+    def _noise_var(q):
+        if "var" in q:
+            return e_mean(q["var"])
+        return 1.0 / e_precision(q["prec"])
+
+    @classmethod
+    def message_to_out(cls, q):
+        keys = cls._terms(q)
+        m = sum(e_mean(q[k]) for k in keys)
+        v = sum(e_var(q[k]) for k in keys) + cls._noise_var(q)
+        return NormalMeanVariance(m, v)
+
+    @classmethod
+    def _message_to_in_i(cls, q, i):
+        keys = cls._terms(q)
+        m = e_mean(q["out"]) - sum(e_mean(q[k]) for k in keys if k != f"in{i}")
+        v = (
+            e_var(q["out"])
+            + sum(e_var(q[k]) for k in keys if k != f"in{i}")
+            + cls._noise_var(q)
+        )
+        return NormalMeanVariance(m, v)
+
+    @classmethod
+    def _c2(cls, q):
+        keys = cls._terms(q)
+        diff = e_mean(q["out"]) - sum(e_mean(q[k]) for k in keys)
+        return e_var(q["out"]) + sum(e_var(q[k]) for k in keys) + diff * diff
+
+    @classmethod
+    def average_energy(cls, q):
+        if "prec" in q and not isinstance(q["prec"], PointMass):
+            elogw = e_log_precision(q["prec"])
+            w = e_precision(q["prec"])
+        else:
+            v = cls._noise_var(q)
+            elogw = -jnp.log(v)
+            w = 1.0 / v
+        return 0.5 * (_LOG2PI - elogw + w * cls._c2(q))
+
+
+class GaussianSumCovarianceNode(_GaussianSumScalarBase):
+    pass
+
+
+class GaussianSumPrecisionNode(_GaussianSumScalarBase):
+    @classmethod
+    def message_to_prec(cls, q):
+        c2 = cls._c2(q)
+        return GammaShapeRate(jnp.full_like(c2, 1.5), 0.5 * c2)
+
+
+class _MvGaussianSumBase:
+    uses_cavity = True
+
+    @staticmethod
+    def _terms(q):
+        return sorted((k for k in q if k.startswith("in")), key=lambda k: int(k[2:]))
+
+    @classmethod
+    def message_to_out(cls, q):
+        keys = cls._terms(q)
+        m = sum(e_mean(q[k]) for k in keys)
+        v = sum(e_cov(q[k]) for k in keys) + _lg_noise_cov(q)
+        return MvNormalMeanCovariance(m, v)
+
+    @classmethod
+    def _message_to_in_i(cls, q, i):
+        keys = cls._terms(q)
+        m = e_mean(q["out"]) - sum(e_mean(q[k]) for k in keys if k != f"in{i}")
+        v = (
+            e_cov(q["out"])
+            + sum(e_cov(q[k]) for k in keys if k != f"in{i}")
+            + _lg_noise_cov(q)
+        )
+        return MvNormalMeanCovariance(m, v)
+
+    @classmethod
+    def _centered_second_moment(cls, q):
+        keys = cls._terms(q)
+        diff = e_mean(q["out"]) - sum(e_mean(q[k]) for k in keys)
+        return (
+            e_cov(q["out"])
+            + sum(e_cov(q[k]) for k in keys)
+            + diff[..., None] * diff[..., None, :]
+        )
+
+    @classmethod
+    def average_energy(cls, q):
+        c = cls._centered_second_moment(q)
+        d = c.shape[-1]
+        w = _lg_noise_prec(q)
+        if "prec" in q and not isinstance(q["prec"], PointMass):
+            elogdet = e_logdet(q["prec"])
+        else:
+            elogdet = -pd_logdet(_lg_noise_cov(q))
+        return 0.5 * (d * _LOG2PI - elogdet + jnp.einsum("...ij,...ji->...", w, c))
+
+
+class MvGaussianSumCovarianceNode(_MvGaussianSumBase):
+    pass
+
+
+class MvGaussianSumPrecisionNode(_MvGaussianSumBase):
+    @classmethod
+    def message_to_prec(cls, q):
+        c = cls._centered_second_moment(q)
+        d = c.shape[-1]
+        return WishartInverseScale(jnp.full(c.shape[:-2], float(d) + 2.0), c)
+
+
+for _name, _base in (
+    ("GaussianSumCovariance", GaussianSumCovarianceNode),
+    ("GaussianSumPrecision", GaussianSumPrecisionNode),
+    ("MvGaussianSumCovariance", MvGaussianSumCovarianceNode),
+    ("MvGaussianSumPrecision", MvGaussianSumPrecisionNode),
+):
+    _NODES[_name] = _DynamicInMeta(_name + "Node", (_base,), {})
+
+
+@node("Uninformative")
+class UninformativeNode:
+    """Flat prior node (reference Uninformative)."""
+
+    interfaces = ("out",)
+
+    @staticmethod
+    def message_to_out(q):
+        del q
+        return NormalWeightedMeanPrecision(jnp.asarray(0.0), jnp.asarray(1e-12))
+
+    @staticmethod
+    def average_energy(q):
+        del q
+        return jnp.asarray(0.0)
