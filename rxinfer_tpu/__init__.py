@@ -59,6 +59,7 @@ from .graph import (  # noqa: F401
     Probit,
     SoftDot,
     Sum,
+    tie,
     Transition,
     Uniform,
     Uninformative,

@@ -65,6 +65,153 @@ def discrete_pair_entropy(xis):
     return -jnp.sum(xis * jnp.log(jnp.clip(xis, 1e-37)), axis=(-2, -1))
 
 
+# Gaussian factors whose (out, mean) pair forms a BP cluster: with both cavity
+# messages stored, AE and the factor entropy are computed from the exact local
+# pair joint (the reference's structured FactorBoundFreeEnergy over
+# q(out, mean); noise stays across the mean-field split).
+_GAUSS_PAIR_NOISE = {
+    "NormalMeanVariance": "var",
+    "NormalMeanPrecision": "prec",
+    "MvNormalMeanCovariance": "cov",
+    "MvNormalMeanPrecision": "prec",
+}
+_NG_PAIR = {"NonlinearGaussianCovariance", "NonlinearGaussianPrecision"}
+_DOT_PAIR = {"GaussianDotCovariance", "GaussianDotPrecision"}
+
+
+def _as_vec_nat(d):
+    """(xi, W) of a Gaussian carrier lifted to vector/matrix form."""
+    from ..dists.gaussian import (
+        AbstractMvNormal,
+        as_mv_weighted_mean_precision,
+        as_weighted_mean_precision,
+    )
+
+    if isinstance(d, AbstractMvNormal):
+        f = as_mv_weighted_mean_precision(d)
+        return f.xi, f.w
+    f = as_weighted_mean_precision(d)
+    return jnp.reshape(f.xi, (1,)), jnp.reshape(f.w, (1, 1))
+
+
+def _noise_expectations(q, noise_key, d):
+    """(E[V^-1] a.k.a. W̄ as a (d,d) matrix, E[log det V])."""
+    noise = q[noise_key]
+    if noise_key in ("var",):
+        if isinstance(noise, PointMass):
+            w = 1.0 / noise.point
+            elogv = jnp.log(noise.point)
+        else:
+            w = noise.mean_inverse()
+            elogv = noise.mean_log()
+        return jnp.reshape(w, (1, 1)), elogv
+    if noise_key == "cov":
+        if isinstance(noise, PointMass):
+            from ..dists.gaussian import pd_inverse
+
+            return pd_inverse(noise.point), pd_logdet(noise.point)
+        return noise.mean_inverse(), noise.mean_logdet()
+    # precision parametrization
+    from ..rules.expectations import e_log_precision, e_logdet, e_precision
+
+    w = e_precision(noise)
+    if jnp.ndim(w) == 0:
+        elogv = -(
+            jnp.log(noise.point)
+            if isinstance(noise, PointMass)
+            else e_log_precision(noise)
+        )
+        return jnp.reshape(w, (1, 1)), elogv
+    elogv = -(
+        pd_logdet(noise.point) if isinstance(noise, PointMass) else e_logdet(noise)
+    )
+    return w, elogv
+
+
+def gaussian_pair_fe(f: Factor, q: dict, state: dict, in_key: str,
+                     noise_key: str) -> jnp.ndarray:
+    """AE − H over the exact local joint q(out, in) of a (possibly nonlinear)
+    Gaussian factor out = g(in) + noise, reconstructed from cavity messages.
+
+    cavities: nat(q) − nat(stored message); local joint precision
+    J = [[W_o + W̄, −W̄A], [−AᵀW̄, W_i + AᵀW̄A]] with (A, b) the (linearized)
+    observation map.  Exact for linear g — on trees this makes FE == −log Z.
+    Noise-side entropies stay mean-field (reference default constraints)."""
+    from ..dists.natural import nat_div
+    from ..rules.expectations import e_mean
+
+    cav_out = nat_div(q["out"], state[f"_msg:{f.id}:out"])
+    cav_in = nat_div(q[in_key], state[f"_msg:{f.id}:{in_key}"])
+    xi_o, w_o = _as_vec_nat(cav_out)
+    xi_i, w_i = _as_vec_nat(cav_in)
+    d_o = xi_o.shape[-1]
+    d_i = xi_i.shape[-1]
+
+    # observation map out = A @ in + b (+ noise)
+    meta = f.meta or {}
+    fn = meta.get("fn")
+    if "A" in q and isinstance(q["A"], PointMass):
+        a_mat = jnp.reshape(jnp.asarray(q["A"].point), (d_o, d_i))
+        b_q = q.get("b")
+        b_vec = (
+            jnp.reshape(jnp.asarray(b_q.point), (d_o,))
+            if isinstance(b_q, PointMass)
+            else jnp.zeros((d_o,))
+        )
+    elif fn is None:
+        a_mat = jnp.eye(d_o)
+        b_vec = jnp.zeros((d_o,))
+    else:
+        import jax
+
+        m_i = jnp.asarray(e_mean(q[in_key]))
+        m_flat = jnp.reshape(m_i, (d_i,))
+        scalar_in = jnp.ndim(m_i) == 0
+
+        def fn_flat(z):
+            return jnp.reshape(
+                jnp.asarray(fn(z[0] if scalar_in else z)), (d_o,)
+            )
+
+        a_mat = jax.jacfwd(fn_flat)(m_flat)
+        b_vec = fn_flat(m_flat) - a_mat @ m_flat
+
+    wbar, elogv = _noise_expectations(q, noise_key, d_o)
+
+    # joint natural parameters over (out, in)
+    top = jnp.concatenate([w_o + wbar, -wbar @ a_mat], axis=-1)
+    bot = jnp.concatenate(
+        [-a_mat.T @ wbar, w_i + a_mat.T @ wbar @ a_mat], axis=-1
+    )
+    jmat = jnp.concatenate([top, bot], axis=-2)
+    xi = jnp.concatenate([xi_o + wbar @ b_vec, xi_i - a_mat.T @ wbar @ b_vec])
+
+    vmat = jnp.linalg.inv(jmat)
+    mu = vmat @ xi
+    mu_o, mu_i = mu[:d_o], mu[d_o:]
+    v_oo = vmat[:d_o, :d_o]
+    v_oi = vmat[:d_o, d_o:]
+    v_ii = vmat[d_o:, d_o:]
+
+    err = mu_o - a_mat @ mu_i - b_vec
+    cov_err = v_oo - v_oi @ a_mat.T - a_mat @ v_oi.T + a_mat @ v_ii @ a_mat.T
+    c2 = cov_err + err[:, None] * err[None, :]
+    ae = 0.5 * (
+        d_o * 1.8378770664093453
+        + elogv
+        + jnp.einsum("ij,ji->", wbar, c2)
+    )
+    h_pair = 0.5 * (d_o + d_i) * _LOG2PIE - 0.5 * jnp.linalg.slogdet(jmat)[1]
+    term = ae - h_pair
+    # noise entropy (mean-field boundary), if the noise is a random variable
+    noise = q.get(noise_key)
+    if noise is not None and not isinstance(noise, PointMass):
+        v = f.interfaces.get(noise_key)
+        if isinstance(v, Ref) and v.var.kind == "random":
+            term = term - jnp.sum(noise.entropy())
+    return term
+
+
 class FactorFE:
     """Per-factor free-energy contribution evaluator (compiled once)."""
 
@@ -72,10 +219,81 @@ class FactorFE:
         self.factor = factor
         self.is_chain_transition = is_chain_transition
         self.chain_scalar = chain_scalar
-        self.energy_fn = get_average_energy(factor.fform)
+        from ..rules.registry import get_node
+
+        # Deterministic (delta) nodes have no average energy; their whole Bethe
+        # contribution is -H[q_a] of the joint belief over the node's inputs
+        # (reference: FactorBoundFreeEnergy on Deterministic nodes — the joint
+        # is the marginalrule product of inbound messages; the delta's infinite
+        # AE/entropy parts cancel per CountingReal semantics).  Such nodes
+        # declare ``bethe_term(q_cavities)`` instead of ``average_energy``.
+        self.bethe_fn = getattr(get_node(factor.fform), "bethe_term", None)
+        self.energy_fn = (
+            None if self.bethe_fn is not None else get_average_energy(factor.fform)
+        )
+        # Structured (out, in) pair treatment — see gaussian_pair_fe.
+        self.pair = None
+        f = factor
+        if not is_chain_transition and f.plate is None and f.out.var.kind == "random":
+            if f.fform in _GAUSS_PAIR_NOISE:
+                mean_ref = f.interfaces.get("mean")
+                if isinstance(mean_ref, Ref) and mean_ref.var.kind == "random":
+                    self.pair = ("mean", _GAUSS_PAIR_NOISE[f.fform])
+            elif f.fform in _DOT_PAIR:
+                in_ref = f.interfaces.get("in")
+                if isinstance(in_ref, Ref) and in_ref.var.kind == "random":
+                    self.pair = (
+                        "in", "var" if "var" in f.interfaces else "prec"
+                    )
+            elif f.fform in _NG_PAIR:
+                in_keys = [k for k in f.interfaces if k.startswith("in")]
+                rand_ins = [
+                    k
+                    for k in in_keys
+                    if isinstance(f.interfaces[k], Ref)
+                    and f.interfaces[k].var.kind == "random"
+                ]
+                if len(in_keys) == 1 and len(rand_ins) == 1:
+                    noise_key = (
+                        "var"
+                        if "var" in f.interfaces
+                        else ("cov" if "cov" in f.interfaces else "prec")
+                    )
+                    self.pair = (rand_ins[0], noise_key)
+
+    def _call_bethe_term(self, state, data, chain_cross):
+        """Structured delta-node contribution from cavity (inbound) messages."""
+        from ..dists.natural import nat_div
+
+        f = self.factor
+        n_copies = f.plate.size if f.plate is not None else 1
+        q = build_q(f, state, data, chain_cross=chain_cross)
+        for name, v in f.all_interfaces().items():
+            key = f"_msg:{f.id}:{name}"
+            if (
+                name in q
+                and key in state
+                and isinstance(v, Ref)
+                and v.var.kind == "random"
+            ):
+                q[name] = nat_div(q[name], state[key])
+        term = self.bethe_fn(q)
+        if jnp.ndim(term) == 0 and n_copies > 1:
+            term = term * n_copies
+        return jnp.sum(term)
 
     def __call__(self, state, data, chain_cross):
+        if self.bethe_fn is not None:
+            return self._call_bethe_term(state, data, chain_cross)
         f = self.factor
+        if self.pair is not None:
+            in_key, noise_key = self.pair
+            if (
+                f"_msg:{f.id}:out" in state
+                and f"_msg:{f.id}:{in_key}" in state
+            ):
+                q = build_q(f, state, data, chain_cross=None)
+                return gaussian_pair_fe(f, q, state, in_key, noise_key)
         n_copies = f.plate.size if f.plate is not None else 1
         q = build_q(f, state, data, chain_cross=chain_cross)
         ae = self.energy_fn(q)

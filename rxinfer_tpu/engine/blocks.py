@@ -162,6 +162,26 @@ def build_q(f: Factor, state: dict, data: dict, exclude: Optional[str] = None,
     return q
 
 
+def in_cavity_cluster(node_cls, iface: str) -> bool:
+    """True when ``iface`` belongs to the node's BP cluster.
+
+    ``uses_cavity = True`` puts every interface in the cluster (deterministic
+    and discrete-logic nodes).  ``cavity_cluster = ("out", "mean")`` names
+    interfaces (a name matches exactly or as a digit-suffixed prefix, so
+    ``"in"`` covers ``in0, in1, ...``).  Interfaces outside the cluster keep
+    VMP (full-marginal) semantics — the reference's default constraint puts
+    e.g. a Gaussian's noise on the other side of a mean-field split."""
+    if getattr(node_cls, "uses_cavity", False):
+        return True
+    cluster = getattr(node_cls, "cavity_cluster", None)
+    if cluster is None:
+        return False
+    return any(
+        iface == c or (iface.startswith(c) and iface[len(c):].isdigit())
+        for c in cluster
+    )
+
+
 class PlainGroup:
     """A non-chain random-variable group updated by conjugate VMP:
     q(v) = prod over adjacent factors of their messages to v (natural-param sums,
@@ -188,16 +208,22 @@ class PlainGroup:
 
             node_cls = get_node(f.fform)
             needs_self = getattr(node_cls, "needs_self_marginal", False)
-            uses_cavity = getattr(node_cls, "uses_cavity", False)
+            uses_cavity = in_cavity_cluster(node_cls, iface)
             q = build_q(f, state, data,
                         exclude=None if needs_self else iface,
                         chain_cross=chain_cross)
             if uses_cavity:
-                # EP-style: divide each neighbor's marginal by this factor's
-                # previous message to it (makes tree-structured discrete logic
-                # exact at the fixed point; reference: BP message semantics)
+                # EP-style: divide each same-cluster neighbor's marginal by
+                # this factor's previous message to it — the rule then sees
+                # *messages* (the reference's m_ arguments), making
+                # tree-structured propagation exact BP at the fixed point.
+                # Interfaces outside the cluster (e.g. a Gaussian node's
+                # var/prec) keep full marginals: the reference's q_ arguments
+                # across the default mean-field boundary.
                 for name, v in f.all_interfaces().items():
                     if name == iface or name not in q:
+                        continue
+                    if not in_cavity_cluster(node_cls, name):
                         continue
                     if isinstance(v, Ref) and v.var.kind == "random":
                         key = f"_msg:{f.id}:{name}"

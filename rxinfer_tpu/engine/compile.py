@@ -219,11 +219,88 @@ def _read_deps(var, graph: ModelGraph, chains) -> set[str]:
     return deps
 
 
-def schedule_sweep(graph, chains, init_names: set[str]) -> list[str]:
+def _try_tree_schedule(remaining, graph: ModelGraph) -> Optional[list[str]]:
+    """Order deadlocked variables as a tree sweep, or None if genuinely loopy.
+
+    If the bipartite factor graph restricted to the blocked variables is
+    acyclic (checked by union-find over each factor's blocked neighborhood),
+    exact BP needs no initialization: a leaves→root pass followed by the
+    reverse root→leaves pass computes every marginal exactly in one sweep
+    (SURVEY.md §7: *compute* the schedule for tree graphs instead of
+    discovering it reactively).  Blocked variables are vague-initialized so
+    the not-yet-informed side of each update is a neutral message."""
+    names = {v.name for v in remaining}
+    fac_adj: dict[str, list] = {n: [] for n in names}
+    fac_vars: list[tuple[int, list[str]]] = []
+    for f in graph.factors:
+        vs = sorted({
+            v.var.name
+            for v in f.all_interfaces().values()
+            if isinstance(v, Ref) and v.var.kind == "random" and v.var.name in names
+        })
+        if len(vs) >= 2:
+            fid = len(fac_vars)
+            fac_vars.append((fid, vs))
+            for n in vs:
+                fac_adj[n].append(fid)
+
+    parent = {n: n for n in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, vs in fac_vars:
+        base = vs[0]
+        for other in vs[1:]:
+            rb, ro = find(base), find(other)
+            if rb == ro:
+                return None  # cycle in the factor graph: true loopy model
+            parent[ro] = rb
+
+    # DFS post-order over the (forest of) bipartite tree(s): leaves first.
+    post: list[str] = []
+    seen_v: set[str] = set()
+    seen_f: set[int] = set()
+    for root in sorted(names):
+        if root in seen_v:
+            continue
+        stack = [(root, iter(fac_adj[root]))]
+        seen_v.add(root)
+        while stack:
+            var, fac_iter = stack[-1]
+            advanced = False
+            for fid in fac_iter:
+                if fid in seen_f:
+                    continue
+                seen_f.add(fid)
+                for child in fac_vars[fid][1]:
+                    if child not in seen_v:
+                        seen_v.add(child)
+                        stack.append((child, iter(fac_adj[child])))
+                        advanced = True
+                        break
+                if advanced:
+                    break
+            if not advanced:
+                post.append(var)
+                stack.pop()
+    # forward (leaves→root) + backward (root→leaves) pass
+    return post + post[-2::-1]
+
+
+def schedule_sweep(
+    graph, chains, init_names: set[str]
+) -> tuple[list[str], set[str]]:
     """Greedy topological sweep order; init-spec'd groups count as available.
 
-    Raises with the reference's UX if the model is unschedulable without
-    initialization (docs: initialization required for loopy/VMP models)."""
+    Returns (order, auto_init): variables in ``auto_init`` were deadlocked on
+    each other but form a tree — they are scheduled as an exact fwd+bwd BP
+    sweep and must be vague-initialized.  Raises with the reference's UX if
+    the model is loopy and unschedulable without initialization
+    (docs: initialization required for loopy/VMP models)."""
     remaining = [v for v in graph.random_variables()]
     available: set[str] = set(init_names)
     updated: set[str] = set()
@@ -239,14 +316,68 @@ def schedule_sweep(graph, chains, init_names: set[str]) -> list[str]:
                 remaining.remove(v)
                 progressed = True
         if not progressed:
-            blocked = {v.name: sorted(deps_map[v.name] - updated - available)
-                       for v in remaining}
-            raise ValueError(
-                "Model contains initialization cycles; provide initialization "
-                f"for some of: {blocked}. (Reference equivalent: @initialization "
-                "is required for variational iterations.)"
-            )
-    return order
+            tree_order = None
+            if not any(v.name in chains for v in remaining):
+                tree_order = _try_tree_schedule(remaining, graph)
+            if tree_order is None:
+                blocked = {v.name: sorted(deps_map[v.name] - updated - available)
+                           for v in remaining}
+                raise ValueError(
+                    "Model contains initialization cycles; provide initialization "
+                    f"for some of: {blocked}. (Reference equivalent: @initialization "
+                    "is required for variational iterations.)"
+                )
+            return order + tree_order, {v.name for v in remaining}
+    return order, set()
+
+
+def _vague_for(family: str, event_shape: tuple):
+    """Non-informative marginal for auto-initialized tree-schedule variables
+    (reference: ``vague(T)``, BayesBase)."""
+    from ..dists import (
+        Bernoulli,
+        Beta,
+        Categorical,
+        Dirichlet,
+        GammaShapeRate,
+        InverseGamma,
+        InverseWishart,
+        MvNormalMeanCovariance,
+        NormalMeanVariance,
+        Wishart,
+    )
+
+    # Gaussian vague scale: 1e6, not the reference's huge=1e12.  Tree-schedule
+    # cavities are computed by natural-parameter subtraction in float32; a
+    # 1e-12 vague precision is below f32 epsilon relative to informative
+    # precisions, so it would cancel to an exactly-flat cavity (singular
+    # convolutions).  1e-6 stays representable while biasing posteriors by
+    # O(1e-5) relative — below every conformance tolerance.
+    if family == "gaussian":
+        return NormalMeanVariance(jnp.asarray(0.0), jnp.asarray(1.0e6))
+    if family == "mv_gaussian":
+        d = event_shape[0]
+        return MvNormalMeanCovariance(jnp.zeros(d), 1.0e6 * jnp.eye(d))
+    if family == "bernoulli":
+        return Bernoulli.vague()
+    if family == "beta":
+        return Beta.vague()
+    if family in ("gamma", "gamma_shape_rate", "gamma_shape_scale"):
+        return GammaShapeRate.vague()
+    if family == "inverse_gamma":
+        return InverseGamma.vague()
+    if family == "categorical":
+        return Categorical.vague(event_shape[0])
+    if family == "dirichlet":
+        return Dirichlet.vague(event_shape[0])
+    if family == "wishart":
+        return Wishart.vague(event_shape[0])
+    if family == "inverse_wishart":
+        return InverseWishart.vague(event_shape[0])
+    raise ValueError(
+        f"No vague initializer for family {family!r}; provide an explicit "
+        "initialization for the tree-scheduled variables."
+    )
 
 
 class CompiledModel:
@@ -276,8 +407,11 @@ class CompiledModel:
         unknown = set(init) - {v.name for v in graph.random_variables()}
         if unknown:
             raise ValueError(f"initialization given for unknown variables {unknown}")
+        self.sweep, auto_init = schedule_sweep(graph, self.chains, set(init))
+        for name in sorted(auto_init - set(init)):
+            gi = self.infos[name]
+            init[name] = _vague_for(gi.family, gi.event_shape)
         self.init = init
-        self.sweep = schedule_sweep(graph, self.chains, set(init))
         self.use_parallel = options.get("parallel_scans", True)
         # reference: ObjectiveDiagnosticCheckNaNs/Infs (src/score/diagnostics.jl)
         self.check_objective = options.get("check_objective", False)

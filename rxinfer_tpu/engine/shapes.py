@@ -53,7 +53,7 @@ _OUT_FAMILY = {
     "MultinomialPolya": "poisson",
     "Multinomial": "poisson",
     "ContinuousTransition": "mv_gaussian",
-    "Sum": "gaussian",
+    "Sum": None,  # follows inputs (scalar or Mv)
     "Uninformative": "gaussian",
     "GaussianSumCovariance": "gaussian",
     "GaussianSumPrecision": "gaussian",
@@ -103,9 +103,17 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
     if ff in ("NormalMeanVariance", "NormalMeanPrecision", "Beta", "Bernoulli",
               "GammaShapeRate", "GammaShapeScale", "InverseGamma", "Poisson",
               "Uniform", "Binomial", "NormalMixture", "GammaMixture", "Probit",
-              "SoftDot", "GCV", "OR", "AND", "NOT", "IMPLY", "Sum",
+              "SoftDot", "GCV", "OR", "AND", "NOT", "IMPLY",
               "Uninformative"):
         return ()
+    if ff == "Sum":
+        # out = sum of inputs: event shape follows any resolvable input
+        for k in f.interfaces:
+            if k.startswith("in"):
+                s = shape_of(k)
+                if s is not None:
+                    return s
+        return None
     if ff in ("MvNormalMeanCovariance", "MvNormalMeanPrecision",
               "MvNormalMeanScalePrecision"):
         s = shape_of("mean")
@@ -214,6 +222,8 @@ def infer_input_shape(f: Factor, iface: str, out_shape) -> tuple | None:
         return ()
     if ff in ("MvGaussianSumCovariance", "MvGaussianSumPrecision") and iface.startswith("in"):
         return out_shape
+    if ff == "Sum" and iface.startswith("in"):
+        return out_shape
     return None
 
 
@@ -285,7 +295,9 @@ def input_family(f: Factor, iface: str) -> str | None:
     if ff in ("Delta", "NonlinearGaussianCovariance",
               "NonlinearGaussianPrecision") and iface.startswith("in"):
         return None  # shape decides gaussian vs mv_gaussian (filled in pass)
-    if ff in ("Sum", "GaussianSumCovariance", "GaussianSumPrecision") and iface.startswith("in"):
+    if ff == "Sum" and iface.startswith("in"):
+        return None  # shape decides gaussian vs mv_gaussian (out mirrors inputs)
+    if ff in ("GaussianSumCovariance", "GaussianSumPrecision") and iface.startswith("in"):
         return "gaussian"
     if ff in ("MvGaussianSumCovariance", "MvGaussianSumPrecision") and iface.startswith("in"):
         return "mv_gaussian"
@@ -316,7 +328,7 @@ def resolve_groups(graph: ModelGraph) -> dict[str, GroupInfo]:
                         gi.event_shape = s
                         changed = True
                 if f.fform in ("Delta", "NonlinearGaussianCovariance",
-                               "NonlinearGaussianPrecision") \
+                               "NonlinearGaussianPrecision", "Sum") \
                         and gi.family is None and gi.event_shape is not None:
                     gi.family = "mv_gaussian" if len(gi.event_shape) == 1 else "gaussian"
                     changed = True

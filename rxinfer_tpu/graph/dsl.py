@@ -280,6 +280,10 @@ class ModelBuilder:
         self.graph = ModelGraph(name)
         self.plate_stack: list[Plate] = []
         self._name_counter = 0
+        # (file, line, name) -> Variable that currently holds that source-line
+        # name hint; later emits from the same statement steal it back.
+        self._line_hints: dict = {}
+        self._pending_hint_key = None
 
     def fresh_name(self, prefix: str) -> str:
         self._name_counter += 1
@@ -306,8 +310,17 @@ class ModelBuilder:
         if not m:
             return None
         name = m.group(1)
-        if any(v.name == name for v in self.graph.variables):
+        # Nested calls emit inner factors first (``x = IMPLY(a, NOT(b))``
+        # emits NOT before IMPLY), and loops re-emit from the same line; in
+        # both cases the assignment target is the LAST emit of the statement.
+        # Steal the name back from an earlier emit of this same source line.
+        key = (frame.f_code.co_filename, frame.f_lineno, name)
+        prev = self._line_hints.get(key)
+        if prev is not None and prev.name == name:
+            prev.name = self.fresh_name("v")
+        elif any(v.name == name for v in self.graph.variables):
             return None
+        self._pending_hint_key = key
         return name
 
     def emit(self, fform: str, interfaces: dict, meta=None) -> RVRef:
@@ -325,6 +338,8 @@ class ModelBuilder:
             var = self.graph.add_variable(
                 Variable(guessed or self.fresh_name("v"), "random")
             )
+            if guessed is not None:
+                self._line_hints[self._pending_hint_key] = var
             out = Ref(var, None)
         f = Factor(fform, out, interfaces, plate=p, meta=meta)
         self.graph.add_factor(f)
@@ -697,6 +712,26 @@ def IMPLY(a, b) -> RVRef:
 def Uninformative() -> RVRef:
     """Flat prior (reference Uninformative node)."""
     return _builder().emit("Uninformative", {})
+
+
+def tie(x: RVRef, node: RVRef) -> RVRef:
+    """Attach an additional factor to an existing random variable.
+
+    Reference semantics: the same variable appearing on the LHS of ``~`` more
+    than once (e.g. ``x ~ IMPLY(...)`` followed by ``x ~ Bernoulli(y)``,
+    test/models/aliases/aliases_binary_tests.jl:15-16) attaches every such
+    factor to the one variable; its marginal is the constrained product of all
+    inbound messages.  ``node`` must be a just-created factor output (its
+    anonymous output variable is rebound to ``x``)."""
+    if not isinstance(x, RVRef) or not isinstance(node, RVRef):
+        raise TypeError("tie(x, node) expects two random-variable references.")
+    b = _builder()
+    anon_var = node.ref.var
+    for f in b.graph.factors:
+        if f.out.var is anon_var:
+            f.evidence = True
+    b.rebind(node.ref, x.ref)
+    return x
 
 
 def Probit(x) -> RVRef:

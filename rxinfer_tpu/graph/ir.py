@@ -150,6 +150,10 @@ class Factor:
         self.interfaces = dict(interfaces)  # does NOT include 'out'
         self.plate = plate
         self.meta = meta
+        # True for factors attached to an already-defined variable (reference:
+        # a second `x ~ ...` statement on the same variable — soft evidence);
+        # excluded from the one-generative-statement-per-slot validation.
+        self.evidence = False
 
     def all_interfaces(self) -> dict[str, InterfaceValue]:
         return {"out": self.out, **self.interfaces}
@@ -244,7 +248,7 @@ class ModelGraph:
                 continue
             slots = np.zeros(v.length if v.is_array else 1, dtype=np.int64)
             for f in self.factors:
-                if f.out.var is not v:
+                if f.out.var is not v or f.evidence:
                     continue
                 idx = f.out.idx
                 if idx is None:

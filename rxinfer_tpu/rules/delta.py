@@ -151,6 +151,7 @@ class DeltaNode:
 
     # backward rules consume (and divide out) the target input's own marginal
     needs_self_marginal = True
+    cavity_cluster = ("out", "in")
 
     @staticmethod
     def message_to_out(q):
@@ -288,6 +289,9 @@ def _ng_noise_cov(q, d_out):
 
 class _NonlinearGaussianBase:
     needs_self_marginal = True
+    # out and the Gaussian inputs form one BP cluster; noise (var/cov/prec)
+    # stays across the mean-field boundary (reference default constraints).
+    cavity_cluster = ("out", "in")
 
     @staticmethod
     def _transform(q):

@@ -55,6 +55,7 @@ from .expectations import (
 from .registry import node
 
 _LOG2PI = 1.8378770664093453
+_LOG2PIE = 2.837877066409345  # log(2*pi*e)
 
 
 # =================================================================================
@@ -64,6 +65,9 @@ _LOG2PI = 1.8378770664093453
 @node("NormalMeanVariance")
 class NormalMeanVarianceNode:
     interfaces = ("out", "mean", "var")
+    # BP cluster: out & mean exchange messages (reference default structured
+    # factorization q(out, mean); the noise stays across the mean-field split)
+    cavity_cluster = ("out", "mean")
 
     @staticmethod
     def message_to_out(q):
@@ -99,14 +103,22 @@ class NormalMeanVarianceNode:
 @node("NormalMeanPrecision")
 class NormalMeanPrecisionNode:
     interfaces = ("out", "mean", "prec")
+    cavity_cluster = ("out", "mean")
 
     @staticmethod
     def message_to_out(q):
-        return NormalMeanPrecision(e_mean(q["mean"]), e_precision(q["prec"]))
+        # Structured-cluster (BP) form: the mean's own uncertainty propagates
+        # (reference rule (m_mean, q_prec) → N(mean(m_μ), var(m_μ) + 1/E[w]));
+        # collapses to the VMP form when the mean is observed/constant.
+        return NormalMeanVariance(
+            e_mean(q["mean"]), 1.0 / e_precision(q["prec"]) + e_var(q["mean"])
+        )
 
     @staticmethod
     def message_to_mean(q):
-        return NormalMeanPrecision(e_mean(q["out"]), e_precision(q["prec"]))
+        return NormalMeanVariance(
+            e_mean(q["out"]), 1.0 / e_precision(q["prec"]) + e_var(q["out"])
+        )
 
     @staticmethod
     def message_to_prec(q):
@@ -135,6 +147,7 @@ def _mv_centered_second_moment(q):
 @node("MvNormalMeanCovariance")
 class MvNormalMeanCovarianceNode:
     interfaces = ("out", "mean", "cov")
+    cavity_cluster = ("out", "mean")
 
     @staticmethod
     def message_to_out(q):
@@ -171,14 +184,23 @@ class MvNormalMeanCovarianceNode:
 @node("MvNormalMeanPrecision")
 class MvNormalMeanPrecisionNode:
     interfaces = ("out", "mean", "prec")
+    cavity_cluster = ("out", "mean")
 
     @staticmethod
     def message_to_out(q):
-        return MvNormalMeanPrecision(e_mean(q["mean"]), e_precision(q["prec"]))
+        # Structured-cluster (BP) form: neighbor covariance propagates
+        # (collapses to the VMP form for observed/constant means).
+        return MvNormalMeanCovariance(
+            e_mean(q["mean"]),
+            pd_inverse(e_precision(q["prec"])) + e_cov(q["mean"]),
+        )
 
     @staticmethod
     def message_to_mean(q):
-        return MvNormalMeanPrecision(e_mean(q["out"]), e_precision(q["prec"]))
+        return MvNormalMeanCovariance(
+            e_mean(q["out"]),
+            pd_inverse(e_precision(q["prec"])) + e_cov(q["out"]),
+        )
 
     @staticmethod
     def message_to_prec(q):
@@ -818,6 +840,8 @@ _NODES["NormalMixture"] = NormalMixtureNode
 
 class _GaussianDotBase:
     interfaces = ("out", "in", "A", "b", "var")
+    # out and in form one BP cluster (rules are message-form already)
+    cavity_cluster = ("out", "in")
 
     @staticmethod
     def _a(q):
@@ -961,19 +985,162 @@ class SumNode:
     def _terms(q):
         return sorted((k for k in q if k.startswith("in")), key=lambda k: int(k[2:]))
 
+    @staticmethod
+    def _is_mv(d):
+        from ..dists.gaussian import AbstractMvNormal
+
+        return isinstance(d, AbstractMvNormal) or (
+            isinstance(d, PointMass) and jnp.ndim(d.point) >= 1
+        )
+
+    # -- natural-form Gaussian convolution algebra -------------------------------
+    # Cavity messages may carry singular precision (e.g. a dot-product
+    # likelihood informs only one direction of a vector sum), so moment-form
+    # arithmetic (means/covariances) is NaN-prone.  Convolution of Gaussian
+    # messages is done directly on (xi, W):
+    #   conv((xi1,W1),(xi2,W2)) = (W2 S xi1 + W1 S xi2, W1 S W2), S=(W1+W2)^-1
+    # which is exact and finite whenever the *pair* is jointly informative,
+    # even if each side alone is flat or rank-deficient.  The zero natural
+    # vector stays the identity (flat message).
+    @staticmethod
+    def _nat(d):
+        """(xi, w, mv?) for a Gaussian-family carrier; PointMass handled by
+        callers (exact shift)."""
+        from ..dists.gaussian import (
+            AbstractMvNormal,
+            as_mv_weighted_mean_precision,
+            as_weighted_mean_precision,
+        )
+
+        if isinstance(d, AbstractMvNormal):
+            f = as_mv_weighted_mean_precision(d)
+            return f.xi, f.w, True
+        f = as_weighted_mean_precision(d)
+        return f.xi, f.w, False
+
+    @staticmethod
+    def _conv(n1, n2, mv):
+        xi1, w1 = n1
+        xi2, w2 = n2
+        if mv:
+            s = w1 + w2
+            a1 = jnp.linalg.solve(s, xi1)
+            a2 = jnp.linalg.solve(s, xi2)
+            sw2 = jnp.linalg.solve(s, w2)
+            return w2 @ a1 + w1 @ a2, w1 @ sw2
+        s = w1 + w2
+        return (w2 * xi1 + w1 * xi2) / s, w1 * w2 / s
+
+    @classmethod
+    def _conv_terms(cls, q, keys):
+        """Convolution of the listed Gaussian terms plus PointMass shift.
+
+        Returns ((xi, w) or None if all terms are PointMass, shift, mv)."""
+        shift = None
+        nat = None
+        mv = False
+        for k in keys:
+            d = q[k]
+            if isinstance(d, PointMass):
+                shift = d.point if shift is None else shift + d.point
+                mv = mv or jnp.ndim(d.point) >= 1
+                continue
+            xi, w, is_mv = cls._nat(d)
+            mv = mv or is_mv
+            nat = (xi, w) if nat is None else cls._conv(nat, (xi, w), is_mv)
+        return nat, shift, mv
+
     @classmethod
     def message_to_out(cls, q):
         keys = cls._terms(q)
-        m = sum(e_mean(q[k]) for k in keys)
-        v = sum(e_var(q[k]) for k in keys)
-        return NormalMeanVariance(m, v)
+        nat, shift, mv = cls._conv_terms(q, keys)
+        if nat is None:
+            return PointMass(shift)
+        xi, w = nat
+        if shift is not None:
+            xi = xi + (w @ shift if mv else w * shift)
+        if mv:
+            return MvNormalWeightedMeanPrecision(xi, w)
+        return NormalWeightedMeanPrecision(xi, w)
 
     @classmethod
     def _message_to_in_i(cls, q, i):
-        keys = cls._terms(q)
-        m = e_mean(q["out"]) - sum(e_mean(q[k]) for k in keys if k != f"in{i}")
-        v = e_var(q["out"]) + sum(e_var(q[k]) for k in keys if k != f"in{i}")
-        return NormalMeanVariance(m, v)
+        keys = [k for k in cls._terms(q) if k != f"in{i}"]
+        # in_i = out - sum(others): negate the others' convolution, then
+        # convolve with the out-side cavity.
+        nat_o, shift_o, mv = cls._conv_terms(q, keys)
+        out = q["out"]
+        if isinstance(out, PointMass):
+            if nat_o is None:
+                return PointMass(out.point if shift_o is None else out.point - shift_o)
+            xi, w = (-nat_o[0], nat_o[1])
+            delta = out.point if shift_o is None else out.point - shift_o
+            xi = xi + (w @ delta if mv else w * delta)
+            return (
+                MvNormalWeightedMeanPrecision(xi, w)
+                if mv
+                else NormalWeightedMeanPrecision(xi, w)
+            )
+        xi_out, w_out, out_mv = cls._nat(out)
+        mv = mv or out_mv
+        if nat_o is None:
+            xi = xi_out if shift_o is None else (
+                xi_out - (w_out @ shift_o if mv else w_out * shift_o)
+            )
+            return (
+                MvNormalWeightedMeanPrecision(xi, w_out)
+                if mv
+                else NormalWeightedMeanPrecision(xi, w_out)
+            )
+        xi, w = cls._conv((xi_out, w_out), (-nat_o[0], nat_o[1]), mv)
+        if shift_o is not None:
+            xi = xi - (w @ shift_o if mv else w * shift_o)
+        return (
+            MvNormalWeightedMeanPrecision(xi, w)
+            if mv
+            else NormalWeightedMeanPrecision(xi, w)
+        )
+
+    @classmethod
+    def bethe_term(cls, q):
+        """Delta-node Bethe contribution -H[q(in_1..in_k)] from cavity
+        messages: q(ins) ∝ Π N(x_i; a_i, V_i) · m_out(Σ x_i) with out-cavity
+        N(b, W); joint precision J = diag(V⁻¹) + 11ᵀ/W (scalar) so by the
+        determinant lemma logdet J = -Σ log V_i + log1p(ΣV_i / W).  On trees
+        this makes total FE == -log Z exactly (reference: deterministic-node
+        FactorBoundFreeEnergy via joint marginalrule + CountingReal)."""
+        keys = [kk for kk in cls._terms(q) if not isinstance(q[kk], PointMass)]
+        k = len(keys)
+        mv = "Mv" in type(q[keys[0]]).__name__
+        out_pm = isinstance(q["out"], PointMass)
+        if out_pm:
+            # out observed: q(ins) constrained to the hyperplane Σx = y —
+            # a (k-1)·d-dim Gaussian; input cavities are proper here.
+            if not mv:
+                vs = [e_var(q[kk]) for kk in keys]
+                return -0.5 * (k - 1) * _LOG2PIE + 0.5 * (
+                    -sum(jnp.log(v) for v in vs) + jnp.log(sum(vs))
+                )
+            covs = [e_cov(q[kk]) for kk in keys]
+            s = sum(covs)
+            d = s.shape[-1]
+            return -0.5 * (k - 1) * d * _LOG2PIE + 0.5 * (
+                -sum(pd_logdet(v) for v in covs) + pd_logdet(s)
+            )
+        # Random out: joint precision over the inputs in natural form,
+        # J = blockdiag(W_i) + (11ᵀ) ⊗ W_out — finite even when the out
+        # cavity is rank-deficient (e.g. informed only through a dot).
+        nats = [cls._nat(q[kk]) for kk in keys]
+        _, w_out, out_mv = cls._nat(q["out"])
+        d = nats[0][1].shape[-1] if mv else 1
+        if not mv:
+            jmat = jnp.diag(jnp.stack([n[1] for n in nats])) + w_out
+        else:
+            jmat = jnp.tile(w_out, (k, k))
+            for i, (_, w_i, _) in enumerate(nats):
+                jmat = jmat.at[i * d:(i + 1) * d, i * d:(i + 1) * d].add(w_i)
+        logdet_j = jnp.linalg.slogdet(jmat)[1]
+        return -0.5 * k * d * _LOG2PIE + 0.5 * logdet_j
 
 
 class _DynamicInMeta(type):

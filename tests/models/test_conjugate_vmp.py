@@ -63,11 +63,40 @@ def test_unknown_mean_precision_vmp():
     assert abs(fe[-1] - fe[-2]) < 1e-5 * abs(fe[-1]) + 1e-4
 
 
-def test_requires_initialization():
+def test_auto_vague_initialization():
+    """The (mu, tau) coupling is a bipartite tree, so the compiler schedules a
+    fwd+bwd sweep with automatic vague initialization instead of erroring
+    (reference UX requires explicit @initialization; ours only errors on truly
+    loopy graphs — see test_loopy_requires_initialization).  The fixed point
+    must match explicit vague init."""
     rng = np.random.default_rng(0)
-    y = rng.standard_normal(10).astype(np.float32)
+    y = (1.0 + rng.standard_normal(50)).astype(np.float32)
+    res = rx.infer(model=make_model(), data={"y": y}, iterations=20)
+    init = {"tau": GammaShapeRate(0.01, 0.01),
+            "mu": NormalMeanVariance(0.0, 1.0e6)}
+    ref = rx.infer(model=make_model(), data={"y": y}, iterations=20,
+                   initialization=init)
+    assert np.isclose(float(res.posteriors["mu"].mean()),
+                      float(ref.posteriors["mu"].mean()), rtol=1e-4)
+    assert np.isclose(float(res.posteriors["tau"].a),
+                      float(ref.posteriors["tau"].a), rtol=1e-4)
+
+
+def test_loopy_requires_initialization():
+    """A genuinely loopy (non-tree) uninitialized model still raises the
+    reference-style initialization error."""
+
+    @rx.model
+    def loopy(y):
+        a = rx.Normal(mean=0.0, var=1.0)
+        b = rx.Normal(mean=a, var=1.0)
+        c = rx.Sum(a, b)
+        y.observe(rx.Normal(mean=c, var=1.0))
+        return {"a": a, "b": b, "c": c}
+
     try:
-        rx.infer(model=make_model(), data={"y": y}, iterations=2)
+        rx.infer(model=loopy, data={"y": np.asarray(1.0, np.float32)},
+                 iterations=2)
         raise AssertionError("expected initialization error")
     except ValueError as e:
         assert "initialization" in str(e).lower()

