@@ -26,6 +26,7 @@ from .graph import (  # noqa: F401
     FixedMarginalFormConstraint,
     FullFactorization,
     MeanField,
+    factorize,
     PointMassFormConstraint,
     SampleListFormConstraint,
     constraints,

@@ -215,10 +215,12 @@ def gaussian_pair_fe(f: Factor, q: dict, state: dict, in_key: str,
 class FactorFE:
     """Per-factor free-energy contribution evaluator (compiled once)."""
 
-    def __init__(self, factor: Factor, is_chain_transition: bool, chain_scalar: bool):
+    def __init__(self, factor: Factor, is_chain_transition: bool,
+                 chain_scalar: bool, mean_field: bool = False):
         self.factor = factor
         self.is_chain_transition = is_chain_transition
         self.chain_scalar = chain_scalar
+        self.mean_field = mean_field
         from ..rules.registry import get_node
 
         # Deterministic (delta) nodes have no average energy; their whole Bethe
@@ -234,7 +236,12 @@ class FactorFE:
         # Structured (out, in) pair treatment — see gaussian_pair_fe.
         self.pair = None
         f = factor
-        if not is_chain_transition and f.plate is None and f.out.var.kind == "random":
+        if (
+            not is_chain_transition
+            and not mean_field
+            and f.plate is None
+            and f.out.var.kind == "random"
+        ):
             if f.fform in _GAUSS_PAIR_NOISE:
                 mean_ref = f.interfaces.get("mean")
                 if isinstance(mean_ref, Ref) and mean_ref.var.kind == "random":

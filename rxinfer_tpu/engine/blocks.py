@@ -189,7 +189,7 @@ class PlainGroup:
     (src/model/plugins/reactivemp_inference.jl:362-447)."""
 
     def __init__(self, var, family: str, adjacency: list[tuple[Factor, str]],
-                 form_constraint=None):
+                 form_constraint=None, mf_ids=None):
         self.var = var
         self.family = family
         # adjacency: (factor, interface-name-where-this-group-appears)
@@ -198,17 +198,20 @@ class PlainGroup:
         # (reference: constrain_form + EnsureSupportedFunctionalForm,
         # src/constraints/form/)
         self.form_constraint = form_constraint
+        # factor ids split to mean-field by a factorization constraint
+        self.mf_ids = mf_ids or set()
 
     def update(self, state: dict, data: dict, chain_cross: dict) -> Any:
         msgs = []
         length = self.var.length
         for f, iface in self.adjacency:
-            rule = get_message_rule(f.fform, iface)
+            mean_field = f.id in self.mf_ids
+            rule = get_message_rule(f.fform, iface, vmp=mean_field)
             from ..rules.registry import get_node
 
             node_cls = get_node(f.fform)
             needs_self = getattr(node_cls, "needs_self_marginal", False)
-            uses_cavity = in_cavity_cluster(node_cls, iface)
+            uses_cavity = (not mean_field) and in_cavity_cluster(node_cls, iface)
             q = build_q(f, state, data,
                         exclude=None if needs_self else iface,
                         chain_cross=chain_cross)

@@ -380,6 +380,38 @@ def _vague_for(family: str, event_shape: tuple):
     )
 
 
+def _mean_field_factor_ids(graph: ModelGraph, constraints) -> set[int]:
+    """Factor ids whose neighborhood is split by a factorization constraint."""
+    fac = getattr(constraints, "factorization", None) if constraints else None
+    if fac is None:
+        return set()
+    from ..graph.constraints import MeanField
+
+    if isinstance(fac, MeanField):
+        return {f.id for f in graph.factors}
+    known = {v.name for v in graph.random_variables()}
+    groups = []
+    for names in fac:
+        unknown = set(names) - known
+        if unknown:
+            raise ValueError(
+                f"factorization constraint names unknown variables {sorted(unknown)}"
+            )
+        groups.append(set(names))
+    ids: set[int] = set()
+    for f in graph.factors:
+        rvars = {
+            v.var.name
+            for v in f.all_interfaces().values()
+            if isinstance(v, Ref) and v.var.kind == "random"
+        }
+        for g in groups:
+            if len(rvars & g) >= 2:
+                ids.add(f.id)
+                break
+    return ids
+
+
 class CompiledModel:
     """AOT-compiled inference program for one model × data-shape signature."""
 
@@ -400,6 +432,10 @@ class CompiledModel:
                     merged.update(extra if isinstance(extra, dict) else {"meta": extra})
                     f.meta = merged
         contract_deltas(graph)
+        # Factorization constraints → factors forced to mean-field semantics
+        # (reference @constraints q(x,y)=q(x)q(y) / MeanField(); the
+        # VariationalConstraintsPlugin's factorization indices, SURVEY.md §2.2).
+        self.mf_factor_ids = _mean_field_factor_ids(graph, constraints)
         self.infos = resolve_groups(graph)
         normalize_transitions(graph, self.infos)
         self.chains = detect_chains(graph, self.infos)
@@ -453,7 +489,8 @@ class CompiledModel:
                 if constraints is not None and getattr(constraints, "forms", None):
                     form = constraints.forms.get(name)
                 group = PlainGroup(var, self.infos[name].family, adjacency,
-                                   form_constraint=form)
+                                   form_constraint=form,
+                                   mf_ids=self.mf_factor_ids)
                 # Validate rules exist now (compile-time rule resolution).
                 for f, iface in adjacency:
                     get_message_rule(f.fform, iface)
@@ -515,6 +552,7 @@ class CompiledModel:
                         if f.out.var.kind == "random" and f.out.var.name in self.chains
                         else False
                     ),
+                    mean_field=f.id in self.mf_factor_ids,
                 )
                 for f in self.graph.factors
             ]

@@ -26,18 +26,38 @@ import jax.numpy as jnp
 
 
 class MeanField:
-    """Fully factorized variational family (reference MeanField())."""
+    """Fully factorized variational family (reference MeanField()): every
+    factor's neighborhood is split into independent marginals — messages use
+    the nodes' mean-field (``q_*``) rule variants and the Bethe FE uses
+    mean-field factor entropies.  Exact chain blocks (Kalman / forward-
+    backward) are kept structured: they are exact and strictly dominate the
+    mean-field approximation on chains."""
 
 
 class FullFactorization:
-    """Alias of the engine default (structured chains + factorized groups)."""
+    """Alias of the engine default (structured pairwise clusters on Gaussian
+    mean/out and deterministic nodes; mean-field across parameter links)."""
+
+
+def factorize(*pairs: tuple) -> list:
+    """q(x, y) = q(x) q(y) splits (reference ``@constraints q(x, y) = q(x)q(y)``).
+
+    Each pair names two variables whose joint is forced to factorize: every
+    factor connecting them switches to mean-field (VMP) message semantics and
+    mean-field free-energy accounting."""
+    out = []
+    for p in pairs:
+        if len(p) < 2:
+            raise ValueError(f"factorize() pairs need >= 2 names, got {p!r}")
+        out.append(tuple(p))
+    return out
 
 
 @dataclasses.dataclass
 class Constraints:
     """Container passed to infer(constraints=...)."""
 
-    factorization: Any = None
+    factorization: Any = None  # MeanField() | list of name-tuples | None
     forms: Optional[dict] = None  # var name -> form constraint
 
 

@@ -79,6 +79,15 @@ class NormalMeanVarianceNode:
         return NormalMeanVariance(e_mean(q["out"]), e_mean(q["var"]) + e_var(q["out"]))
 
     @staticmethod
+    def vmp_message_to_out(q):
+        # mean-field (q_mean) variant: no neighbor-variance propagation
+        return NormalMeanVariance(e_mean(q["mean"]), e_mean(q["var"]))
+
+    @staticmethod
+    def vmp_message_to_mean(q):
+        return NormalMeanVariance(e_mean(q["out"]), e_mean(q["var"]))
+
+    @staticmethod
     def message_to_var(q):
         """Conjugate InverseGamma message: ∝ v^{-1/2} exp(-C/(2v)) — the
         improper a=-1/2 carrier; prior product adds (1/2, C/2)."""
@@ -121,6 +130,14 @@ class NormalMeanPrecisionNode:
         )
 
     @staticmethod
+    def vmp_message_to_out(q):
+        return NormalMeanPrecision(e_mean(q["mean"]), e_precision(q["prec"]))
+
+    @staticmethod
+    def vmp_message_to_mean(q):
+        return NormalMeanPrecision(e_mean(q["out"]), e_precision(q["prec"]))
+
+    @staticmethod
     def message_to_prec(q):
         c = e_sq(q["out"]) - 2.0 * e_mean(q["out"]) * e_mean(q["mean"]) + e_sq(q["mean"])
         return GammaShapeRate(jnp.full_like(c, 1.5), 0.5 * c)
@@ -156,6 +173,14 @@ class MvNormalMeanCovarianceNode:
     @staticmethod
     def message_to_mean(q):
         return MvNormalMeanCovariance(e_mean(q["out"]), e_mean(q["cov"]) + e_cov(q["out"]))
+
+    @staticmethod
+    def vmp_message_to_out(q):
+        return MvNormalMeanCovariance(e_mean(q["mean"]), e_mean(q["cov"]))
+
+    @staticmethod
+    def vmp_message_to_mean(q):
+        return MvNormalMeanCovariance(e_mean(q["out"]), e_mean(q["cov"]))
 
     @staticmethod
     def message_to_cov(q):
@@ -201,6 +226,14 @@ class MvNormalMeanPrecisionNode:
             e_mean(q["out"]),
             pd_inverse(e_precision(q["prec"])) + e_cov(q["out"]),
         )
+
+    @staticmethod
+    def vmp_message_to_out(q):
+        return MvNormalMeanPrecision(e_mean(q["mean"]), e_precision(q["prec"]))
+
+    @staticmethod
+    def vmp_message_to_mean(q):
+        return MvNormalMeanPrecision(e_mean(q["out"]), e_precision(q["prec"]))
 
     @staticmethod
     def message_to_prec(q):

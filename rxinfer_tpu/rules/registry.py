@@ -55,8 +55,18 @@ def get_node(fform: str):
         ) from None
 
 
-def get_message_rule(fform: str, iface: str) -> Callable:
+def get_message_rule(fform: str, iface: str, vmp: bool = False) -> Callable:
+    """Resolve the message rule for (node, interface).
+
+    ``vmp=True`` selects the node's mean-field variant (``vmp_message_to_*``,
+    the reference's ``q_*`` rule signatures) when one exists — used for
+    factors split by an explicit factorization constraint; otherwise the
+    default (structured/BP ``m_*``-style) rule is returned."""
     cls = get_node(fform)
+    if vmp:
+        fn = getattr(cls, f"vmp_message_to_{iface}", None)
+        if fn is not None:
+            return fn
     fn = getattr(cls, f"message_to_{iface}", None)
     if fn is None:
         raise RuleNotFoundError(
