@@ -21,6 +21,8 @@ from .dists import *  # noqa: F401,F403 — distribution families are top-level 
 # inside an @model trace they create factor nodes, outside they construct
 # distributions — the raw classes remain available under rxinfer_tpu.dists).
 from .graph import (  # noqa: F401
+    factor_node,
+    lincomb,
     AbstractFormConstraint,
     Constraints,
     FixedMarginalFormConstraint,
@@ -80,6 +82,7 @@ from .inference_streaming import (  # noqa: F401
     RxInferenceEngine,
     autoupdates,
 )
+from .rules.registry import NodeFunctionRuleFallback  # noqa: F401
 from .rules import DeltaMeta, Linearization, Unscented  # noqa: F401
 from .utils.callbacks import (  # noqa: F401
     BenchmarkCallbacks,

@@ -62,7 +62,7 @@ from .discrete import (
     Multinomial,
 )
 from .matrix import InverseWishart, Wishart, WishartInverseScale
-from .pointmass import PointMass, SampleList, register_pointmass_products
+from .pointmass import LogPdfMessage, PointMass, SampleList, register_pointmass_products
 
 # PointMass absorbs products with every registered family.
 register_pointmass_products(

@@ -196,6 +196,14 @@ def prod_all(dists: list[Distribution]) -> Distribution:
     Mixed families raise — the compile/runtime analogue of the reference's
     EnsureSupportedFunctionalForm error on unresolved non-conjugate products
     (src/constraints/form/form_ensure_supported.jl:15-54)."""
+    from .pointmass import PointMass
+
+    points = [d for d in dists if isinstance(d, PointMass)]
+    if points:
+        # a point-mass message collapses the product (reference: GenericProd
+        # with PointMass / the ForcePointMass pattern,
+        # test/models/statespace/collision_tests.jl:33-35)
+        return points[0]
     keys = [family_key(d) for d in dists]
     key = keys[0]
     if any(k != key for k in keys):

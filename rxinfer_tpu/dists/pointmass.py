@@ -106,3 +106,30 @@ class SampleList(Distribution):
 
     def batch_shape(self):
         return jnp.shape(self.log_weights)[:-1]
+
+
+class LogPdfMessage:
+    """Function-form message: an unnormalized log-density over the target edge.
+
+    Produced by the node-function rule fallback (reference:
+    NodeFunctionRuleFallback, docs/src/manuals/inference/undefinedrules.md:82-113)
+    when a node defines only ``logpdf``.  The carrier cannot enter conjugate
+    natural-parameter products — a functional-form constraint (ProjectedTo /
+    SampleList / PointMass) must project the product, exactly as the reference
+    requires a ``q(x) :: ProjectedTo(...)`` constraint with the fallback.
+
+    ``log_fn(x)`` may return extra trailing (plate) axes; they are summed —
+    the log-density of a plate of factor copies is the sum of per-copy terms.
+    """
+
+    def __init__(self, log_fn, plate_axes: int = 0):
+        self.log_fn = log_fn
+        self.plate_axes = plate_axes
+
+    def logpdf(self, x):
+        import jax.numpy as jnp
+
+        val = self.log_fn(x)
+        if self.plate_axes:
+            val = jnp.sum(val, axis=tuple(range(-self.plate_axes, 0)))
+        return val

@@ -189,7 +189,7 @@ class PlainGroup:
     (src/model/plugins/reactivemp_inference.jl:362-447)."""
 
     def __init__(self, var, family: str, adjacency: list[tuple[Factor, str]],
-                 form_constraint=None, mf_ids=None):
+                 form_constraint=None, mf_ids=None, rule_overrides=None):
         self.var = var
         self.family = family
         # adjacency: (factor, interface-name-where-this-group-appears)
@@ -200,13 +200,19 @@ class PlainGroup:
         self.form_constraint = form_constraint
         # factor ids split to mean-field by a factorization constraint
         self.mf_ids = mf_ids or set()
+        # (factor.id, iface) -> rule fn (NodeFunctionRuleFallback resolutions)
+        self.rule_overrides = rule_overrides or {}
 
     def update(self, state: dict, data: dict, chain_cross: dict) -> Any:
+        from ..dists import LogPdfMessage
+
         msgs = []
         length = self.var.length
         for f, iface in self.adjacency:
             mean_field = f.id in self.mf_ids
-            rule = get_message_rule(f.fform, iface, vmp=mean_field)
+            rule = self.rule_overrides.get((f.id, iface)) or get_message_rule(
+                f.fform, iface, vmp=mean_field
+            )
             from ..rules.registry import get_node
 
             node_cls = get_node(f.fform)
@@ -232,7 +238,13 @@ class PlainGroup:
                         key = f"_msg:{f.id}:{name}"
                         if key in state:
                             q[name] = nat_div(q[name], state[key])
-            msg = mask_message(rule(q), factor_data_mask(f, data))
+            raw = rule(q)
+            if isinstance(raw, LogPdfMessage):
+                # function-form fallback message: the plate product is already
+                # folded into the log-density; a form constraint must project
+                msgs.append(raw)
+                continue
+            msg = mask_message(raw, factor_data_mask(f, data))
             if uses_cavity:
                 # store per-copy messages with a stable shape/dtype (broadcast
                 # unbatched messages over the plate) so the store is a valid
@@ -264,6 +276,17 @@ class PlainGroup:
             # non-conjugate product: project the message product onto the
             # target family (reference ProjectedTo / ProjectionExt)
             return self.form_constraint.project_product(msgs)
+        if any(isinstance(m, LogPdfMessage) for m in msgs):
+            from ..dists.base import ProductError
+
+            raise ProductError(
+                f"Variable {self.var.name} receives a function-form fallback "
+                "message (NodeFunctionRuleFallback); add a functional-form "
+                "constraint for it, e.g. constraints(forms={"
+                f"{self.var.name!r}: ProjectedTo(...)}}) — the reference "
+                "likewise requires q(x)::ProjectedTo(...) with the fallback "
+                "(docs/src/manuals/inference/undefinedrules.md)."
+            )
         q = prod_all(msgs)
         from ..dists.matrix import WishartInverseScale
 

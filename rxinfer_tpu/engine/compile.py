@@ -449,6 +449,8 @@ class CompiledModel:
             init[name] = _vague_for(gi.family, gi.event_shape)
         self.init = init
         self.use_parallel = options.get("parallel_scans", True)
+        # reference: infer(options=(rulefallback=NodeFunctionRuleFallback(),))
+        self.rulefallback = options.get("rulefallback")
         # reference: ObjectiveDiagnosticCheckNaNs/Infs (src/score/diagnostics.jl)
         self.check_objective = options.get("check_objective", False)
 
@@ -488,12 +490,22 @@ class CompiledModel:
                 form = None
                 if constraints is not None and getattr(constraints, "forms", None):
                     form = constraints.forms.get(name)
+                rule_overrides = {}
+                for f, iface in adjacency:
+                    # Validate rules exist now (compile-time rule resolution);
+                    # missing rules resolve through the configured fallback.
+                    try:
+                        get_message_rule(f.fform, iface)
+                    except RuleNotFoundError:
+                        if self.rulefallback is None:
+                            raise
+                        rule_overrides[(f.id, iface)] = (
+                            self.rulefallback.make_rule(f.fform, iface)
+                        )
                 group = PlainGroup(var, self.infos[name].family, adjacency,
                                    form_constraint=form,
-                                   mf_ids=self.mf_factor_ids)
-                # Validate rules exist now (compile-time rule resolution).
-                for f, iface in adjacency:
-                    get_message_rule(f.fform, iface)
+                                   mf_ids=self.mf_factor_ids,
+                                   rule_overrides=rule_overrides)
                 self.blocks.append(("plain", group))
 
         # Free-energy plan (built lazily: some nodes, e.g. Delta, define no

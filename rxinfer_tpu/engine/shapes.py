@@ -54,6 +54,7 @@ _OUT_FAMILY = {
     "Multinomial": "poisson",
     "ContinuousTransition": "mv_gaussian",
     "Sum": None,  # follows inputs (scalar or Mv)
+    "LinComb": None,  # out = sum A_i in_i + b: shape from the maps
     "Uninformative": "gaussian",
     "GaussianSumCovariance": "gaussian",
     "GaussianSumPrecision": "gaussian",
@@ -108,6 +109,21 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
         return ()
     if ff == "Sum":
         # out = sum of inputs: event shape follows any resolvable input
+        for k in f.interfaces:
+            if k.startswith("in"):
+                s = shape_of(k)
+                if s is not None:
+                    return s
+        return None
+    if ff == "LinComb":
+        for k, v in f.interfaces.items():
+            if k.startswith("A") and k != "A" and isinstance(v, Const):
+                sh = _const_shape(v)
+                if len(sh) == 2:
+                    return (sh[0],)
+                if len(sh) == 1:
+                    return ()
+        # scalar multipliers: out shape follows any resolvable input
         for k in f.interfaces:
             if k.startswith("in"):
                 s = shape_of(k)
@@ -224,6 +240,15 @@ def infer_input_shape(f: Factor, iface: str, out_shape) -> tuple | None:
         return out_shape
     if ff == "Sum" and iface.startswith("in"):
         return out_shape
+    if ff == "LinComb" and iface.startswith("in"):
+        a = f.interfaces.get("A" + iface[2:])
+        if isinstance(a, Const):
+            sh = _const_shape(a)
+            if len(sh) >= 1:
+                # trailing dim 1 = column map from a scalar input
+                return (sh[-1],) if sh[-1] > 1 else ()
+            return out_shape  # scalar multiplier: same space as out
+        return None
     return None
 
 
@@ -295,7 +320,7 @@ def input_family(f: Factor, iface: str) -> str | None:
     if ff in ("Delta", "NonlinearGaussianCovariance",
               "NonlinearGaussianPrecision") and iface.startswith("in"):
         return None  # shape decides gaussian vs mv_gaussian (filled in pass)
-    if ff == "Sum" and iface.startswith("in"):
+    if ff in ("Sum", "LinComb") and iface.startswith("in"):
         return None  # shape decides gaussian vs mv_gaussian (out mirrors inputs)
     if ff in ("GaussianSumCovariance", "GaussianSumPrecision") and iface.startswith("in"):
         return "gaussian"
@@ -328,7 +353,7 @@ def resolve_groups(graph: ModelGraph) -> dict[str, GroupInfo]:
                         gi.event_shape = s
                         changed = True
                 if f.fform in ("Delta", "NonlinearGaussianCovariance",
-                               "NonlinearGaussianPrecision", "Sum") \
+                               "NonlinearGaussianPrecision", "Sum", "LinComb") \
                         and gi.family is None and gi.event_shape is not None:
                     gi.family = "mv_gaussian" if len(gi.event_shape) == 1 else "gaussian"
                     changed = True

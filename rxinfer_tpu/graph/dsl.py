@@ -65,14 +65,15 @@ class RVRef:
 
     def __mul__(self, c):
         c = np.asarray(c)
-        if c.ndim != 0:
-            raise TypeError("Only scalar * rv supported; use A @ x for matrices.")
+        if c.ndim > 2:
+            raise TypeError("rv multipliers must be scalar, vector, or matrix.")
+        # vector/matrix * scalar-rv: a column map into a vector space
         return LinearExpr(c, self, None)
 
     __rmul__ = __mul__
 
     def __add__(self, b):
-        if isinstance(b, RVRef):
+        if isinstance(b, (RVRef, LinearExpr)):
             return AddExpr((self, b))
         return LinearExpr(None, self, np.asarray(b))
 
@@ -99,6 +100,9 @@ class LinearExpr:
         self.b = b
 
     def __add__(self, b2):
+        if isinstance(b2, (RVRef, LinearExpr)):
+            # mixed combination of random terms: A @ x + B @ u (+ ...)
+            return AddExpr((self, b2))
         b2 = np.asarray(b2)
         b = b2 if self.b is None else self.b + b2
         return LinearExpr(self.a, self.x, b)
@@ -124,7 +128,8 @@ class LinearExpr:
 
 
 class AddExpr:
-    """Sum of random variables (lowered to a 'Sum' deterministic node)."""
+    """Sum of random terms — plain rvs (lowered to a 'Sum' deterministic node)
+    or linear-map terms ``A @ x`` (lowered to a 'LinComb' node)."""
 
     __array_ufunc__ = None
 
@@ -132,9 +137,15 @@ class AddExpr:
         self.terms = tuple(terms)
 
     def __add__(self, other):
-        if isinstance(other, RVRef):
+        if isinstance(other, (RVRef, LinearExpr)):
             return AddExpr(self.terms + (other,))
-        raise TypeError("Mixed rv-sum expressions support rv + rv only.")
+        raise TypeError("rv-sum expressions support rv / A @ rv terms only.")
+
+    __radd__ = __add__
+
+    @property
+    def has_linear_terms(self):
+        return any(isinstance(t, LinearExpr) for t in self.terms)
 
 
 def dot(a, x: RVRef) -> LinearExpr:
@@ -467,7 +478,10 @@ def _gaussian(kind_scalar: str, kwargs: dict) -> RVRef:
         # GaussianSum factor (exact BP messages + well-defined average energy;
         # reference anonymous-node contraction,
         # docs/src/manuals/model-specification.md:332-447).
-        if noise_name in ("var", "cov", "prec"):
+        if mean.has_linear_terms:
+            # mixed A @ x + B @ u combinations: explicit LinComb node
+            mean = lincomb(mean)
+        elif noise_name in ("var", "cov", "prec"):
             interfaces = {
                 f"in{i}": _as_interface(t) for i, t in enumerate(mean.terms)
             }
@@ -476,9 +490,9 @@ def _gaussian(kind_scalar: str, kwargs: dict) -> RVRef:
                 "Covariance" if noise_name in ("var", "cov") else "Precision"
             )
             return _builder().emit(fform, interfaces)
-        # scale-precision parametrization: fall back to an explicit Sum node
-        s = Sum(*mean.terms)
-        mean = s
+        else:
+            # scale-precision parametrization: explicit Sum node fallback
+            mean = Sum(*mean.terms)
     if isinstance(mean, LinearExpr):
         # Fold deterministic linear map into a LinearGaussian factor
         # (reference: node contraction of anonymous deterministic nodes,
@@ -732,6 +746,49 @@ def tie(x: RVRef, node: RVRef) -> RVRef:
             f.evidence = True
     b.rebind(node.ref, x.ref)
     return x
+
+
+def lincomb(expr) -> RVRef:
+    """Materialize a deterministic linear combination of random variables:
+    ``x_next = lincomb(A @ x + B @ u)`` — the reference's composed ``*``/``+``
+    deterministic nodes (``x[t+1] ~ A * x[t] + B * u[t]``,
+    test/models/statespace/collision_tests.jl:66-68)."""
+    if isinstance(expr, RVRef):
+        return expr
+    if isinstance(expr, LinearExpr):
+        expr = AddExpr((expr,))
+    if not isinstance(expr, AddExpr):
+        raise TypeError("lincomb() expects a sum of rv / A @ rv terms.")
+    interfaces = {}
+    bias = None
+    for i, t in enumerate(expr.terms):
+        if isinstance(t, RVRef):
+            interfaces[f"in{i}"] = t.ref
+            interfaces[f"A{i}"] = Const(np.asarray(1.0))
+        else:
+            if isinstance(t.a, Ref):
+                raise TypeError("lincomb() with data-indexed maps not supported.")
+            interfaces[f"in{i}"] = t.x.ref
+            interfaces[f"A{i}"] = Const(
+                np.asarray(t.a if t.a is not None else 1.0)
+            )
+            if t.b is not None:
+                bias = t.b if bias is None else bias + t.b
+    if bias is not None:
+        interfaces["b"] = Const(np.asarray(bias))
+    return _builder().emit("LinComb", interfaces)
+
+
+def factor_node(fform: str, **interfaces) -> RVRef:
+    """Emit a user-registered custom node by name (reference: custom @node
+    types used directly in @model, docs/src/manuals/inference/create-node.md).
+
+    Register rules first with ``@rxinfer_tpu.rules.registry.node("Name")``; a
+    node defining only ``logpdf`` works with
+    ``infer(options={"rulefallback": NodeFunctionRuleFallback()})``."""
+    return _builder().emit(
+        fform, {k: _as_interface(v) for k, v in interfaces.items()}
+    )
 
 
 def Probit(x) -> RVRef:

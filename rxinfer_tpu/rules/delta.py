@@ -70,6 +70,21 @@ def _moments(d):
     return m, jnp.asarray(e_cov(d)), True
 
 
+def _info_form(d):
+    """(xi, W) lifted to vector/matrix form — finite for improper carriers."""
+    from ..dists.gaussian import (
+        AbstractMvNormal,
+        as_mv_weighted_mean_precision,
+        as_weighted_mean_precision,
+    )
+
+    if isinstance(d, AbstractMvNormal):
+        f = as_mv_weighted_mean_precision(d)
+        return f.xi, f.w
+    f = as_weighted_mean_precision(d)
+    return jnp.reshape(f.xi, (1,)), jnp.reshape(f.w, (1, 1))
+
+
 def _flatten_inputs(q, keys):
     """Concatenate input means / block-diag covariances into one vector space."""
     ms, vs, dims, vecs = [], [], [], []
@@ -207,13 +222,22 @@ class DeltaNode:
             f0, s_yy, jac = _push_linearized(fn_flat, m, v)
             s_zy = v @ jac.T
 
-        # joint-Gaussian conditioning on the (noisy) out-side message:
-        #   q*(z) = N(m + K (m_out - f0), V - K (S_yy + V_out) K^T),
-        #   K = S_zy (S_yy + V_out)^{-1}
-        s_total = s_yy + v_out
-        k = jnp.linalg.solve(_symmetrize(s_total), s_zy.T).T
-        m_post = m + k @ (m_out - f0)
-        v_post = _symmetrize(v - k @ s_total @ k.T)
+        # joint-Gaussian conditioning on the (possibly improper) out-side
+        # belief, written in information form so a flat or rank-deficient out
+        # cavity degrades to a flat message instead of NaN:
+        #   K = S_zy (S_yy + W̃^-1)^-1 = S_zy (W̃ S_yy + I)^-1 W̃
+        if isinstance(q["out"], PointMass):
+            s_total = _symmetrize(s_yy)
+            k = jnp.linalg.solve(s_total, s_zy.T).T
+            m_post = m + k @ (m_out - f0)
+            v_post = _symmetrize(v - k @ s_total @ k.T)
+        else:
+            xi_o, w_o = _info_form(q["out"])
+            g = w_o @ s_yy + jnp.eye(s_yy.shape[-1], dtype=s_yy.dtype)
+            wt = jnp.linalg.solve(g, w_o)
+            xit = jnp.linalg.solve(g, xi_o - w_o @ f0)
+            m_post = m + s_zy @ xit
+            v_post = _symmetrize(v - s_zy @ wt @ s_zy.T)
 
         # Divide the joint-approximate posterior by the input's own prior
         # marginal to obtain the *message* (RxInfer delta nodes emit messages,
@@ -325,10 +349,21 @@ class _NonlinearGaussianBase:
             m_out = jnp.reshape(m_out, (1,))
             v_out = jnp.reshape(v_out, (1, 1))
         noise = _ng_noise_cov(q, f0.shape[-1])
-        s_total = _symmetrize(s_yy + v_out + noise)
-        k = jnp.linalg.solve(s_total, s_zy.T).T
-        m_post = m + k @ (m_out - f0)
-        v_post = _symmetrize(v - k @ s_total @ k.T)
+        if isinstance(q["out"], PointMass):
+            s_total = _symmetrize(s_yy + noise)
+            k = jnp.linalg.solve(s_total, s_zy.T).T
+            m_post = m + k @ (m_out - f0)
+            v_post = _symmetrize(v - k @ s_total @ k.T)
+        else:
+            # information-form conditioning: robust to flat/improper out
+            # cavities (see DeltaNode._backward)
+            xi_o, w_o = _info_form(q["out"])
+            s_mat = _symmetrize(s_yy + noise)
+            g = w_o @ s_mat + jnp.eye(s_mat.shape[-1], dtype=s_mat.dtype)
+            wt = jnp.linalg.solve(g, w_o)
+            xit = jnp.linalg.solve(g, xi_o - w_o @ f0)
+            m_post = m + s_zy @ xit
+            v_post = _symmetrize(v - s_zy @ wt @ s_zy.T)
 
         off = sum(dims[:target_idx])
         d_i = dims[target_idx]

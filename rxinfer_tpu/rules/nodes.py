@@ -1191,6 +1191,136 @@ SumNode = _DynamicInMeta("SumNode", (SumNode,), {})
 _NODES["Sum"] = SumNode
 
 
+class LinCombNode:
+    """Deterministic linear combination out = Σ A_i @ in_i + b of random
+    vectors/scalars with known matrices (reference: composed ``*`` and ``+``
+    deterministic nodes, e.g. ``x[t+1] ~ A * x[t] + B * u[t]`` in
+    test/models/statespace/collision_tests.jl:66-68; left-fold registration
+    src/model/graphppl.jl:58-83).
+
+    Interfaces: in0..inK random, A0..AK / b constant (PointMass).  Messages are
+    exact BP: forward pushes cavity moments through the maps; backward combines
+    the out cavity with the other terms via the convolution identity
+    W' = (I + W S)^-1 W (finite for rank-deficient out cavities) and pulls back
+    through A_iᵀ (proper even for non-square, non-invertible A_i — e.g. a tall
+    control matrix B informs only a subspace)."""
+
+    uses_cavity = True
+
+    @staticmethod
+    def _terms(q):
+        return sorted((k for k in q if k.startswith("in")), key=lambda k: int(k[2:]))
+
+    @staticmethod
+    def _amat(q, k, d_out):
+        a = q[f"A{k[2:]}"].point
+        if jnp.ndim(a) == 0:  # scalar multiplier: a * I on the shared space
+            return a * jnp.eye(d_out)
+        if jnp.ndim(a) == 1:
+            if d_out == 1:  # row vector: scalar out, vector in
+                return a[None, :]
+            # column map: scalar in lifted into the d_out-dim out space
+            return a[:, None]
+        return a
+
+    @staticmethod
+    def _moments_vec(d):
+        """(mean, cov) lifted to vector/matrix form."""
+        m = jnp.asarray(e_mean(d))
+        if jnp.ndim(m) == 0:
+            return jnp.reshape(m, (1,)), jnp.reshape(e_var(d), (1, 1))
+        return m, e_cov(d)
+
+    @classmethod
+    def _out_dim(cls, q):
+        for k in q:
+            if k.startswith("A") and k != "A":
+                a = q[k].point
+                if jnp.ndim(a) == 2:
+                    return a.shape[0]
+                if jnp.ndim(a) == 1:
+                    return 1
+        out = q.get("out")
+        if out is not None:
+            m = jnp.asarray(e_mean(out))
+            if jnp.ndim(m) >= 1:
+                return m.shape[-1]
+        for k in cls._terms(q):
+            m = jnp.asarray(e_mean(q[k]))
+            if jnp.ndim(m) >= 1:
+                return m.shape[-1]
+        return 1
+
+    @classmethod
+    def _others(cls, q, skip=None):
+        """Moments of Σ_{i≠skip} A_i in_i + b in the out space."""
+        d_o = cls._out_dim(q)
+        b_q = q.get("b")
+        m = (
+            jnp.reshape(jnp.asarray(b_q.point), (d_o,))
+            if isinstance(b_q, PointMass) and jnp.ndim(jnp.asarray(b_q.point)) > 0
+            else (jnp.full((d_o,), jnp.asarray(b_q.point)) if b_q is not None else jnp.zeros((d_o,)))
+        )
+        v = jnp.zeros((d_o, d_o))
+        for k in cls._terms(q):
+            if k == skip:
+                continue
+            a = cls._amat(q, k, d_o)
+            mi, vi = cls._moments_vec(q[k])
+            m = m + a @ mi
+            v = v + a @ vi @ a.T
+        return m, v
+
+    @classmethod
+    def message_to_out(cls, q):
+        m, v = cls._others(q)
+        if m.shape[-1] == 1:
+            return NormalMeanVariance(m[0], v[0, 0])
+        return MvNormalMeanCovariance(m, 0.5 * (v + v.T))
+
+    @classmethod
+    def _message_to_in_i(cls, q, i):
+        from ..dists.gaussian import (
+            AbstractMvNormal,
+            as_mv_weighted_mean_precision,
+            as_weighted_mean_precision,
+        )
+
+        d_o = cls._out_dim(q)
+        out = q["out"]
+        m_o, v_o = cls._others(q, skip=f"in{i}")
+        a = cls._amat(q, f"in{i}", d_o)
+        if isinstance(out, PointMass):
+            # observed combination: residual uncertainty is the others' spread
+            # (tiny ridge keeps a lone degenerate term invertible)
+            p = jnp.reshape(jnp.asarray(out.point), (d_o,))
+            w_t = jnp.linalg.inv(v_o + 1e-10 * jnp.eye(d_o))
+            xi_t = w_t @ (p - m_o)
+        else:
+            if isinstance(out, AbstractMvNormal):
+                f = as_mv_weighted_mean_precision(out)
+                xi_c, w_c = f.xi, f.w
+            else:
+                f = as_weighted_mean_precision(out)
+                xi_c = jnp.reshape(f.xi, (1,))
+                w_c = jnp.reshape(f.w, (1, 1))
+            # convolution with the others' distribution (negated mean shift):
+            # W' = (I + W V_o)^-1 W, xi' = (I + W V_o)^-1 (xi - W m_o)
+            g = jnp.eye(d_o) + w_c @ v_o
+            w_t = jnp.linalg.solve(g, w_c)
+            xi_t = jnp.linalg.solve(g, xi_c - w_c @ m_o)
+        w_i = a.T @ w_t @ a
+        xi_i = a.T @ xi_t
+        scalar = a.shape[-1] == 1
+        if scalar:
+            return NormalWeightedMeanPrecision(xi_i[0], w_i[0, 0])
+        return MvNormalWeightedMeanPrecision(xi_i, 0.5 * (w_i + w_i.T))
+
+
+LinCombNode = _DynamicInMeta("LinCombNode", (LinCombNode,), {})
+_NODES["LinComb"] = LinCombNode
+
+
 # ---------------------------------------------------------------------------------
 # GaussianSum: out ~ N(Σ in_i, noise) — compile-time contraction of
 # Normal(mean = a + b + ..., var|precision = ...) with random terms (reference:

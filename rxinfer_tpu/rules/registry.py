@@ -92,3 +92,49 @@ def get_average_energy(fform: str) -> Callable:
 
 def has_node(fform: str) -> bool:
     return fform in _NODES
+
+
+class NodeFunctionRuleFallback:
+    """Approximate missing message rules from the node's ``logpdf`` (reference:
+    ReactiveMP NodeFunctionRuleFallback, docs/src/manuals/inference/
+    undefinedrules.md:82-113).
+
+    The outbound message towards an interface is the node function with every
+    other interface fixed at its current marginal mean — a function-form
+    ``LogPdfMessage`` that must be projected by a functional-form constraint
+    (``ProjectedTo`` / ``SampleList`` / ``PointMass``) on the receiving
+    variable, exactly as the reference requires.
+
+    Enable via ``infer(options={"rulefallback": NodeFunctionRuleFallback()})``.
+    """
+
+    def make_rule(self, fform: str, iface: str) -> Callable:
+        import jax.numpy as jnp
+
+        from ..dists import LogPdfMessage
+        from .expectations import e_mean
+
+        cls = get_node(fform)
+        logpdf = getattr(cls, "logpdf", None)
+        if logpdf is None:
+            raise RuleNotFoundError(
+                f"Rule not found for '{fform}' -> '{iface}', and the node "
+                "defines no logpdf for NodeFunctionRuleFallback to use."
+            )
+
+        def rule(q):
+            others = {
+                name: jnp.asarray(e_mean(d))
+                for name, d in q.items()
+                if name != "_meta"
+            }
+            plated = any(jnp.ndim(v) >= 1 for v in others.values())
+
+            def log_fn(x):
+                vals = dict(others)
+                vals[iface] = x[..., None] if plated else x
+                return logpdf(vals)
+
+            return LogPdfMessage(log_fn, plate_axes=1 if plated else 0)
+
+        return rule
