@@ -76,8 +76,12 @@ def _transition_suffstats(means, covs, cross, f_mat):
 
 
 def hier_lgssm_sweep(state: HierLGSSMState, y_local, m0, p0, f_mat, h, r,
-                     nu0, s0_inv, axis_name: str = "batch"):
-    """One sharded VMP sweep (runs inside shard_map).  y_local: (B_local, T, dy)."""
+                     nu0, s0_inv, axis_name="batch"):
+    """One sharded VMP sweep (runs inside shard_map).  y_local: (B_local, T, dy).
+
+    ``axis_name`` may be a tuple like ("host", "batch"): the conjugate psum
+    then reduces hierarchically over ICI within each host and once over the
+    DCN host axis (XLA lowers the tuple-axis psum that way automatically)."""
     d = m0.shape[0]
     e_w = state.w_nu * pd_inverse(state.w_sinv)   # E[W] = nu * S, S = Sinv^{-1}
     q_cov = pd_inverse(e_w)
@@ -103,10 +107,12 @@ def hier_lgssm_sweep(state: HierLGSSMState, y_local, m0, p0, f_mat, h, r,
 
 
 def make_sharded_step(mesh: Mesh, m0, p0, f_mat, h, r, nu0, s0_inv,
-                      axis_name: str = "batch"):
+                      axis_name="batch"):
     """Build the jitted multi-chip step: (state, y_global) -> (state', marginals).
 
-    y_global is sharded over ``axis_name``; the Wishart state is replicated."""
+    y_global is sharded over ``axis_name`` (a name or tuple of names — pass
+    ("host", "batch") with a hybrid DCN×ICI mesh); the Wishart state is
+    replicated."""
     try:
         from jax import shard_map
     except ImportError:  # older jax

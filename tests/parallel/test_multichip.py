@@ -93,3 +93,45 @@ def test_sharded_filtering_matches_oracle():
         mm = mm + k @ (ys[t, i] - h @ mm)
         pp = (np.eye(d) - k @ h) @ pp
         np.testing.assert_allclose(np.asarray(means[t, i]), mm, rtol=2e-3, atol=2e-3)
+
+
+def test_hybrid_dcn_mesh_matches_flat_mesh():
+    """Hybrid (host x batch) DCN/ICI mesh produces the same posterior as the
+    flat 8-chip mesh — the tuple-axis psum is numerically the same reduction,
+    just lowered hierarchically (ICI within hosts, DCN across)."""
+    from rxinfer_tpu.parallel.mesh import make_hybrid_mesh
+
+    d = 2
+    f, h, r, _ = _params(d)
+    m0 = np.zeros(d, np.float32)
+    p0 = 10 * np.eye(d, dtype=np.float32)
+    nu0 = jnp.asarray(4.0)
+    s0_inv = jnp.eye(d, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((16, 24, d)).astype(np.float32)
+
+    hmesh = make_hybrid_mesh(n_hosts=2, axis_names=("host", "batch"))
+    assert hmesh.devices.shape == (2, 4)
+    hstep = make_sharded_step(
+        hmesh, jnp.asarray(m0), jnp.asarray(p0), jnp.asarray(f),
+        jnp.asarray(h), jnp.asarray(r), nu0, s0_inv,
+        axis_name=("host", "batch"),
+    )
+    hstate = HierLGSSMState(nu0 + 0.0, s0_inv + 0.0)
+    yh = jax.device_put(y, NamedSharding(hmesh, P(("host", "batch"))))
+    hst, (hmeans, _) = hstep(hstate, yh)
+
+    fmesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+    fstep = make_sharded_step(
+        fmesh, jnp.asarray(m0), jnp.asarray(p0), jnp.asarray(f),
+        jnp.asarray(h), jnp.asarray(r), nu0, s0_inv,
+    )
+    fstate = HierLGSSMState(nu0 + 0.0, s0_inv + 0.0)
+    yf = jax.device_put(y, NamedSharding(fmesh, P("batch")))
+    fst, (fmeans, _) = fstep(fstate, yf)
+
+    np.testing.assert_allclose(np.asarray(hst.w_nu), np.asarray(fst.w_nu), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hst.w_sinv), np.asarray(fst.w_sinv),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hmeans), np.asarray(fmeans),
+                               rtol=1e-4, atol=1e-4)
