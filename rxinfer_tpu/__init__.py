@@ -29,6 +29,7 @@ from .graph import (  # noqa: F401
     FullFactorization,
     MeanField,
     factorize,
+    factorize_slots,
     PointMassFormConstraint,
     SampleListFormConstraint,
     constraints,

@@ -437,8 +437,26 @@ class CompiledModel:
         # VariationalConstraintsPlugin's factorization indices, SURVEY.md §2.2).
         self.mf_factor_ids = _mean_field_factor_ids(graph, constraints)
         self.infos = resolve_groups(graph)
+        # index-ranged slot factorization (q(x)=q(x[begin])..q(x[end])):
+        # non-chain arrays are slot-factored by construction; chains are exact
+        # joint blocks, strictly tighter — refuse to degrade them silently.
+        slot_specs = (
+            getattr(constraints, "slot_factorized", None) or []
+        ) if constraints else []
         normalize_transitions(graph, self.infos)
         self.chains = detect_chains(graph, self.infos)
+        for name in slot_specs:
+            if name not in {v.name for v in graph.random_variables()}:
+                raise ValueError(
+                    f"slot factorization names unknown variable {name!r}"
+                )
+            if name in self.chains:
+                raise NotImplementedError(
+                    f"q({name}) = q({name}[begin])..q({name}[end]) requested on "
+                    "a chain variable: the engine solves chains exactly "
+                    "(Kalman/forward-backward blocks), which is strictly "
+                    "tighter than slot factorization. Remove the constraint."
+                )
         init = dict(init or {})
         unknown = set(init) - {v.name for v in graph.random_variables()}
         if unknown:

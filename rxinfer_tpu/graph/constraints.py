@@ -53,16 +53,31 @@ def factorize(*pairs: tuple) -> list:
     return out
 
 
+def factorize_slots(*names: str) -> list:
+    """``q(x) = q(x[begin]) .. q(x[end])`` — mean-field across the slots of an
+    array variable (reference index-ranged constraints,
+    docs/src/manuals/variational/constraints-specification.md:107-292; used by
+    the GMM suites to factorize component means/precisions).
+
+    Non-chain array groups are already slot-factored in this engine (per-slot
+    natural-parameter products), so the spec validates and records intent;
+    requesting it on an exactly-solved chain raises (the chain blocks are
+    strictly tighter than a slot-factored approximation)."""
+    return list(names)
+
+
 @dataclasses.dataclass
 class Constraints:
     """Container passed to infer(constraints=...)."""
 
     factorization: Any = None  # MeanField() | list of name-tuples | None
     forms: Optional[dict] = None  # var name -> form constraint
+    slot_factorized: Optional[list] = None  # array vars mean-field over slots
 
 
-def constraints(factorization: Any = None, forms: Optional[dict] = None) -> Constraints:
-    return Constraints(factorization, forms or {})
+def constraints(factorization: Any = None, forms: Optional[dict] = None,
+                slot_factorized: Optional[list] = None) -> Constraints:
+    return Constraints(factorization, forms or {}, slot_factorized or [])
 
 
 # ---------------------------------------------------------------------------------
