@@ -39,6 +39,16 @@ class autoupdates:
         self.initial = {
             k: jnp.asarray(v, jnp.float32) for k, v in (initial or {}).items()
         }
+        missing = sorted(set(self.mapping) - set(self.initial))
+        if missing:
+            # reference UX: "The initial value for `θ` has not been specified,
+            # but is required in the `@autoupdates`."
+            # (test/models/iid/beta_bernoulli_tests.jl:37-42)
+            raise ValueError(
+                f"The initial value for {missing} has not been specified, but "
+                "is required in the autoupdates. Pass initial={...} covering "
+                "every autoupdated argument."
+            )
 
     def __call__(self, posteriors: dict) -> dict:
         return {
@@ -64,7 +74,8 @@ class RxInferenceEngine:
     def __init__(self, model, autoupdates_spec: autoupdates,
                  iterations: int = 1, free_energy: bool = False,
                  keephistory: int = 0, options: Optional[dict] = None,
-                 event_callbacks: Optional[dict] = None):
+                 event_callbacks: Optional[dict] = None,
+                 initialization: Optional[dict] = None):
         self.model = model
         self.autoupdates = autoupdates_spec
         self.args = dict(autoupdates_spec.initial)
@@ -72,6 +83,7 @@ class RxInferenceEngine:
         self.free_energy = free_energy
         self.keephistory = keephistory
         self.options = options
+        self.initialization = initialization
         self.history: list[dict] = []
         self.fe_history: list = []
         self.posteriors: Optional[dict] = None
@@ -92,11 +104,16 @@ class RxInferenceEngine:
         if self._compiled is None:
             data = {**obs, **self.args}
             graph = self.model.trace(data)
-            self._compiled = CompiledModel(graph, options=self.options)
+            self._compiled = CompiledModel(
+                graph, init=self.initialization, options=self.options
+            )
 
     def on_next(self, obs: dict):
-        """Process one observation: run autoupdates-fed inference step."""
+        """Process one observation: run autoupdates-fed inference step
+        (reference executor on_next!, src/inference/streaming.jl:311-436;
+        event set mirrors the engine events at :847-866)."""
         self._ensure_compiled(obs)
+        self._fire("before_data_update", obs)
         self._fire("before_iteration")
         data = {**obs, **self.args}
         state, fe, _ = self._compiled.run(
@@ -105,6 +122,7 @@ class RxInferenceEngine:
         from .inference import _extract_posteriors
 
         self.posteriors = _extract_posteriors(self._compiled, state)
+        self._fire("on_marginal_update", self.posteriors)
         self.args = self.autoupdates(self.posteriors)
         if self.free_energy:
             self.fe_history.append(fe)
@@ -113,6 +131,8 @@ class RxInferenceEngine:
             if len(self.history) > self.keephistory:
                 self.history.pop(0)
         self._fire("after_iteration")
+        self._fire("after_data_update", obs)
+        self._fire("on_tick")
         return self.posteriors
 
     def run_offline(self, observations: dict):
@@ -172,6 +192,7 @@ def streaming_infer(model, datastream, autoupdates, initialization=None,
     engine = RxInferenceEngine(
         model, autoupdates, iterations=iterations,
         free_energy=free_energy, keephistory=keephistory, options=options,
+        initialization=initialization,
     )
     if datastream is not None:
         engine.start(datastream)

@@ -105,3 +105,42 @@ def test_engine_lifecycle_events():
     assert names[0] == "before_autostart" and names[-1] == "after_autostart"
     engine.stop()
     assert not engine.is_running and not engine.is_errored
+
+
+def test_autoupdates_requires_initial_values():
+    """Reference UX: 'The initial value for `θ` has not been specified, but is
+    required in the `@autoupdates`.' (beta_bernoulli_tests.jl:37-42)."""
+    import rxinfer_tpu as rx
+
+    try:
+        rx.autoupdates(pm=lambda q: q["x"].mean())
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "initial value" in str(e)
+
+
+def test_streaming_event_set():
+    import numpy as np
+    import rxinfer_tpu as rx
+
+    @rx.model
+    def step_model(y, pa, pb):
+        theta = rx.Beta(pa, pb)
+        y.observe(rx.Bernoulli(theta))
+        return {"theta": theta}
+
+    seen = []
+    au = rx.autoupdates(
+        initial={"pa": 1.0, "pb": 1.0},
+        pa=lambda q: q["theta"].a,
+        pb=lambda q: q["theta"].b,
+    )
+    eng = rx.RxInferenceEngine(
+        step_model, au,
+        event_callbacks={n: (lambda ev, _n=None: seen.append(ev.name))
+                         for n in ("before_data_update", "on_marginal_update",
+                                   "after_data_update", "on_tick")},
+    )
+    eng.on_next({"y": np.asarray(1.0, np.float32)})
+    assert seen == ["before_data_update", "on_marginal_update",
+                    "after_data_update", "on_tick"], seen
