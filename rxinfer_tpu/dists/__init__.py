@@ -45,8 +45,9 @@ from .gaussian import (
     pd_inverse_and_logdet,
     pd_logdet,
 )
-from .scalar_families import (
+from .scalar_families import (  # noqa: F401
     Bernoulli,
+    BernoulliLogits,
     Beta,
     Binomial,
     GammaShapeRate,

@@ -31,6 +31,7 @@ from .gaussian import (
 from .matrix import InverseWishart, Wishart, WishartInverseScale
 from .scalar_families import (
     Bernoulli,
+    BernoulliLogits,
     Beta,
     GammaShapeRate,
     GammaShapeScale,
@@ -66,8 +67,12 @@ _TABLE = {
         lambda n: Beta(n[0] + 1.0, n[1] + 1.0),
     ),
     "bernoulli": (
-        lambda d: (jnp.log(d.p) - jnp.log1p(-d.p),),
-        lambda n: Bernoulli(jax.nn.sigmoid(n[0])),
+        lambda d: (
+            (d.logit,)
+            if isinstance(d, BernoulliLogits)
+            else (jnp.log(d.p) - jnp.log1p(-d.p),)
+        ),
+        lambda n: BernoulliLogits(n[0]),
     ),
     "gamma": (
         lambda d: (d.shape_rate()[0] - 1.0, d.shape_rate()[1]),
@@ -117,7 +122,7 @@ def family_key(d: Distribution) -> str:
         return "gaussian"
     if isinstance(d, Beta):
         return "beta"
-    if isinstance(d, Bernoulli):
+    if isinstance(d, (Bernoulli, BernoulliLogits)):
         return "bernoulli"
     if isinstance(d, (GammaShapeRate, GammaShapeScale)):
         return "gamma"

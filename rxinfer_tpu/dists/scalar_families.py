@@ -107,6 +107,53 @@ def _prod_bernoulli(x: Bernoulli, y: Bernoulli) -> Bernoulli:
     return Bernoulli(num / (num + (1.0 - x.p) * (1.0 - y.p)))
 
 
+@dist_dataclass
+class BernoulliLogits(Distribution):
+    """Natural-parameter Bernoulli carrier (log-odds).
+
+    Message products add logits EXACTLY — no p <-> logit transcendental
+    roundtrips inside the iterated sweep (the TPU's approximate log/sigmoid
+    otherwise accumulates ~5e-5 drift in discrete fixed points; the Gaussian
+    families use their natural carriers the same way)."""
+
+    logit: jnp.ndarray
+
+    @property
+    def p(self):
+        return jax.nn.sigmoid(self.logit)
+
+    def mean(self):
+        return jax.nn.sigmoid(self.logit)
+
+    def var(self):
+        p = self.mean()
+        return p * (1.0 - p)
+
+    def mode(self):
+        return (self.logit >= 0).astype(jnp.float32)
+
+    def entropy(self):
+        l = self.logit
+        p = jax.nn.sigmoid(l)
+        # log p = -softplus(-l), log(1-p) = -softplus(l) — stable in the tails
+        return p * jax.nn.softplus(-l) + (1.0 - p) * jax.nn.softplus(l)
+
+    def logpdf(self, x):
+        l = self.logit
+        return -(x * jax.nn.softplus(-l) + (1.0 - x) * jax.nn.softplus(l))
+
+    def sample(self, key, shape=()):
+        shp = tuple(shape) + jnp.shape(self.logit)
+        return jax.random.bernoulli(key, self.mean(), shape=shp).astype(jnp.float32)
+
+    def batch_shape(self):
+        return jnp.shape(self.logit)
+
+    @classmethod
+    def vague(cls, dtype=jnp.float32):
+        return cls(jnp.asarray(0.0, dtype))
+
+
 class AbstractGamma(Distribution):
     """Gamma statistics over (shape, rate) accessors."""
 

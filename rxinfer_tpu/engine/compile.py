@@ -359,7 +359,9 @@ def _vague_for(family: str, event_shape: tuple):
         d = event_shape[0]
         return MvNormalMeanCovariance(jnp.zeros(d), 1.0e6 * jnp.eye(d))
     if family == "bernoulli":
-        return Bernoulli.vague()
+        from ..dists import BernoulliLogits
+
+        return BernoulliLogits.vague()  # exact-zero natural (flat)
     if family == "beta":
         return Beta.vague()
     if family in ("gamma", "gamma_shape_rate", "gamma_shape_scale"):
