@@ -27,6 +27,7 @@ from .graph import (  # noqa: F401
     Constraints,
     FixedMarginalFormConstraint,
     FullFactorization,
+    InitMessage,
     MeanField,
     factorize,
     factorize_slots,

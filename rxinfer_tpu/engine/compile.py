@@ -460,6 +460,12 @@ class CompiledModel:
                     "tighter than slot factorization. Remove the constraint."
                 )
         init = dict(init or {})
+        from ..graph.constraints import InitMessage
+
+        init = {
+            k: (v.dist if isinstance(v, InitMessage) else v)
+            for k, v in init.items()
+        }
         unknown = set(init) - {v.name for v in graph.random_variables()}
         if unknown:
             raise ValueError(f"initialization given for unknown variables {unknown}")

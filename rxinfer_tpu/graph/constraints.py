@@ -129,3 +129,16 @@ class SampleListFormConstraint(AbstractFormConstraint):
         key = jax.random.PRNGKey(self.seed)
         samples = dist.sample(key, (self.n_samples,))  # (N, event...)
         return SampleList(samples, jnp.zeros((self.n_samples,)))
+
+
+class InitMessage:
+    """``μ(x) = dist`` initialization (reference @initialization message form,
+    src/model/plugins/initialization_plugin.jl:146-199).
+
+    Under the compiled static schedule an initial edge message and an initial
+    marginal play the same bootstrap role: the wrapped distribution stands in
+    for the variable's belief until its first update.  The wrapper exists for
+    API parity; ``initialization={"x": InitMessage(d)}`` == ``{"x": d}``."""
+
+    def __init__(self, dist):
+        self.dist = dist

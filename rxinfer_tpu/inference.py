@@ -37,6 +37,21 @@ class InferenceResult:
         self.model = model
         self.elapsed_s = elapsed_s
 
+    @property
+    def log_evidence(self):
+        """Model log-evidence estimate: −(final Bethe free energy).
+
+        Exact (== log Z) for tree/chain models solved by BP; a lower bound on
+        log Z for variational approximations.  This is the TPU-native form of
+        the reference's log-scale annotations / Bayes-factor machinery
+        (LogScaleAnnotations, CHANGELOG v5): model comparison is a difference
+        of log_evidence values.  Requires ``free_energy=True``."""
+        import jax.numpy as jnp
+
+        if self.free_energy is None or jnp.size(self.free_energy) == 0:
+            raise ValueError("log_evidence requires infer(free_energy=True)")
+        return -self.free_energy[-1]
+
     def __repr__(self):
         keys = ", ".join(self.posteriors)
         return f"InferenceResult(posteriors=[{keys}])"
@@ -49,6 +64,29 @@ def _shape_sig(data: dict) -> tuple:
     import numpy as np
 
     return tuple(sorted((k, tuple(np.shape(v))) for k, v in data.items()))
+
+
+def _same_init(a: dict, b: dict) -> bool:
+    """Initialization dicts equal as pytrees (compiled programs close over the
+    init values, so a value change must recompile)."""
+    import numpy as np
+    import jax
+
+    from .graph.constraints import InitMessage
+
+    if set(a) != set(b):
+        return False
+    for k in a:
+        va = a[k].dist if isinstance(a[k], InitMessage) else a[k]
+        vb = b[k].dist if isinstance(b[k], InitMessage) else b[k]
+        la, ta = jax.tree_util.tree_flatten(va)
+        lb, tb = jax.tree_util.tree_flatten(vb)
+        if ta != tb or len(la) != len(lb):
+            return False
+        for x, y in zip(la, lb):
+            if not np.array_equal(np.asarray(x), np.asarray(y)):
+                return False
+    return True
 
 
 def infer(
@@ -129,16 +167,27 @@ def infer(
     trace_cb = TraceCallbacks().attach(registry) if trace else None
 
     init_dists = dict(initialization or {})
-    sig = (id(model.fn), tuple(sorted(model.bound)), _shape_sig(data),
-           tuple(sorted(init_dists)), id(constraints) if constraints else None,
-           id(meta) if meta else None)
-    compiled = _COMPILE_CACHE.get(sig)
+    # Key on the function OBJECT (hashable; holding it prevents id() reuse of
+    # garbage-collected closures from aliasing cache entries) plus the
+    # data-shape signature; constraints/meta/init values are checked on hit.
+    sig = (model.fn, tuple(sorted(model.bound)), _shape_sig(data),
+           tuple(sorted(init_dists)))
+    cached = _COMPILE_CACHE.get(sig)
+    compiled = None
+    if cached is not None:
+        c_compiled, c_cons, c_meta, c_init = cached
+        if (
+            c_cons is constraints
+            and c_meta is meta
+            and _same_init(c_init, init_dists)
+        ):
+            compiled = c_compiled
     if compiled is None:
         registry.invoke("before_model_creation")
         graph = model.trace(data)
         compiled = CompiledModel(graph, init=init_dists, options=options,
                                  constraints=constraints, meta=meta)
-        _COMPILE_CACHE[sig] = compiled
+        _COMPILE_CACHE[sig] = (compiled, constraints, meta, init_dists)
         registry.invoke("after_model_creation")
 
     keep_each = isinstance(returnvars, KeepEach)
