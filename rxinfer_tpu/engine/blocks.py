@@ -149,7 +149,9 @@ def build_q(f: Factor, state: dict, data: dict, exclude: Optional[str] = None,
             continue
         q[name] = resolve_iface(v, f, state, data)
     if f.meta is not None:
-        q["_meta"] = f.meta
+        # `_plated` lets delta-rule batching distinguish a static vector input
+        # (event axis) from a plate of scalar copies (batch axis)
+        q["_meta"] = {**f.meta, "_plated": f.plate is not None}
     if chain_cross:
         out_ref = f.out
         in_ref = f.interfaces.get("in")

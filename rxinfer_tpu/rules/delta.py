@@ -134,7 +134,12 @@ def _push_linearized(fn_flat, m, v):
 def _sigma_points(m, v, alpha, beta, kappa):
     n = m.shape[-1]
     lam = alpha * alpha * (n + kappa) - n
-    chol = jnp.linalg.cholesky(_symmetrize((n + lam) * v))
+    # static (zero-variance) input dims make v singular; a scale-aware ridge
+    # keeps the cholesky finite (sigma points simply don't spread there)
+    ridge = 1e-9 * (jnp.trace(v) / n + 1e-30)
+    chol = jnp.linalg.cholesky(
+        _symmetrize((n + lam) * v) + ridge * jnp.eye(n, dtype=v.dtype)
+    )
     pts = [m]
     for i in range(n):
         pts.append(m + chol[:, i])
@@ -167,6 +172,66 @@ class DeltaNode:
     # backward rules consume (and divide out) the target input's own marginal
     needs_self_marginal = True
     cavity_cluster = ("out", "in")
+
+    @staticmethod
+    def bethe_term(q):
+        """Deterministic-node Bethe contribution −H[q_a] from cavity beliefs:
+        the local joint over the random inputs is ∝ Π cav_i(z_i) · cav_out(f(z))
+        with precision J = blockdiag(W_i) + JᵀW_out J (first-order pullback of
+        the out cavity; static inputs contribute no entropy dimensions).
+        Reference: FactorBoundFreeEnergy on Deterministic nodes via the joint
+        marginalrule product + CountingReal cancellation."""
+        meta = _meta(q)
+        fn = meta["fn"]
+        keys = _inputs(q)
+        ms, dims, rand_slices, w_blocks = [], [], [], []
+        off = 0
+        for k in keys:
+            d = q[k]
+            if isinstance(d, PointMass):
+                m_k = jnp.atleast_1d(jnp.asarray(d.point))
+                ms.append(m_k)
+                dims.append(m_k.shape[-1])
+                off += m_k.shape[-1]
+                continue
+            xi_k, w_k = _info_form(d)
+            m_k = jnp.linalg.solve(
+                w_k + 1e-12 * jnp.eye(w_k.shape[-1]), xi_k
+            )
+            ms.append(m_k)
+            dk = m_k.shape[-1]
+            rand_slices.append((off, dk))
+            w_blocks.append(w_k)
+            dims.append(dk)
+            off += dk
+        total = off
+        m_flat = jnp.concatenate(ms)
+        vecs = [jnp.ndim(e_mean(q[k])) >= 1 for k in keys]
+
+        def fn_flat(z):
+            args, o = [], 0
+            for dk, vec in zip(dims, vecs):
+                part = z[o:o + dk]
+                args.append(part if vec else part[0])
+                o += dk
+            return jnp.atleast_1d(jnp.asarray(fn(*args)))
+
+        jac = jax.jacfwd(fn_flat)(m_flat)
+        _, w_out = _info_form(q["out"])
+        jmat_full = jac.T @ w_out @ jac
+        idx = jnp.asarray(
+            [o + i for (o, dk) in rand_slices for i in range(dk)]
+        )
+        jmat = jmat_full[jnp.ix_(idx, idx)]
+        o2 = 0
+        for (_, dk), w_k in zip(rand_slices, w_blocks):
+            jmat = jmat.at[o2:o2 + dk, o2:o2 + dk].add(w_k)
+            o2 += dk
+        d_rand = int(sum(dk for _, dk in rand_slices))
+        if d_rand == 0:
+            return jnp.zeros(())
+        h = 0.5 * d_rand * 2.837877066409345 - 0.5 * jnp.linalg.slogdet(jmat)[1]
+        return -h
 
     @staticmethod
     def message_to_out(q):
@@ -524,6 +589,10 @@ def batched_delta_rule(fn_single):
 
     def rule(q):
         meta = _meta(q)
+        if not meta.get("_plated", True):
+            # non-plated factor: no batch axes exist; ndim-1 PointMass inputs
+            # are static vectors, not plates of scalars
+            return fn_single(q)
         keys = _inputs(q)
         out_vec = (
             _probe_out_vec(meta, q, keys) if "out" in q else False

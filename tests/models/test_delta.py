@@ -125,3 +125,59 @@ def test_mv_nonlinear():
     )
     est = np.asarray(res.posteriors["x"].mean())
     np.testing.assert_allclose(f_np(est), y.mean(0), atol=0.05)
+
+
+def test_static_inputs_two_arg_delta():
+    """Delta with one random and one static input (reference:
+    test/models/nonlinear/static_inputs_tests.jl — f2(x, theta) = x .+ theta
+    with theta fixed, both as constant and as data), under Linearization and
+    Unscented, with exact-FE cross-check (the model is linear → tree-exact)."""
+    import numpy as np
+    import rxinfer_tpu as rx
+    from rxinfer_tpu.rules.delta import Linearization, Unscented
+
+    theta = np.array([0.3, -0.2], np.float32)
+    c = np.array([1.0, 0.0], np.float32)
+    yv = np.asarray(1.2, np.float32)
+
+    def f2(x, th):
+        return x + th
+
+    def build(theta_as_data):
+        @rx.model
+        def m(y, th=None):
+            x = rx.MvNormal(mean=np.zeros(2, np.float32),
+                            prec=np.eye(2, dtype=np.float32))
+            tharg = th if theta_as_data else theta
+            z = rx.Delta(f2, x, tharg, method=m.method)
+            w = rx.Normal(mean=rx.dot(c, z), var=1.0)
+            y.observe(rx.Normal(mean=w, variance=0.5))
+            return {"x": x, "w": w}
+
+        return m
+
+    v_tot = 1.0 + 1.0 + 0.5
+    mx_exact = (float(yv) - theta[0]) / v_tot
+    fe_exact = 0.5 * np.log(2 * np.pi * v_tot) + (float(yv) - theta[0]) ** 2 / (
+        2 * v_tot
+    )
+    for method in (Linearization(), Unscented()):
+        for theta_as_data in (False, True):
+            gen = build(theta_as_data)
+            gen.method = method  # closure hook
+            data = {"y": yv}
+            if theta_as_data:
+                data["th"] = theta
+            res = rx.infer(model=gen, data=data, iterations=8,
+                           free_energy=True)
+            q = res.posteriors["x"]
+            # Linearization is exact; Unscented (alpha=1e-3 defaults) leaves
+            # ~1% float32 sigma-point arithmetic noise at the vague-init scale
+            atol = 2e-3 if isinstance(method, Linearization) else 1.5e-2
+            np.testing.assert_allclose(
+                np.asarray(q.mean()), [mx_exact, 0.0], atol=atol
+            )
+            fe = float(np.asarray(res.free_energy)[-1])
+            assert abs(fe - fe_exact) < 10 * atol, (
+                method, theta_as_data, fe, fe_exact
+            )
