@@ -80,6 +80,15 @@ from .inference import (  # noqa: F401
     KeepLast,
     infer,
 )
+from .postprocess import (  # noqa: F401
+    LogScaleAnnotations,
+    Marginal,
+    NoopPostprocess,
+    UnpackMarginalPostprocess,
+    getannotations,
+    getdata,
+    getlogscale,
+)
 from .inference_streaming import (  # noqa: F401
     RxInferenceEngine,
     autoupdates,

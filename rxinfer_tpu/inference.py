@@ -109,6 +109,8 @@ def infer(
     benchmark: bool = False,
     trace: bool = False,
     catch_exception: bool = False,
+    annotations: Any = None,
+    postprocess: Any = None,
     session: Any = "default",
 ):
     """Run inference.  Batch mode when ``autoupdates is None``; streaming mode
@@ -141,6 +143,7 @@ def infer(
                 keephistory=keephistory, historyvars=historyvars,
                 showprogress=showprogress, callbacks=callbacks,
                 benchmark=benchmark, trace=trace, catch_exception=False,
+                annotations=annotations, postprocess=postprocess,
                 session=session,
             )
         except Exception as exc:  # noqa: BLE001
@@ -191,15 +194,19 @@ def infer(
         registry.invoke("after_model_creation")
 
     keep_each = isinstance(returnvars, KeepEach)
+    # Log-scale annotations need the evidence estimate even when the user did
+    # not ask for the FE trace (reference: annotations flow through rules; here
+    # the per-posterior log-scale IS −FE — exact log Z on trees).
+    need_fe = free_energy or annotations is not None
     registry.invoke("before_inference")
     if registry.empty:
         state, fe, history = compiled.run(
-            data, iterations=iterations, free_energy=free_energy,
+            data, iterations=iterations, free_energy=need_fe,
             keep_each=keep_each,
         )
     else:
         state, fe, history = compiled.run_iterative(
-            data, iterations=iterations, free_energy=free_energy,
+            data, iterations=iterations, free_energy=need_fe,
             registry=registry, keep_each=keep_each,
         )
     registry.invoke("after_inference")
@@ -217,6 +224,25 @@ def infer(
             name: [_extract_posteriors(compiled, h)[name] for h in history]
             for name in posteriors
         }
+
+    from .postprocess import Marginal, default_postprocess, inference_postprocess
+
+    strategy = postprocess if postprocess is not None else default_postprocess(annotations)
+    if annotations is not None:
+        def _wrap(d, it):
+            return Marginal(d, {"log_scale": -fe[it]})
+    else:
+        def _wrap(d, it):  # noqa: ARG001
+            return d
+    posteriors = {
+        name: (
+            [inference_postprocess(strategy, _wrap(d, i))
+             for i, d in enumerate(p)]
+            if isinstance(p, list)
+            else inference_postprocess(strategy, _wrap(p, -1))
+        )
+        for name, p in posteriors.items()
+    }
     elapsed = time.perf_counter() - t0
 
     sess = get_default_session() if session == "default" else session
