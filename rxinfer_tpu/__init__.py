@@ -73,6 +73,7 @@ from .graph import (  # noqa: F401
     latent,
     model,
     plate,
+    scope,
 )
 from .inference import (  # noqa: F401
     InferenceResult,

@@ -384,9 +384,16 @@ def _vague_for(family: str, event_shape: tuple):
 
 def _mean_field_factor_ids(graph: ModelGraph, constraints) -> set[int]:
     """Factor ids whose neighborhood is split by a factorization constraint."""
+    ids: set[int] = set()
+    # submodel-scoped MeanField blocks: factors created under a matched scope
+    for prefix in (getattr(constraints, "mf_scopes", None) or []):
+        for f in graph.factors:
+            fp = "/".join(f.scope)
+            if fp == prefix or fp.startswith(prefix + "/"):
+                ids.add(f.id)
     fac = getattr(constraints, "factorization", None) if constraints else None
     if fac is None:
-        return set()
+        return ids
     from ..graph.constraints import MeanField
 
     if isinstance(fac, MeanField):
@@ -400,7 +407,6 @@ def _mean_field_factor_ids(graph: ModelGraph, constraints) -> set[int]:
                 f"factorization constraint names unknown variables {sorted(unknown)}"
             )
         groups.append(set(names))
-    ids: set[int] = set()
     for f in graph.factors:
         rvars = {
             v.var.name
@@ -422,6 +428,10 @@ class CompiledModel:
                  meta: Optional[dict] = None):
         options = options or {}
         self.graph = graph
+        if constraints is not None and getattr(constraints, "submodel", None):
+            from ..graph.constraints import expand_submodel_constraints
+
+            constraints = expand_submodel_constraints(graph, constraints)
         self.constraints = constraints
         # @meta equivalent: attach per-node-type metadata (reference MetaPlugin,
         # docs/src/manuals/inference/meta-specification.md) — e.g.

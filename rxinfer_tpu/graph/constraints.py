@@ -73,11 +73,92 @@ class Constraints:
     factorization: Any = None  # MeanField() | list of name-tuples | None
     forms: Optional[dict] = None  # var name -> form constraint
     slot_factorized: Optional[list] = None  # array vars mean-field over slots
+    # scope name -> Constraints applying inside that submodel scope (reference:
+    # @constraints ``for q in submodel ... end`` blocks; instance-specific via
+    # 'name:2' keys — the ``(submodel, i)`` syntax).
+    submodel: Optional[dict] = None
+    # filled by expansion: scope prefixes whose factors go mean-field
+    mf_scopes: Optional[list] = None
 
 
 def constraints(factorization: Any = None, forms: Optional[dict] = None,
-                slot_factorized: Optional[list] = None) -> Constraints:
-    return Constraints(factorization, forms or {}, slot_factorized or [])
+                slot_factorized: Optional[list] = None,
+                submodel: Optional[dict] = None) -> Constraints:
+    return Constraints(factorization, forms or {}, slot_factorized or [],
+                       submodel or {})
+
+
+def _scope_base(segment: str) -> str:
+    return segment.split(":")[0]
+
+
+def expand_submodel_constraints(graph, cons: Constraints) -> Constraints:
+    """Flatten submodel-scoped constraint blocks against the traced graph:
+    translate each block's local variable names to full scoped names
+    ('walk:2/x') for every matching scope instance.  A key 'walk' matches all
+    instances of the scope, 'walk:2' exactly one (reference: ``for q in
+    submodel`` vs specific-instance ``(submodel, i)`` blocks)."""
+    if not cons.submodel:
+        return cons
+    # collect scope-instance prefixes present in the graph
+    prefixes: set[tuple] = set()
+    for v in list(graph.variables) + list(graph.factors):
+        path = v.scope
+        for i in range(len(path)):
+            prefixes.add(path[: i + 1])
+
+    flat = Constraints(
+        factorization=(
+            cons.factorization
+            if isinstance(cons.factorization, MeanField) or cons.factorization is None
+            else list(cons.factorization)
+        ),
+        forms=dict(cons.forms or {}),
+        slot_factorized=list(cons.slot_factorized or []),
+        mf_scopes=[],
+    )
+    known = {v.name for v in graph.variables if v.kind == "random"}
+    for key, sub in cons.submodel.items():
+        if getattr(sub, "submodel", None):
+            raise NotImplementedError(
+                "nested submodel constraint blocks: scope the inner block "
+                "directly by its path key instead."
+            )
+        matched = [
+            p for p in prefixes
+            if (p[-1] == key if ":" in key else _scope_base(p[-1]) == key)
+        ]
+        if not matched:
+            raise ValueError(
+                f"constraints submodel block {key!r} matches no scope in the "
+                f"model (scopes present: "
+                f"{sorted('/'.join(p) for p in prefixes) or 'none'})."
+            )
+        for p in sorted(matched):
+            prefix = "/".join(p)
+            if isinstance(sub.factorization, MeanField):
+                flat.mf_scopes.append(prefix)
+            elif sub.factorization:
+                if flat.factorization is None:
+                    flat.factorization = []
+                if isinstance(flat.factorization, MeanField):
+                    pass  # global MeanField already dominates
+                else:
+                    for tup in sub.factorization:
+                        flat.factorization.append(
+                            tuple(f"{prefix}/{n}" for n in tup)
+                        )
+            for local, form in (sub.forms or {}).items():
+                full = f"{prefix}/{local}"
+                if full not in known:
+                    raise ValueError(
+                        f"submodel constraint block {key!r}: no variable "
+                        f"{local!r} in scope {prefix!r}."
+                    )
+                flat.forms[full] = form
+            for local in (sub.slot_factorized or []):
+                flat.slot_factorized.append(f"{prefix}/{local}")
+    return flat
 
 
 # ---------------------------------------------------------------------------------

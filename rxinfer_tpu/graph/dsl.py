@@ -258,9 +258,39 @@ def latent(length: int, name: Optional[str] = None) -> LatentArray:
     """Declare an array of latent variables (reference: implicit ``x[i] ~ ...``)."""
     b = _builder()
     var = b.graph.add_variable(
-        Variable(name or b.fresh_name("x"), "random", int(length))
+        Variable(b.scoped_name(name) if name else b.fresh_name("x"),
+                 "random", int(length))
     )
+    var.scope = tuple(b.scope_stack)
     return LatentArray(var)
+
+
+def scope(name: str):
+    """Submodel scope context: ``with rx.scope("walk"): ...`` prefixes the names
+    of variables created inside with ``walk/`` and records the scope path on the
+    IR, making submodel instances addressable — posteriors appear as
+    ``result.posteriors["walk/x"]`` and constraints can target the block with
+    ``constraints(submodel={"walk": ...})``.
+
+    Reference: GraphPPL nested submodel contexts + submodel-scoped @constraints
+    blocks (``for q in submodel``, specific-instance ``(submodel, i)``;
+    docs/src/manuals/variational/constraints-specification.md:210-292).  Since
+    submodels here are plain Python functions inlined into the trace, the scope
+    is what gives their contents an identity.  Repeated uses of one name become
+    instances ``walk``, ``walk:2``, ... — a constraint keyed ``"walk"`` applies
+    to every instance, ``"walk:2"`` to that instance only."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        b = _builder()
+        b.enter_scope(name)
+        try:
+            yield
+        finally:
+            b.scope_stack.pop()
+
+    return _cm()
 
 
 def plate(*args, name: Optional[str] = None):
@@ -290,6 +320,8 @@ class ModelBuilder:
     def __init__(self, name: str):
         self.graph = ModelGraph(name)
         self.plate_stack: list[Plate] = []
+        self.scope_stack: list[str] = []
+        self._scope_counts: dict[str, int] = {}
         self._name_counter = 0
         # (file, line, name) -> Variable that currently holds that source-line
         # name hint; later emits from the same statement steal it back.
@@ -299,6 +331,24 @@ class ModelBuilder:
     def fresh_name(self, prefix: str) -> str:
         self._name_counter += 1
         return f"_{prefix}{self._name_counter}"
+
+    def scoped_name(self, name: str) -> str:
+        """Prefix a user-facing name with the active scope path ('walk/x')."""
+        if not self.scope_stack or name.startswith("_"):
+            return name
+        return "/".join(self.scope_stack) + "/" + name
+
+    def enter_scope(self, name: str) -> str:
+        """Open a submodel scope instance; repeated uses of the same name get
+        instance suffixes 'name', 'name:2', 'name:3' (reference: GraphPPL
+        submodel contexts, addressable per-instance in @constraints)."""
+        if "/" in name or ":" in name:
+            raise ValueError("scope names may not contain '/' or ':'")
+        n = self._scope_counts.get(name, 0) + 1
+        self._scope_counts[name] = n
+        seg = name if n == 1 else f"{name}:{n}"
+        self.scope_stack.append(seg)
+        return seg
 
     # -- node creation -----------------------------------------------------------
     def _guess_target_name(self) -> Optional[str]:
@@ -320,7 +370,7 @@ class ModelBuilder:
         m = re.match(r"\s*([A-Za-z_]\w*)\s*=[^=]", line)
         if not m:
             return None
-        name = m.group(1)
+        name = self.scoped_name(m.group(1))
         # Nested calls emit inner factors first (``x = IMPLY(a, NOT(b))``
         # emits NOT before IMPLY), and loops re-emit from the same line; in
         # both cases the assignment target is the LAST emit of the statement.
@@ -352,7 +402,9 @@ class ModelBuilder:
             if guessed is not None:
                 self._line_hints[self._pending_hint_key] = var
             out = Ref(var, None)
+        var.scope = tuple(self.scope_stack)
         f = Factor(fform, out, interfaces, plate=p, meta=meta)
+        f.scope = tuple(self.scope_stack)
         self.graph.add_factor(f)
         return RVRef(out)
 

@@ -79,6 +79,10 @@ class Variable:
         self.name = name
         self.kind = kind
         self.length = length  # None => scalar variable; int => array variable
+        # Submodel scope path: instance segments like ("walk", "inner:2") for a
+        # variable created inside nested ``with rx.scope(...)`` blocks (reference:
+        # GraphPPL nested contexts; used by submodel-scoped constraints).
+        self.scope: tuple = ()
         # Filled during lowering:
         self.event_shape: Optional[tuple] = None
         self.dtype: Any = None
@@ -150,6 +154,8 @@ class Factor:
         self.interfaces = dict(interfaces)  # does NOT include 'out'
         self.plate = plate
         self.meta = meta
+        # Submodel scope path of the creating context (see Variable.scope).
+        self.scope: tuple = ()
         # True for factors attached to an already-defined variable (reference:
         # a second `x ~ ...` statement on the same variable — soft evidence);
         # excluded from the one-generative-statement-per-slot validation.
