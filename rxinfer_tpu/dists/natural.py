@@ -195,6 +195,31 @@ def prod_reduce(d: Distribution, size: int, axis: int = 0) -> Distribution:
     return from_natural(key, tuple(out))
 
 
+def broadcast_batch(d: Distribution, batch_shape: tuple) -> Distribution:
+    """Broadcast every natural leaf to a full ``batch_shape`` batch (leaves keep
+    their trailing event axes).  Used by nested-plate factors so that a message
+    computed from partially-batched inputs stands explicitly for the whole
+    grid of factor copies before masking/reduction."""
+    key = family_key(d)
+    nat = to_natural(d)
+    ranks = NAT_EVENT_RANKS[key]
+    out = []
+    for n, r in zip(nat, ranks):
+        evt = n.shape[n.ndim - r:] if r else ()
+        out.append(jnp.broadcast_to(n, tuple(batch_shape) + evt))
+    return from_natural(key, tuple(out))
+
+
+def prod_reduce_axes(d: Distribution, axes) -> Distribution:
+    """Product of plated messages over multiple leading batch axes at once
+    (natural-parameter sum).  Leaves must already carry the full batch
+    (see broadcast_batch)."""
+    key = family_key(d)
+    nat = to_natural(d)
+    axes = tuple(axes)
+    return from_natural(key, tuple(jnp.sum(n, axis=axes) for n in nat))
+
+
 def prod_all(dists: list[Distribution]) -> Distribution:
     """Product of a list of same-support messages via natural addition.
 

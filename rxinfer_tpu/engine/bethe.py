@@ -28,6 +28,15 @@ from .blocks import _coverage, build_q, tree_index, tree_slice
 _LOG2PIE = 2.837877066409345  # log(2*pi*e)
 
 
+def _n_copies(f: Factor) -> int:
+    """Number of factor copies a (possibly nested-) plated factor stands for."""
+    plates = getattr(f, "plates", ()) or ((f.plate,) if f.plate else ())
+    n = 1
+    for p in plates:
+        n *= p.size
+    return n
+
+
 def slot_degrees(graph: ModelGraph, var) -> np.ndarray:
     """Static per-slot degree of a random variable (factor copies per slot)."""
     n = var.length if var.is_array else 1
@@ -36,13 +45,21 @@ def slot_degrees(graph: ModelGraph, var) -> np.ndarray:
         for v in f.all_interfaces().values():
             if isinstance(v, Ref) and v.var is var:
                 cov = _coverage(f, v)
+                copies = _n_copies(f)
                 if cov is None:
-                    # shared (scalar) interface: a plated factor is plate.size copies
-                    deg[0] += f.plate.size if f.plate is not None else 1
+                    # shared (scalar) interface: every factor copy touches it
+                    deg[0] += copies
                 elif isinstance(cov, int):
                     deg[cov] += 1
                 else:
-                    deg[cov[0]:cov[1]] += 1
+                    # per-slot: copies over the OTHER plate axes of a nested
+                    # factor all touch each slot (1 for single-plate factors)
+                    per_slot = (
+                        copies // v.idx.plate.size
+                        if isinstance(v.idx, SymIndex)
+                        else 1
+                    )
+                    deg[cov[0]:cov[1]] += per_slot
     return deg
 
 
@@ -301,20 +318,24 @@ class FactorFE:
             ):
                 q = build_q(f, state, data, chain_cross=None)
                 return gaussian_pair_fe(f, q, state, in_key, noise_key)
-        n_copies = f.plate.size if f.plate is not None else 1
+        from .blocks import _grid, factor_data_mask
+
+        grid = _grid(f)
+        n_copies = _n_copies(f)
         q = build_q(f, state, data, chain_cross=chain_cross)
         ae = self.energy_fn(q)
         # Missing-data correction: removing an unobserved likelihood factor
         # changes FE by exactly -AE_a (its entropy term cancels against the
         # degree decrement), so masking AE alone is exact.
-        from .blocks import factor_data_mask
-
         mask = factor_data_mask(f, data)
         if mask is not None:
             ae = ae * mask
+        if grid is not None:
+            # nested-plate factor: the energy stands for the full copy grid
+            ae = jnp.broadcast_to(ae, grid + jnp.shape(ae)[len(grid):])
         # A plated factor with only shared/scalar interfaces yields a scalar
         # energy that stands for plate.size copies.
-        if jnp.ndim(ae) == 0 and n_copies > 1:
+        elif jnp.ndim(ae) == 0 and n_copies > 1:
             ae = ae * n_copies
         ae = jnp.sum(ae)
 
@@ -349,9 +370,14 @@ class FactorFE:
                     continue
                 if isinstance(v, Ref) and v.var.kind == "random":
                     hv = qv.entropy()
+                    cov = _coverage(f, v)
                     # shared interface of a plated factor → one copy per slot
-                    if f.plate is not None and _coverage(f, v) is None:
+                    if f.plate is not None and cov is None:
                         hv = hv * n_copies
+                    elif grid is not None and isinstance(v.idx, SymIndex):
+                        # each slot of a single-axis neighbor participates in
+                        # every copy along the other grid axes
+                        hv = hv * (n_copies // v.idx.plate.size)
                     h = h + jnp.sum(hv)
         return ae - h
 

@@ -45,14 +45,39 @@ def tree_index(d, i: int):
     return jax.tree_util.tree_map(lambda a: a[i], d)
 
 
-def _coverage(f: Factor, ref: Ref) -> tuple[int, int] | int | None:
-    """Slot range of ``ref`` as used by factor ``f`` (static)."""
+def _coverage(f: Factor, ref: Ref):
+    """Slot range of ``ref`` as used by factor ``f`` (static).
+
+    Returns None (shared/whole), an int slot, an (lo, hi) range over the
+    variable's axis, or the string 'grid' for multi-axis observations
+    ``y[i, j]`` of nested-plate factors."""
     if ref.idx is None:
         return None
+    if isinstance(ref.idx, tuple):
+        return "grid"
     if isinstance(ref.idx, int):
         return ref.idx
-    assert f.plate is not None
-    return (f.plate.lo + ref.idx.offset, f.plate.hi + ref.idx.offset)
+    p = ref.idx.plate
+    return (p.lo + ref.idx.offset, p.hi + ref.idx.offset)
+
+
+def _grid(f: Factor) -> Optional[tuple]:
+    """Batch shape of a nested-plate factor (None for ≤1 plates)."""
+    plates = getattr(f, "plates", ())
+    if len(plates) < 2:
+        return None
+    return tuple(p.size for p in plates)
+
+
+def _expand_for_grid(q, f: Factor, ref: Ref):
+    """Insert singleton batch axes so a single-axis marginal/covariate lines up
+    with its own plate's position in the factor's grid batch."""
+    grid = _grid(f)
+    if grid is None or not isinstance(ref.idx, SymIndex):
+        return q
+    pos = [p.id for p in f.plates].index(ref.idx.plate.id)
+    ins = tuple(ax for ax in range(len(grid)) if ax != pos)
+    return jax.tree_util.tree_map(lambda a: jnp.expand_dims(a, ins), q)
 
 
 def resolve_iface(value, f: Factor, state: dict, data: dict):
@@ -67,11 +92,11 @@ def resolve_iface(value, f: Factor, state: dict, data: dict):
     if ref.var.kind == "data":
         arr = jnp.nan_to_num(data[ref.var.name])
         cov = _coverage(f, ref)
-        if cov is None:
+        if cov is None or cov == "grid":
             return PointMass(arr)
         if isinstance(cov, int):
             return PointMass(arr[cov])
-        return PointMass(arr[cov[0]:cov[1]])
+        return _expand_for_grid(PointMass(arr[cov[0]:cov[1]]), f, ref)
     # random
     q = state[ref.var.name]
     cov = _coverage(f, ref)
@@ -82,8 +107,8 @@ def resolve_iface(value, f: Factor, state: dict, data: dict):
     lo, hi = cov
     length = ref.var.length
     if lo == 0 and hi == length:
-        return q
-    return tree_slice(q, lo, hi)
+        return _expand_for_grid(q, f, ref)
+    return _expand_for_grid(tree_slice(q, lo, hi), f, ref)
 
 
 def factor_data_mask(f: Factor, data: dict):
@@ -98,6 +123,11 @@ def factor_data_mask(f: Factor, data: dict):
             if cov is None:
                 sl = arr
                 finite = jnp.all(jnp.isfinite(sl))
+            elif cov == "grid":
+                k = len(v.idx)
+                finite = jnp.all(
+                    jnp.isfinite(arr), axis=tuple(range(k, arr.ndim))
+                )
             elif isinstance(cov, int):
                 finite = jnp.all(jnp.isfinite(arr[cov]))
             else:
@@ -105,6 +135,12 @@ def factor_data_mask(f: Factor, data: dict):
                 finite = jnp.all(
                     jnp.isfinite(sl), axis=tuple(range(1, sl.ndim))
                 )
+                if _grid(f) is not None:
+                    pos = [p.id for p in f.plates].index(v.idx.plate.id)
+                    finite = jnp.expand_dims(
+                        finite,
+                        tuple(ax for ax in range(len(f.plates)) if ax != pos),
+                    )
             masks.append(finite)
     if not masks:
         return None
@@ -212,6 +248,7 @@ class PlainGroup:
         length = self.var.length
         for f, iface in self.adjacency:
             mean_field = f.id in self.mf_ids
+            grid = _grid(f)
             rule = self.rule_overrides.get((f.id, iface)) or get_message_rule(
                 f.fform, iface, vmp=mean_field
             )
@@ -219,7 +256,13 @@ class PlainGroup:
 
             node_cls = get_node(f.fform)
             needs_self = getattr(node_cls, "needs_self_marginal", False)
-            uses_cavity = (not mean_field) and in_cavity_cluster(node_cls, iface)
+            # Nested-plate factors use plain VMP semantics (no per-copy cavity
+            # store): their outputs are observations, where the cavity
+            # refinement is a no-op on tree models anyway.
+            uses_cavity = (
+                (not mean_field) and grid is None
+                and in_cavity_cluster(node_cls, iface)
+            )
             q = build_q(f, state, data,
                         exclude=None if needs_self else iface,
                         chain_cross=chain_cross)
@@ -245,6 +288,30 @@ class PlainGroup:
                 # function-form fallback message: the plate product is already
                 # folded into the log-density; a form constraint must project
                 msgs.append(raw)
+                continue
+            if grid is not None:
+                # nested-plate factor: materialize the full grid batch, mask,
+                # then product-reduce every plate axis except this ref's own
+                from ..dists.natural import broadcast_batch, prod_reduce_axes
+
+                msg = broadcast_batch(raw, grid)
+                msg = mask_message(msg, factor_data_mask(f, data))
+                ref = f.out if iface == "out" else f.interfaces[iface]
+                if length is None:
+                    msg = prod_reduce_axes(msg, range(len(grid)))
+                else:
+                    if not isinstance(ref.idx, SymIndex):
+                        raise NotImplementedError(
+                            f"Array group {self.var.name}: grid factor "
+                            f"{f.fform} must index it by a plate symbol."
+                        )
+                    pos = [p.id for p in f.plates].index(ref.idx.plate.id)
+                    cov = _coverage(f, ref)
+                    msg = prod_reduce_axes(
+                        msg, [ax for ax in range(len(grid)) if ax != pos]
+                    )
+                    msg = pad_plate(msg, cov[0], cov[1], length)
+                msgs.append(msg)
                 continue
             msg = mask_message(raw, factor_data_mask(f, data))
             if uses_cavity:

@@ -189,6 +189,12 @@ def detect_chains(graph: ModelGraph, infos) -> dict[str, ChainSpec]:
                 continue
             for name, v in f.interfaces.items():
                 if isinstance(v, Ref) and v.var is var:
+                    if len(getattr(f, "plates", ())) >= 2:
+                        raise NotImplementedError(
+                            f"Chain {var.name}: nested-plate evidence factor "
+                            f"{f.fform} is not supported (replicate the chain "
+                            "per sequence instead)."
+                        )
                     evidence.append((f, name))
                     break
         if prior is None:
@@ -444,6 +450,14 @@ class CompiledModel:
                     merged.update(extra if isinstance(extra, dict) else {"meta": extra})
                     f.meta = merged
         contract_deltas(graph)
+        for f in graph.factors:
+            if len(getattr(f, "plates", ())) >= 2 and f.out.var.kind == "random":
+                raise NotImplementedError(
+                    f"Nested-plate factor {f.fform} defines a latent "
+                    f"({f.out.var.name}): grid-shaped LATENT arrays are not "
+                    "supported yet — observe a data grid (y[i, j] = ...) or "
+                    "restructure with single-axis latents."
+                )
         # Factorization constraints → factors forced to mean-field semantics
         # (reference @constraints q(x,y)=q(x)q(y) / MeanField(); the
         # VariationalConstraintsPlugin's factorization indices, SURVEY.md §2.2).

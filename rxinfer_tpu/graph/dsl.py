@@ -231,7 +231,47 @@ class DataArray:
             self._var.length = self.shape[0]
             self._var.event_shape = self.shape[1:]
 
+    def _norm_grid_idx(self, key: tuple) -> tuple:
+        """Nested-plate grid index ``y[i, j]``: every entry must be a zero-offset
+        symbolic index over a full plate, in outer→inner plate order matching
+        the array's leading axes (factor replication over products of axes;
+        reference: nested loop indices in @model bodies)."""
+        if not all(isinstance(k, SymIndex) for k in key):
+            raise TypeError(
+                "multi-axis data indexing supports symbolic plate indices only "
+                "(mixed concrete/symbolic grid slots are not supported)."
+            )
+        if len(self.shape) < len(key):
+            raise ValueError(
+                f"data array has {len(self.shape)} axes, indexed with {len(key)}."
+            )
+        stack = _builder().plate_stack
+        plates = tuple(k.plate for k in key)
+        if tuple(stack[-len(key):]) != plates:
+            raise ValueError(
+                "grid index plate order must match the nesting order of the "
+                "active plates (outer first); transpose the data array if "
+                "its axes are ordered differently."
+            )
+        for ax, k in enumerate(key):
+            if k.offset != 0 or k.plate.lo != 0 or k.plate.hi != self.shape[ax]:
+                raise NotImplementedError(
+                    "grid observations need zero-offset indices over full "
+                    f"plates (axis {ax}: plate [{k.plate.lo},{k.plate.hi}) vs "
+                    f"array axis of length {self.shape[ax]})."
+                )
+        if self._var.length is not None:
+            raise ValueError(
+                f"data array {self._var.name} is used with both single and "
+                "grid indexing."
+            )
+        self._var.grid_axes = tuple(self.shape[: len(key)])
+        self._var.event_shape = self.shape[len(key):]
+        return key
+
     def _norm_idx(self, key):
+        if isinstance(key, tuple):
+            return self._norm_grid_idx(key)
         self._mark_indexed()
         if isinstance(key, SymIndex):
             return key
@@ -404,6 +444,7 @@ class ModelBuilder:
             out = Ref(var, None)
         var.scope = tuple(self.scope_stack)
         f = Factor(fform, out, interfaces, plate=p, meta=meta)
+        f.plates = tuple(self.plate_stack)
         f.scope = tuple(self.scope_stack)
         self.graph.add_factor(f)
         return RVRef(out)

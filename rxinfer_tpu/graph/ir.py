@@ -83,6 +83,8 @@ class Variable:
         # variable created inside nested ``with rx.scope(...)`` blocks (reference:
         # GraphPPL nested contexts; used by submodel-scoped constraints).
         self.scope: tuple = ()
+        # For grid-observed data variables (``y[i, j]``): leading plate axes.
+        self.grid_axes: Optional[tuple] = None
         # Filled during lowering:
         self.event_shape: Optional[tuple] = None
         self.dtype: Any = None
@@ -153,6 +155,12 @@ class Factor:
         self.out = out
         self.interfaces = dict(interfaces)  # does NOT include 'out'
         self.plate = plate
+        # Full active plate stack (outer→inner).  len >= 2 marks a NESTED-plate
+        # factor: one factor object standing for a grid of
+        # prod(p.size) copies, lowered to batched rules + per-axis
+        # natural-parameter reductions (reference: replication over products of
+        # loop indices in @model bodies).
+        self.plates: tuple = (plate,) if plate is not None else ()
         self.meta = meta
         # Submodel scope path of the creating context (see Variable.scope).
         self.scope: tuple = ()
@@ -257,7 +265,11 @@ class ModelGraph:
                 if f.out.var is not v or f.evidence:
                     continue
                 idx = f.out.idx
-                if idx is None:
+                if isinstance(idx, tuple):
+                    # grid observation y[i, j]: full-coverage by construction
+                    # (the DSL enforces zero offsets over full plates)
+                    slots[0] += 1
+                elif idx is None:
                     slots[0] += 1
                 elif isinstance(idx, int):
                     slots[idx] += 1
