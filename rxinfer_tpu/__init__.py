@@ -94,8 +94,8 @@ from .inference_streaming import (  # noqa: F401
     RxInferenceEngine,
     autoupdates,
 )
-from .rules.registry import NodeFunctionRuleFallback  # noqa: F401
-from .rules import DeltaMeta, Linearization, Unscented  # noqa: F401
+from .rules.registry import NodeFunctionRuleFallback, call_rule  # noqa: F401
+from .rules import CVI, CVIProjection, DeltaMeta, Linearization, Unscented  # noqa: F401
 from .utils.callbacks import (  # noqa: F401
     BenchmarkCallbacks,
     StopEarlyIterationStrategy,

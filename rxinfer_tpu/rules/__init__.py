@@ -10,7 +10,7 @@ from .registry import (
 )
 from . import nodes  # noqa: F401 — registers the built-in node library
 from . import delta  # noqa: F401 — Delta node (Linearization/Unscented)
-from .delta import DeltaMeta, Linearization, Unscented  # noqa: F401
+from .delta import CVI, CVIProjection, DeltaMeta, Linearization, Unscented  # noqa: F401
 from . import special  # noqa: F401 — Probit, GammaMixture
 from . import ar  # noqa: F401 — autoregressive node
 from . import gcv  # noqa: F401 — Gaussian controlled variance (HGF)

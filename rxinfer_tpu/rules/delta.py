@@ -46,6 +46,24 @@ class Unscented:
 
 
 @dataclasses.dataclass
+class CVIProjection:
+    """Sampling-based projection of the delta transform (reference
+    CVIProjection — projection-based conjugate VI, and its deprecated
+    Optimisers-based predecessor CVI, docs/src/manuals/inference/delta-node.md:
+    the non-deterministic approximation tier).  Draws ``n_samples`` joint-input
+    samples, pushes them through fn, and moment-matches the (inputs, out)
+    joint — the Gaussian-family instance of an exponential-family projection,
+    done in one batched pass instead of a natural-gradient descent loop."""
+
+    n_samples: int = 1024
+    seed: int = 0
+
+
+# deprecated reference alias (CHANGELOG: CVI superseded by CVIProjection)
+CVI = CVIProjection
+
+
+@dataclasses.dataclass
 class DeltaMeta:
     """Reference DeltaMeta(method=..., inverse=...)."""
 
@@ -165,6 +183,23 @@ def _push_unscented(fn_flat, m, v, params: Unscented):
     return mean, _symmetrize(cov), cross
 
 
+def _push_sampled(fn_flat, m, v, params: CVIProjection):
+    """Monte-Carlo moment matching of (z, f(z)) — the CVIProjection transform."""
+    n = m.shape[-1]
+    key = jax.random.PRNGKey(params.seed)
+    ridge = 1e-9 * (jnp.trace(v) / n + 1e-30)
+    chol = jnp.linalg.cholesky(_symmetrize(v) + ridge * jnp.eye(n, dtype=v.dtype))
+    eps = jax.random.normal(key, (params.n_samples, n), dtype=m.dtype)
+    pts = m + eps @ chol.T
+    ys = jax.vmap(fn_flat)(pts)
+    mean = jnp.mean(ys, axis=0)
+    dy = ys - mean
+    cov = dy.T @ dy / params.n_samples
+    dz = pts - m
+    cross = dz.T @ dy / params.n_samples  # Cov(z, y)
+    return mean, _symmetrize(cov), cross
+
+
 @node("Delta")
 class DeltaNode:
     """Rules dispatch on the approximation method in the factor meta."""
@@ -243,6 +278,8 @@ class DeltaNode:
         fn_flat = _split_apply(fn, dims, vecs)
         if isinstance(method, Unscented):
             mean, cov, _ = _push_unscented(fn_flat, m, v, method)
+        elif isinstance(method, CVIProjection):
+            mean, cov, _ = _push_sampled(fn_flat, m, v, method)
         else:
             mean, cov, _ = _push_linearized(fn_flat, m, v)
         if mean.shape[-1] == 1:
@@ -272,6 +309,8 @@ class DeltaNode:
             inv_flat = _split_apply(inverse, [m_out.shape[-1]], [out_vec])
             if isinstance(method, Unscented):
                 mean, cov, _ = _push_unscented(inv_flat, m_out, v_out, method)
+            elif isinstance(method, CVIProjection):
+                mean, cov, _ = _push_sampled(inv_flat, m_out, v_out, method)
             else:
                 mean, cov, _ = _push_linearized(inv_flat, m_out, v_out)
             vec_i = jnp.ndim(e_mean(q[keys[0]])) >= 1
@@ -283,6 +322,8 @@ class DeltaNode:
         fn_flat = _split_apply(fn, dims, vecs)
         if isinstance(method, Unscented):
             f0, s_yy, s_zy = _push_unscented(fn_flat, m, v, method)
+        elif isinstance(method, CVIProjection):
+            f0, s_yy, s_zy = _push_sampled(fn_flat, m, v, method)
         else:
             f0, s_yy, jac = _push_linearized(fn_flat, m, v)
             s_zy = v @ jac.T
@@ -392,6 +433,8 @@ class _NonlinearGaussianBase:
         fn_flat = _split_apply(fn, dims, vecs)
         if isinstance(method, Unscented):
             f0, s_yy, s_zy = _push_unscented(fn_flat, m, v, method)
+        elif isinstance(method, CVIProjection):
+            f0, s_yy, s_zy = _push_sampled(fn_flat, m, v, method)
         else:
             f0, s_yy, jac = _push_linearized(fn_flat, m, v)
             s_zy = v @ jac.T

@@ -94,6 +94,25 @@ def has_node(fform: str) -> bool:
     return fform in _NODES
 
 
+def call_rule(fform: str, iface: str, vmp: bool = False, meta: dict = None,
+              **marginals):
+    """Directly invoke a node's message rule outside of inference (reference
+    ``@call_rule NodeType(:iface, Marginalisation)(q_... = ...)``,
+    docs/src/manuals/inference/create-node.md:197-228).
+
+    Keyword arguments name the node's OTHER interfaces and map to marginal /
+    message distributions (the reference's ``q_*``/``m_*`` arguments — under
+    the compiled engine both are distributions).  ``iface="average_energy"``
+    evaluates the node's average energy instead (the reference's
+    ``@call_rule``-adjacent ``@average_energy`` testing workflow)."""
+    q = dict(marginals)
+    if meta is not None:
+        q["_meta"] = meta
+    if iface == "average_energy":
+        return get_average_energy(fform)(q)
+    return get_message_rule(fform, iface, vmp=vmp)(q)
+
+
 class NodeFunctionRuleFallback:
     """Approximate missing message rules from the node's ``logpdf`` (reference:
     ReactiveMP NodeFunctionRuleFallback, docs/src/manuals/inference/
