@@ -46,7 +46,10 @@ def slot_degrees(graph: ModelGraph, var) -> np.ndarray:
             if isinstance(v, Ref) and v.var is var:
                 cov = _coverage(f, v)
                 copies = _n_copies(f)
-                if cov is None:
+                if cov == "grid":
+                    # grid latent slot: one factor copy per slot
+                    deg[0] += 1
+                elif cov is None:
                     # shared (scalar) interface: every factor copy touches it
                     deg[0] += copies
                 elif isinstance(cov, int):

@@ -100,7 +100,7 @@ def resolve_iface(value, f: Factor, state: dict, data: dict):
     # random
     q = state[ref.var.name]
     cov = _coverage(f, ref)
-    if cov is None:
+    if cov is None or cov == "grid":
         return q
     if isinstance(cov, int):
         return tree_index(q, cov)
@@ -297,6 +297,26 @@ class PlainGroup:
                 msg = broadcast_batch(raw, grid)
                 msg = mask_message(msg, factor_data_mask(f, data))
                 ref = f.out if iface == "out" else f.interfaces[iface]
+                if getattr(self.var, "grid_axes", None):
+                    # grid latent: per-slot messages — reduce only the factor
+                    # plate axes NOT indexing this variable's grid
+                    if not isinstance(ref.idx, tuple):
+                        raise NotImplementedError(
+                            f"Grid latent {self.var.name} must be referenced "
+                            f"with a full grid index (factor {f.fform})."
+                        )
+                    plate_ids = [p.id for p in f.plates]
+                    pos = [plate_ids.index(k.plate.id) for k in ref.idx]
+                    if pos != sorted(pos):
+                        raise NotImplementedError(
+                            f"Grid latent {self.var.name}: transposed use "
+                            f"inside factor {f.fform} is not supported."
+                        )
+                    other = [ax for ax in range(len(grid)) if ax not in pos]
+                    if other:
+                        msg = prod_reduce_axes(msg, other)
+                    msgs.append(msg)
+                    continue
                 if length is None:
                     msg = prod_reduce_axes(msg, range(len(grid)))
                 else:

@@ -451,12 +451,15 @@ class CompiledModel:
                     f.meta = merged
         contract_deltas(graph)
         for f in graph.factors:
-            if len(getattr(f, "plates", ())) >= 2 and f.out.var.kind == "random":
+            if (
+                len(getattr(f, "plates", ())) >= 2
+                and f.out.var.kind == "random"
+                and not isinstance(f.out.idx, tuple)
+            ):
                 raise NotImplementedError(
-                    f"Nested-plate factor {f.fform} defines a latent "
-                    f"({f.out.var.name}): grid-shaped LATENT arrays are not "
-                    "supported yet — observe a data grid (y[i, j] = ...) or "
-                    "restructure with single-axis latents."
+                    f"Nested-plate factor {f.fform} defines an anonymous "
+                    f"latent ({f.out.var.name}): declare a grid latent "
+                    "(z = rx.latent((N, M))) and assign z[i, j] = ... instead."
                 )
         # Factorization constraints → factors forced to mean-field semantics
         # (reference @constraints q(x,y)=q(x)q(y) / MeanField(); the
@@ -574,7 +577,15 @@ class CompiledModel:
         for name, spec in self.init.items():
             var = next(v for v in self.graph.random_variables() if v.name == name)
             d = spec() if callable(spec) else spec
-            if var.is_array:
+            if var.grid_axes:
+                d = jax.tree_util.tree_map(
+                    lambda a: jnp.broadcast_to(
+                        jnp.asarray(a, jnp.float32),
+                        tuple(var.grid_axes) + jnp.shape(jnp.asarray(a)),
+                    ),
+                    d,
+                )
+            elif var.is_array:
                 # broadcast scalar init across slots
                 d = jax.tree_util.tree_map(
                     lambda a: jnp.broadcast_to(

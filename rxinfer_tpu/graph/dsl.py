@@ -198,6 +198,63 @@ class LatentArray:
         _builder().rebind(value.ref, Ref(self._var, self._norm_idx(key)))
 
 
+def _check_grid_key(key: tuple, axes: tuple, name: str) -> tuple:
+    """Validate a grid index ``[i, j]``: zero-offset symbolic indices over full
+    plates, in outer→inner order matching the array's leading axes."""
+    if not all(isinstance(k, SymIndex) for k in key):
+        raise TypeError(
+            "multi-axis grid indexing supports symbolic plate indices only "
+            "(mixed concrete/symbolic grid slots are not supported)."
+        )
+    if len(axes) < len(key):
+        raise ValueError(
+            f"{name} has {len(axes)} grid axes, indexed with {len(key)}."
+        )
+    stack = _builder().plate_stack
+    plates = tuple(k.plate for k in key)
+    if tuple(stack[-len(key):]) != plates:
+        raise ValueError(
+            "grid index plate order must match the nesting order of the "
+            "active plates (outer first); transpose the array if its axes "
+            "are ordered differently."
+        )
+    for ax, k in enumerate(key):
+        if k.offset != 0 or k.plate.lo != 0 or k.plate.hi != axes[ax]:
+            raise NotImplementedError(
+                "grid slots need zero-offset indices over full plates "
+                f"(axis {ax}: plate [{k.plate.lo},{k.plate.hi}) vs axis "
+                f"length {axes[ax]}); lagged grid references are not "
+                "supported."
+            )
+    return key
+
+
+class GridLatentArray:
+    """Multi-axis latent array: ``z[i, j] = Node(...)`` inside nested plates
+    defines the whole grid at once (reference: multi-dimensional randomvar
+    arrays, GraphPPL x[i, j] indexing)."""
+
+    def __init__(self, var: Variable, axes: tuple):
+        self._var = var
+        self.axes = axes
+
+    def __getitem__(self, key) -> RVRef:
+        if not isinstance(key, tuple):
+            raise TypeError(
+                f"grid latent {self._var.name} must be indexed with "
+                f"{len(self.axes)} indices."
+            )
+        return RVRef(Ref(self._var, _check_grid_key(key, self.axes, self._var.name)))
+
+    def __setitem__(self, key, value):
+        if not isinstance(value, RVRef):
+            raise TypeError("z[i, j] = ... expects a node constructor call.")
+        _builder().rebind(
+            value.ref,
+            Ref(self._var, _check_grid_key(key, self.axes, self._var.name)),
+        )
+
+
 class DataArray:
     """Observed-data placeholder; ``y[t] = Node(...)`` observes slot t.
 
@@ -232,34 +289,9 @@ class DataArray:
             self._var.event_shape = self.shape[1:]
 
     def _norm_grid_idx(self, key: tuple) -> tuple:
-        """Nested-plate grid index ``y[i, j]``: every entry must be a zero-offset
-        symbolic index over a full plate, in outer→inner plate order matching
-        the array's leading axes (factor replication over products of axes;
-        reference: nested loop indices in @model bodies)."""
-        if not all(isinstance(k, SymIndex) for k in key):
-            raise TypeError(
-                "multi-axis data indexing supports symbolic plate indices only "
-                "(mixed concrete/symbolic grid slots are not supported)."
-            )
-        if len(self.shape) < len(key):
-            raise ValueError(
-                f"data array has {len(self.shape)} axes, indexed with {len(key)}."
-            )
-        stack = _builder().plate_stack
-        plates = tuple(k.plate for k in key)
-        if tuple(stack[-len(key):]) != plates:
-            raise ValueError(
-                "grid index plate order must match the nesting order of the "
-                "active plates (outer first); transpose the data array if "
-                "its axes are ordered differently."
-            )
-        for ax, k in enumerate(key):
-            if k.offset != 0 or k.plate.lo != 0 or k.plate.hi != self.shape[ax]:
-                raise NotImplementedError(
-                    "grid observations need zero-offset indices over full "
-                    f"plates (axis {ax}: plate [{k.plate.lo},{k.plate.hi}) vs "
-                    f"array axis of length {self.shape[ax]})."
-                )
+        """Nested-plate grid index ``y[i, j]`` (factor replication over products
+        of axes; reference: nested loop indices in @model bodies)."""
+        key = _check_grid_key(key, self.shape, self._var.name)
         if self._var.length is not None:
             raise ValueError(
                 f"data array {self._var.name} is used with both single and "
@@ -294,9 +326,21 @@ class DataArray:
         _builder().rebind(value.ref, Ref(self._var, None))
 
 
-def latent(length: int, name: Optional[str] = None) -> LatentArray:
-    """Declare an array of latent variables (reference: implicit ``x[i] ~ ...``)."""
+def latent(length, name: Optional[str] = None):
+    """Declare an array of latent variables (reference: implicit ``x[i] ~ ...``).
+
+    ``length`` may be a tuple for a multi-axis latent grid (``latent((N, M))``,
+    defined inside nested plates with ``z[i, j] = Node(...)``)."""
     b = _builder()
+    if isinstance(length, tuple):
+        axes = tuple(int(a) for a in length)
+        var = b.graph.add_variable(
+            Variable(b.scoped_name(name) if name else b.fresh_name("x"),
+                     "random", None)
+        )
+        var.grid_axes = axes
+        var.scope = tuple(b.scope_stack)
+        return GridLatentArray(var, axes)
     var = b.graph.add_variable(
         Variable(b.scoped_name(name) if name else b.fresh_name("x"),
                  "random", int(length))

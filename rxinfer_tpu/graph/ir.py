@@ -83,7 +83,9 @@ class Variable:
         # variable created inside nested ``with rx.scope(...)`` blocks (reference:
         # GraphPPL nested contexts; used by submodel-scoped constraints).
         self.scope: tuple = ()
-        # For grid-observed data variables (``y[i, j]``): leading plate axes.
+        # For grid variables (``y[i, j]`` data / ``z[i, j]`` latents): the
+        # leading plate-axis sizes; such variables have length None (their
+        # state/posterior carries the full grid batch).
         self.grid_axes: Optional[tuple] = None
         # Filled during lowering:
         self.event_shape: Optional[tuple] = None
@@ -266,7 +268,7 @@ class ModelGraph:
                     continue
                 idx = f.out.idx
                 if isinstance(idx, tuple):
-                    # grid observation y[i, j]: full-coverage by construction
+                    # grid slot y[i, j] / z[i, j]: full-coverage by construction
                     # (the DSL enforces zero offsets over full plates)
                     slots[0] += 1
                 elif idx is None:
