@@ -98,6 +98,7 @@ from .rules.registry import NodeFunctionRuleFallback, call_rule  # noqa: F401
 from .rules import CVI, CVIProjection, DeltaMeta, Linearization, Unscented  # noqa: F401
 from .utils.callbacks import (  # noqa: F401
     BenchmarkCallbacks,
+    convert_to_tensorboard,
     StopEarlyIterationStrategy,
     TraceCallbacks,
 )

@@ -152,6 +152,32 @@ class TraceCallbacks:
             )
 
 
+def convert_to_tensorboard(trace: TraceCallbacks, logdir: str):
+    """Write traced events into a TensorBoard log directory (reference:
+    TensorBoardLoggerExt.convert_to_tensorboard,
+    ext/TensorBoardLoggerExt/TensorBoardLoggerExt.jl:241 — each traced event
+    becomes a TB text entry; free-energy values additionally become scalars)."""
+    from torch.utils.tensorboard import SummaryWriter
+
+    writer = SummaryWriter(log_dir=logdir)
+    try:
+        t0 = trace.events[0].timestamp_ns if trace.events else 0
+        fe_step = 0
+        for step, e in enumerate(trace.events):
+            dt_us = (e.timestamp_ns - t0) / 1e3
+            writer.add_text(
+                f"rxinfer/{e.name}",
+                f"span={e.span_id} t+{dt_us:.1f}us payload={e.payload}",
+                global_step=step,
+            )
+            fe = e.payload.get("free_energy")
+            if fe is not None:
+                writer.add_scalar("rxinfer/free_energy", float(fe), fe_step)
+                fe_step += 1
+    finally:
+        writer.close()
+
+
 class StopEarlyIterationStrategy:
     """FE-convergence early stopping (reference StopEarlyIterationStrategy,
     src/callbacks/stop_early.jl:20-74): on after_iteration, compare the latest

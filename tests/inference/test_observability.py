@@ -105,3 +105,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert np.isclose(float(restored["mu"].mean()),
                       float(res.posteriors["mu"].mean()))
     assert np.isclose(float(restored["tau"].a), float(res.posteriors["tau"].a))
+
+
+def test_convert_to_tensorboard(tmp_path):
+    """TB export writes event files (reference TensorBoardLoggerExt)."""
+    import os
+
+    import numpy as np
+
+    import rxinfer_tpu as rx
+
+    @rx.model
+    def coin(y):
+        theta = rx.Beta(1.0, 1.0)
+        for i in rx.plate(len(y)):
+            y[i] = rx.Bernoulli(theta)
+        return {"theta": theta}
+
+    y = np.array([1.0, 0.0, 1.0], np.float32)
+    res = rx.infer(model=coin, data={"y": y}, iterations=3, trace=True,
+                   free_energy=True)
+    logdir = str(tmp_path / "tb")
+    rx.convert_to_tensorboard(res.trace, logdir)
+    files = os.listdir(logdir)
+    assert any("tfevents" in f for f in files)
