@@ -113,6 +113,59 @@ def main():
     t_filt = _median_time(lambda: filt(state, ys), n=3, inner=3)
     filter_updates_per_sec = BF * TF / t_filt
 
+    # --- BASELINE config 4: GMM clustering batched over 1k datasets ----------
+    from rxinfer_tpu.dists import Dirichlet, GammaShapeRate, NormalMeanVariance
+    from rxinfer_tpu.engine.compile import CompiledModel
+    from rxinfer_tpu.models import zoo
+
+    BG, NG, IT_G = 1000, 200, 20
+    comp_g = rng.uniform(size=(BG, NG)) < 0.4
+    yg = np.where(comp_g, 4.0 + 0.5 * rng.standard_normal((BG, NG)),
+                  -1.0 + 0.7 * rng.standard_normal((BG, NG))).astype(np.float32)
+    init_g = {
+        "m0": NormalMeanVariance(-2.0, 10.0),
+        "m1": NormalMeanVariance(2.0, 10.0),
+        "w0": GammaShapeRate(1.0, 1.0), "w1": GammaShapeRate(1.0, 1.0),
+        "pi": Dirichlet(np.ones(2, dtype=np.float32)),
+    }
+    gmm_graph = zoo.gmm(2, [-2.0, 2.0]).trace({"y": yg[0]})
+    gmm_prog = CompiledModel(gmm_graph, init=init_g).make_program(
+        iterations=IT_G, free_energy=False, keep_each=False
+    )
+    yg_dev = jnp.asarray(yg)
+    gmm_batched = jax.jit(jax.vmap(lambda y: gmm_prog({"y": y})[0]))
+    jax.block_until_ready(gmm_batched(yg_dev))
+    t_gmm = _median_time(lambda: gmm_batched(yg_dev), n=3, inner=3)
+    # marginal updates per sweep: n latent assignments + 5 parameters
+    gmm_updates_per_sec = BG * IT_G * (NG + 5) / t_gmm
+
+    # --- BASELINE config 3: HMM structured mean-field VMP (batched 256) ------
+    from rxinfer_tpu.dists import DirichletCollection
+
+    BH, TH, IT_H = 256, 200, 20
+    a_true = np.array([[0.9, 0.05, 0.05], [0.05, 0.9, 0.05],
+                       [0.05, 0.05, 0.9]], np.float64)
+    yh = np.zeros((BH, TH), np.int64)
+    for bidx in range(BH):
+        s = rng.integers(3)
+        for t in range(TH):
+            s = rng.choice(3, p=a_true[:, s])
+            yh[bidx, t] = rng.choice(3, p=a_true[:, s])
+    yh1 = np.eye(3, dtype=np.float32)[yh]
+    init_h = {
+        "A": DirichletCollection(np.full((3, 3), 1.0, np.float32)),
+        "B": DirichletCollection(np.float32(np.eye(3) * 5.0 + 1.0)),
+    }
+    hmm_graph = zoo.hmm(3, 3).trace({"y": yh1[0]})
+    hmm_prog = CompiledModel(hmm_graph, init=init_h).make_program(
+        iterations=IT_H, free_energy=False, keep_each=False
+    )
+    yh_dev = jnp.asarray(yh1)
+    hmm_batched = jax.jit(jax.vmap(lambda y: hmm_prog({"y": y})[0]))
+    jax.block_until_ready(hmm_batched(yh_dev))
+    t_hmm = _median_time(lambda: hmm_batched(yh_dev), n=3, inner=3)
+    hmm_updates_per_sec = BH * IT_H * (TH + 2) / t_hmm
+
     baseline_updates_per_sec = 3 * 10_000 / 0.901667  # reference d=2 T=10k CPU
 
     print(json.dumps({
@@ -127,6 +180,10 @@ def main():
         ),
         "streaming_filter_10k_chains_state_updates_per_sec": round(
             filter_updates_per_sec, 1
+        ),
+        "gmm_1k_datasets_vmp_updates_per_sec": round(gmm_updates_per_sec, 1),
+        "hmm_256x200_structured_vmp_updates_per_sec": round(
+            hmm_updates_per_sec, 1
         ),
         "device": str(jax.devices()[0]),
     }))
