@@ -111,3 +111,42 @@ def quantized_evidence(y: jnp.ndarray, hr_t: jnp.ndarray):
     xi = y_q @ (R^{-1}H)^T — the streaming-ingest message kernel."""
     vals, scales = quantize_rows(y)
     return dequant_matmul(vals, scales, hr_t)
+
+
+# ---------------------------------------------------------------------------------
+# fp8 (e4m3) payload variant — BASELINE.json "optional int8/fp8 quantized
+# natural parameters".  fp8 keeps ~2 decimal digits with a much wider dynamic
+# range per row than int8; the same per-row scale keeps outliers exact.
+# ---------------------------------------------------------------------------------
+
+_FP8_MAX = 448.0  # e4m3 finite max
+
+
+def _quantize_fp8_kernel(x_ref, vals_ref, scales_ref):
+    x = x_ref[:]
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.clip(absmax, 1e-12) / _FP8_MAX
+    scales_ref[:] = scale
+    vals_ref[:] = (x / scale).astype(jnp.float8_e4m3fn)
+
+
+def quantize_rows_fp8(x: jnp.ndarray):
+    """Per-row scaled fp8(e4m3) quantization: x ≈ vals * scales."""
+    b, d = x.shape
+    vals, scales = pl.pallas_call(
+        _quantize_fp8_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d), jnp.float8_e4m3fn),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ),
+        in_specs=[_spec()],
+        out_specs=(_spec(), _spec()),
+        interpret=_interpret(),
+    )(x)
+    return vals, scales
+
+
+def quantized_evidence_fp8(y: jnp.ndarray, hr_t: jnp.ndarray):
+    """fp8-payload evidence projection (same contract as quantized_evidence)."""
+    vals, scales = quantize_rows_fp8(y)
+    return dequant_matmul(vals, scales, hr_t)

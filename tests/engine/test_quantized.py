@@ -40,3 +40,23 @@ def test_quantized_evidence_pipeline():
     xi = quantized_evidence(jnp.asarray(y), jnp.asarray(hr_t))
     exact = y @ hr_t
     assert np.abs(np.asarray(xi) - exact).max() < 0.05 * np.abs(exact).max()
+
+
+def test_fp8_quantize_roundtrip_and_evidence():
+    """fp8(e4m3) payload path (BASELINE: optional int8/fp8 natural params)."""
+    from rxinfer_tpu.ops.quantized import quantize_rows_fp8, quantized_evidence_fp8
+
+    rng = np.random.default_rng(3)
+    b, d = 128, 4
+    y = (10.0 * rng.standard_normal((b, d))).astype(np.float32)
+    vals, scales = quantize_rows_fp8(jnp.asarray(y))
+    assert vals.dtype == jnp.float8_e4m3fn
+    recon = np.asarray(vals, np.float32) * np.asarray(scales)
+    # e4m3 keeps ~2 significant digits
+    assert np.abs(recon - y).max() < 0.07 * np.abs(y).max()
+
+    h = 1.3 * np.eye(d, dtype=np.float32)
+    hr_t = h.T.astype(np.float32)
+    xi = quantized_evidence_fp8(jnp.asarray(y), jnp.asarray(hr_t))
+    exact = y @ hr_t
+    assert np.abs(np.asarray(xi) - exact).max() < 0.07 * np.abs(exact).max()
