@@ -37,6 +37,7 @@ _OUT_FAMILY = {
     "Poisson": "poisson",
     "Uniform": "gaussian",  # continuous scalar carrier
     "NormalMixture": "gaussian",
+    "MvNormalMixture": "mv_gaussian",
     "GammaMixture": "gamma",
     "GaussianDotCovariance": "gaussian",
     "GaussianDotPrecision": "gaussian",
@@ -164,6 +165,17 @@ def infer_event_shape(f: Factor, graph: ModelGraph, known: dict) -> tuple | None
                 if s:
                     return s
         return None
+    if ff == "MvNormalMixture":
+        for key in list(f.interfaces):
+            if key.startswith("mean"):
+                s = shape_of(key)
+                if s:
+                    return s
+            if key.startswith("prec"):
+                s = shape_of(key)
+                if s:
+                    return (s[-1],)
+        return None
     if ff == "Categorical":
         s = shape_of("p")
         return (s[-1],) if s else None
@@ -221,6 +233,14 @@ def infer_input_shape(f: Factor, iface: str, out_shape) -> tuple | None:
         if isinstance(x, Ref) and x.var.kind == "data":
             return (tuple(x.var.event_shape)[-1],)
         return None
+    if ff == "MvNormalMixture":
+        if iface.startswith("mean"):
+            return out_shape
+        if iface.startswith("prec") and out_shape:
+            return (out_shape[-1], out_shape[-1])
+        if iface == "switch":
+            k = (f.meta or {}).get("K")
+            return (int(k),) if k else None
     if ff == "AR" and iface in ("in", "theta"):
         k = (f.meta or {}).get("order")
         return (int(k),) if k else None
@@ -314,6 +334,13 @@ def input_family(f: Factor, iface: str) -> str | None:
             return "gaussian"
         if iface.startswith("prec"):
             return "gamma"
+    if ff == "MvNormalMixture":
+        if iface == "switch":
+            return "categorical"
+        if iface.startswith("mean"):
+            return "mv_gaussian"
+        if iface.startswith("prec"):
+            return "wishart"
     if ff == "GammaMixture":
         if iface.startswith("shape") or iface.startswith("rate"):
             return "gamma"

@@ -810,14 +810,33 @@ def Transition(state_in, matrix) -> RVRef:
 DiscreteTransition = Transition
 
 
+def _is_mv_component(v) -> bool:
+    """True when a mixture component mean is vector-valued: a constant vector,
+    or a random variable defined by an Mv* factor."""
+    if isinstance(v, RVRef):
+        for f in _builder().graph.factors:
+            if f.out.var is v.ref.var:
+                return f.fform.startswith("Mv")
+        return False
+    return np.ndim(np.asarray(v)) >= 1
+
+
 def NormalMixture(switch, means, precisions) -> RVRef:
-    """Gaussian mixture likelihood node (reference NormalMixture, GMM tests)."""
+    """Gaussian mixture likelihood node (reference NormalMixture, GMM tests).
+
+    Dispatches to the multivariate variant (MvNormal means + Wishart
+    precisions; reference test/models/mixtures/gmm_multivariate_tests.jl)
+    when the component means are vector-valued."""
+    mv = any(_is_mv_component(m) for m in means)
     interfaces = {"switch": _as_interface(switch)}
     for i, m in enumerate(means):
         interfaces[f"mean{i}"] = _as_interface(m)
     for i, p in enumerate(precisions):
         interfaces[f"prec{i}"] = _as_interface(p)
-    return _builder().emit("NormalMixture", interfaces, meta={"K": len(means)})
+    return _builder().emit(
+        "MvNormalMixture" if mv else "NormalMixture",
+        interfaces, meta={"K": len(means)},
+    )
 
 
 def GammaMixture(switch, shapes, rates) -> RVRef:

@@ -865,6 +865,133 @@ from .registry import _NODES  # noqa: E402
 _NODES["NormalMixture"] = NormalMixtureNode
 
 
+@node("MvNormalMixture")
+class MvNormalMixtureNode:
+    """Multivariate mixture likelihood: out ~ prod_k N(out; m_k, W_k^{-1})^{s_k}
+    with MvNormal component means and Wishart component precisions.
+
+    Reference: NormalMixture with multivariate components
+    (test/models/mixtures/gmm_multivariate_tests.jl)."""
+
+    _LOG2PI = 1.8378770664093453
+
+    @staticmethod
+    def _k(q):
+        return sum(1 for key in q if key.startswith("mean"))
+
+    @classmethod
+    def _resp(cls, q):
+        return _e_onehot(q["switch"])  # (..., K)
+
+    @staticmethod
+    def _second_moment(d):
+        from .expectations import e_cov
+
+        m = e_mean(d)
+        return e_cov(d) + m[..., :, None] * m[..., None, :], m
+
+    @classmethod
+    def _c_i(cls, q, i):
+        """E[(out − m_i)(out − m_i)^T] under independent q(out) q(m_i)."""
+        xx, mx = cls._second_moment(q["out"])
+        mm, mi = cls._second_moment(q[f"mean{i}"])
+        cross = mx[..., :, None] * mi[..., None, :]
+        return xx - cross - jnp.swapaxes(cross, -1, -2) + mm
+
+    @classmethod
+    def message_to_out(cls, q):
+        from ..dists import MvNormalWeightedMeanPrecision
+        from .expectations import e_precision
+
+        k = cls._k(q)
+        r = cls._resp(q)
+        w = sum(
+            r[..., i, None, None] * e_precision(q[f"prec{i}"]) for i in range(k)
+        )
+        xi = sum(
+            r[..., i, None]
+            * jnp.einsum(
+                "...ij,...j->...i",
+                e_precision(q[f"prec{i}"]), e_mean(q[f"mean{i}"]),
+            )
+            for i in range(k)
+        )
+        return MvNormalWeightedMeanPrecision(xi, w)
+
+    @classmethod
+    def message_to_switch(cls, q):
+        from .expectations import e_logdet, e_precision
+
+        k = cls._k(q)
+        d = e_mean(q["out"]).shape[-1]
+        logits = []
+        for i in range(k):
+            w = e_precision(q[f"prec{i}"])
+            elogdet = e_logdet(q[f"prec{i}"])
+            tr = jnp.einsum("...ij,...ji->...", w, cls._c_i(q, i))
+            logits.append(-0.5 * (d * cls._LOG2PI - elogdet + tr))
+        return Categorical(jnp.stack(logits, axis=-1))
+
+    @classmethod
+    def _message_to_mean_i(cls, q, i):
+        from ..dists import MvNormalWeightedMeanPrecision
+        from .expectations import e_precision
+
+        r = cls._resp(q)[..., i]
+        w = e_precision(q[f"prec{i}"])
+        xi = jnp.einsum("...ij,...j->...i", w, e_mean(q["out"]))
+        return MvNormalWeightedMeanPrecision(
+            r[..., None] * xi, r[..., None, None] * w
+        )
+
+    @classmethod
+    def _message_to_prec_i(cls, q, i):
+        """Wishart message: |W|^{r/2} exp(−r/2 tr(C_i W)) — carried as an
+        (improper for r<1) inverse-scale Wishart, aggregated in natural form."""
+        from ..dists.matrix import WishartInverseScale
+
+        r = cls._resp(q)[..., i]
+        c = cls._c_i(q, i)
+        d = c.shape[-1]
+        return WishartInverseScale(r + d + 1.0, r[..., None, None] * c)
+
+    @classmethod
+    def average_energy(cls, q):
+        from .expectations import e_logdet, e_precision
+
+        k = cls._k(q)
+        r = cls._resp(q)
+        d = e_mean(q["out"]).shape[-1]
+        total = 0.0
+        for i in range(k):
+            w = e_precision(q[f"prec{i}"])
+            elogdet = e_logdet(q[f"prec{i}"])
+            tr = jnp.einsum("...ij,...ji->...", w, cls._c_i(q, i))
+            total = total + r[..., i] * 0.5 * (d * cls._LOG2PI - elogdet + tr)
+        return total
+
+
+def _mv_mixture_getattr(name):
+    if name.startswith("message_to_mean"):
+        i = int(name[len("message_to_mean"):])
+        return lambda q: MvNormalMixtureNode._message_to_mean_i(q, i)
+    if name.startswith("message_to_prec"):
+        i = int(name[len("message_to_prec"):])
+        return lambda q: MvNormalMixtureNode._message_to_prec_i(q, i)
+    raise AttributeError(name)
+
+
+class _MvNormalMixtureMeta(type):
+    def __getattr__(cls, name):
+        return _mv_mixture_getattr(name)
+
+
+MvNormalMixtureNode = _MvNormalMixtureMeta(
+    "MvNormalMixtureNode", (MvNormalMixtureNode,), {}
+)
+_NODES["MvNormalMixture"] = MvNormalMixtureNode
+
+
 # =================================================================================
 # GaussianDot: scalar out = a^T x + b + noise, vector random x, known vector a
 # (reference: dot() + Normal contraction / SoftDot with known weights; the
