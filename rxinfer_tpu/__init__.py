@@ -74,11 +74,13 @@ from .graph import (  # noqa: F401
     model,
     plate,
     scope,
+    submodel,
 )
 from .inference import (  # noqa: F401
     InferenceResult,
     KeepEach,
     KeepLast,
+    UnfactorizedData,
     infer,
 )
 from .postprocess import (  # noqa: F401

@@ -179,12 +179,19 @@ def detect_chains(graph: ModelGraph, infos) -> dict[str, ChainSpec]:
             if f is trans:
                 continue
             if f.out.var is var:
-                if f.out.idx == 0 and f.plate is None:
+                if f.out.idx == 0 and f.plate is None and prior is None:
                     prior = f
+                elif f.plate is None and isinstance(f.out.idx, int):
+                    # extra unary factor pinning a non-initial slot (reference:
+                    # `s[3] ~ Categorical(goal)` goal priors, inference_tests.jl
+                    # :1663, collision_tests.jl goal pinning): enters the chain
+                    # solve as out-message evidence at that slot.
+                    evidence.append((f, "out"))
                 else:
                     raise NotImplementedError(
                         f"Chain {var.name}: extra defining factor {f.fform} at "
-                        f"{f.out.idx} (only a slot-0 prior is supported)."
+                        f"{f.out.idx} (plated second definitions are not "
+                        "supported)."
                     )
                 continue
             for name, v in f.interfaces.items():
@@ -434,10 +441,20 @@ class CompiledModel:
                  meta: Optional[dict] = None):
         options = options or {}
         self.graph = graph
-        if constraints is not None and getattr(constraints, "submodel", None):
-            from ..graph.constraints import expand_submodel_constraints
+        defaults = getattr(graph, "default_submodel_constraints", None)
+        if defaults or (
+            constraints is not None and getattr(constraints, "submodel", None)
+        ):
+            from ..graph.constraints import (
+                Constraints,
+                expand_submodel_constraints,
+            )
 
-            constraints = expand_submodel_constraints(graph, constraints)
+            if constraints is None:
+                constraints = Constraints(None, {}, [], {}, None)
+            constraints = expand_submodel_constraints(
+                graph, constraints, defaults
+            )
         self.constraints = constraints
         # @meta equivalent: attach per-node-type metadata (reference MetaPlugin,
         # docs/src/manuals/inference/meta-specification.md) — e.g.
@@ -691,11 +708,18 @@ class CompiledModel:
 
         return program
 
-    def predict(self, state: dict, data: dict, varname: str):
+    def predict(self, state: dict, data: dict, varname: str,
+                structured: bool = False):
         """Posterior-predictive distribution of a data variable's slots: the
         defining factor's forward message under the posterior marginals
         (reference: predictvars / feeding missing, src/inference/batch.jl:216-246,
-        432-437)."""
+        432-437).
+
+        ``structured=True`` (data wrapped in UnfactorizedData,
+        src/model/model.jl:16-31): the missing entries behave as latents kept
+        *jointly* with the factor's inputs, so the prediction is the exact BP
+        marginalization (``message_to_out_structured``) rather than the
+        moment-matched VMP out-message when the node distinguishes the two."""
         var = self.graph.data_vars[varname]
         factors = [f for f in self.graph.factors if f.out.var is var]
         if len(factors) != 1:
@@ -704,7 +728,13 @@ class CompiledModel:
                 "factors; prediction needs exactly one."
             )
         f = factors[0]
-        rule = get_message_rule(f.fform, "out")
+        rule = None
+        if structured:
+            from ..rules.registry import get_node
+
+            rule = getattr(get_node(f.fform), "message_to_out_structured", None)
+        if rule is None:
+            rule = get_message_rule(f.fform, "out")
         q = build_q(f, state, data, exclude="out", chain_cross=None)
         return rule(q)
 

@@ -92,13 +92,20 @@ def _scope_base(segment: str) -> str:
     return segment.split(":")[0]
 
 
-def expand_submodel_constraints(graph, cons: Constraints) -> Constraints:
+def expand_submodel_constraints(graph, cons: Constraints,
+                                defaults: Optional[dict] = None) -> Constraints:
     """Flatten submodel-scoped constraint blocks against the traced graph:
     translate each block's local variable names to full scoped names
     ('walk:2/x') for every matching scope instance.  A key 'walk' matches all
     instances of the scope, 'walk:2' exactly one (reference: ``for q in
-    submodel`` vs specific-instance ``(submodel, i)`` blocks)."""
-    if not cons.submodel:
+    submodel`` vs specific-instance ``(submodel, i)`` blocks).
+
+    ``defaults`` maps submodel base names to the Constraints declared with
+    ``@rx.submodel(default_constraints=...)`` — applied to every instance the
+    user's blocks did NOT target (reference:
+    ``GraphPPL.default_constraints(::typeof(inner))``,
+    docs/src/manuals/variational/constraints-specification.md:240-256)."""
+    if not cons.submodel and not defaults:
         return cons
     # collect scope-instance prefixes present in the graph
     prefixes: set[tuple] = set()
@@ -118,7 +125,34 @@ def expand_submodel_constraints(graph, cons: Constraints) -> Constraints:
         mf_scopes=[],
     )
     known = {v.name for v in graph.variables if v.kind == "random"}
-    for key, sub in cons.submodel.items():
+
+    def _apply_block(key, sub, p):
+        prefix = "/".join(p)
+        if isinstance(sub.factorization, MeanField):
+            flat.mf_scopes.append(prefix)
+        elif sub.factorization:
+            if flat.factorization is None:
+                flat.factorization = []
+            if isinstance(flat.factorization, MeanField):
+                pass  # global MeanField already dominates
+            else:
+                for tup in sub.factorization:
+                    flat.factorization.append(
+                        tuple(f"{prefix}/{n}" for n in tup)
+                    )
+        for local, form in (sub.forms or {}).items():
+            full = f"{prefix}/{local}"
+            if full not in known:
+                raise ValueError(
+                    f"submodel constraint block {key!r}: no variable "
+                    f"{local!r} in scope {prefix!r}."
+                )
+            flat.forms[full] = form
+        for local in (sub.slot_factorized or []):
+            flat.slot_factorized.append(f"{prefix}/{local}")
+
+    user_matched: set[tuple] = set()
+    for key, sub in (cons.submodel or {}).items():
         if getattr(sub, "submodel", None):
             raise NotImplementedError(
                 "nested submodel constraint blocks: scope the inner block "
@@ -134,30 +168,13 @@ def expand_submodel_constraints(graph, cons: Constraints) -> Constraints:
                 f"model (scopes present: "
                 f"{sorted('/'.join(p) for p in prefixes) or 'none'})."
             )
+        user_matched.update(matched)
         for p in sorted(matched):
-            prefix = "/".join(p)
-            if isinstance(sub.factorization, MeanField):
-                flat.mf_scopes.append(prefix)
-            elif sub.factorization:
-                if flat.factorization is None:
-                    flat.factorization = []
-                if isinstance(flat.factorization, MeanField):
-                    pass  # global MeanField already dominates
-                else:
-                    for tup in sub.factorization:
-                        flat.factorization.append(
-                            tuple(f"{prefix}/{n}" for n in tup)
-                        )
-            for local, form in (sub.forms or {}).items():
-                full = f"{prefix}/{local}"
-                if full not in known:
-                    raise ValueError(
-                        f"submodel constraint block {key!r}: no variable "
-                        f"{local!r} in scope {prefix!r}."
-                    )
-                flat.forms[full] = form
-            for local in (sub.slot_factorized or []):
-                flat.slot_factorized.append(f"{prefix}/{local}")
+            _apply_block(key, sub, p)
+    for base, sub in (defaults or {}).items():
+        for p in sorted(prefixes):
+            if _scope_base(p[-1]) == base and p not in user_matched:
+                _apply_block(base, sub, p)
     return flat
 
 

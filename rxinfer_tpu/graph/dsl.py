@@ -377,6 +377,50 @@ def scope(name: str):
     return _cm()
 
 
+def submodel(fn=None, *, name: Optional[str] = None, default_constraints=None):
+    """Declare a Python function as a named submodel.
+
+    Every call auto-enters a scope named after the function (instances get
+    ``name``, ``name:2``, ... suffixes exactly like ``rx.scope``), and
+    ``default_constraints`` attach to *every* instance of the submodel type
+    unless the user's ``constraints(submodel={...})`` targets that instance —
+    the reference's ``GraphPPL.default_constraints(::typeof(inner)) =
+    @constraints ...`` mechanism
+    (docs/src/manuals/variational/constraints-specification.md:240-256).
+
+    ::
+
+        @rx.submodel(default_constraints=rx.constraints(
+            forms={"tau": rx.PointMassFormConstraint()}))
+        def gauss_block(y):
+            ...
+    """
+    import functools
+
+    def deco(f):
+        sm_name = name or f.__name__
+
+        @functools.wraps(f)
+        def wrapped(*args, **kwargs):
+            b = _builder()
+            b.enter_scope(sm_name)
+            if default_constraints is not None:
+                d = getattr(b.graph, "default_submodel_constraints", None)
+                if d is None:
+                    d = {}
+                    b.graph.default_submodel_constraints = d
+                d[sm_name] = default_constraints
+            try:
+                return f(*args, **kwargs)
+            finally:
+                b.scope_stack.pop()
+
+        wrapped.__rx_submodel__ = sm_name
+        return wrapped
+
+    return deco(fn) if fn is not None else deco
+
+
 def plate(*args, name: Optional[str] = None):
     """Symbolic plate iterator: ``for t in plate(T)`` or ``plate(lo, hi)``.
 

@@ -20,6 +20,23 @@ from .graph.dsl import ModelGenerator
 from .utils.session import get_default_session
 
 
+class UnfactorizedData:
+    """Mark a data array as NOT automatically factorized out of the posterior
+    (reference: UnfactorizedData, src/model/model.jl:16-31).
+
+    By default observed data is a Dirac delta, factorized from every latent.
+    With missing entries the data behaves as a latent variable; wrapping it in
+    ``UnfactorizedData`` keeps the joint q(data, inputs) on the defining factor
+    so predictions marginalize the node *exactly* (structured/BP) instead of
+    using the moment-matched mean-field message — reference conformance:
+    test/inference/inference_tests.jl:1652-1723 (prediction entropy equals the
+    latent's under an identity likelihood) and
+    docs/src/manuals/variational/constraints-specification.md:257-280."""
+
+    def __init__(self, data):
+        self.data = data
+
+
 class KeepLast:
     """Return only the final iteration's posterior (reference KeepLast)."""
 
@@ -156,6 +173,12 @@ def infer(
             result.benchmark = None
             result.trace = None
             return result
+    unfactorized = {k for k, v in data.items() if isinstance(v, UnfactorizedData)}
+    if unfactorized:
+        data = {
+            k: (v.data if isinstance(v, UnfactorizedData) else v)
+            for k, v in data.items()
+        }
     iterations = iterations or 1
     t0 = time.perf_counter()
 
@@ -218,7 +241,9 @@ def infer(
 
         data_j = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
         for name in predictvars:
-            predictions[name] = compiled.predict(state, data_j, name)
+            predictions[name] = compiled.predict(
+                state, data_j, name, structured=name in unfactorized
+            )
     if keep_each:
         posteriors = {
             name: [_extract_posteriors(compiled, h)[name] for h in history]

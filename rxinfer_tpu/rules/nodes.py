@@ -646,6 +646,22 @@ class DiscreteTransitionNode:
         )
 
     @classmethod
+    def message_to_out_structured(cls, q):
+        """Structured/BP prediction message: the out marginal of the joint
+        q(out, in) ∝ exp(E[log A][out, in]) q̃(in), i.e.
+        log p(out) = logsumexp_in(E[log A] + log q(in)) — exact marginalization
+        instead of the geometric-mean VMP message.  Selected for data wrapped
+        in ``UnfactorizedData`` (reference: `infer` with UnfactorizedData,
+        test/inference/inference_tests.jl:1652-1723, where the prediction's
+        entropy must match q(s)'s under an identity likelihood)."""
+        from jax.scipy.special import logsumexp
+
+        logq_in = jnp.log(jnp.clip(_e_onehot(q["in"]), 1e-37))
+        return Categorical(
+            logsumexp(cls._elogp(q) + logq_in[..., None, :], axis=-1)
+        )
+
+    @classmethod
     def message_to_matrix(cls, q):
         joint = q.get("joint")
         if joint is None:
