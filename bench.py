@@ -19,20 +19,69 @@ import numpy as np
 
 
 def _median_time(fn, n=5, inner=20):
-    """Median over n trials of `inner` pipelined calls (single sync at the end):
-    amortizes per-call host dispatch, which dominates sub-ms device programs."""
-    import jax
+    """Median over n trials of `inner` pipelined calls, synced by a scalar FETCH.
 
-    jax.block_until_ready(fn())  # warm
+    ``fn`` must return a scalar device array reducing over every output of the
+    benched program (so nothing is dead-code-eliminated).  The sync point is
+    ``np.asarray`` of that scalar: under remote-execution backends (axon
+    tunnel) ``jax.block_until_ready`` can return before the computation has
+    actually finished, so a device-to-host value fetch is the only trustworthy
+    barrier.  Per-call dispatch is amortized by pipelining ``inner`` calls
+    before the single fetch, and the measured constant per-fetch round-trip
+    latency (~25 ms through the tunnel, measured per process run) is
+    subtracted so the reported time is device execution, not network."""
+    float(np.asarray(fn()))  # warm + compile
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = None
         for _ in range(inner):
             out = fn()
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / inner)
-    return float(np.median(times))
+        float(np.asarray(out))
+        times.append((time.perf_counter() - t0 - _fetch_rtt()) / inner)
+    return max(float(np.median(times)), 1e-9)
+
+
+_RTT = [None]
+
+
+def _fetch_rtt():
+    """Median round-trip latency of fetching one scalar from a trivial jitted
+    program — the fixed per-fetch cost of the execution tunnel."""
+    if _RTT[0] is None:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: jnp.sum(x) * 1e-20)
+        x = jnp.ones((8, 128), jnp.float32)
+        float(np.asarray(f(x)))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(np.asarray(f(x)))
+            ts.append(time.perf_counter() - t0)
+        _RTT[0] = float(np.median(ts))
+    return _RTT[0]
+
+
+def _scalarize(program):
+    """Wrap a jittable program so it returns one scalar depending on every
+    output leaf (keeps all compute alive under jit while making the result
+    cheap to fetch through the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    def wrapped(*args):
+        out = program(*args)
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "dtype")]
+        return sum(
+            (jnp.sum(x if jnp.issubdtype(x.dtype, jnp.floating)
+                     else x.astype(jnp.float32)) for x in leaves),
+            start=jnp.float32(0.0),
+        )
+
+    return wrapped
 
 
 def main():
@@ -74,8 +123,7 @@ def main():
         jnp.broadcast_to(jnp.asarray(w_obs), (T, d, d)),
     )
 
-    smooth = jax.jit(lambda p: parallel_smoother(p)[:2])
-    jax.block_until_ready(smooth(params))  # compile
+    smooth = jax.jit(_scalarize(lambda p: parallel_smoother(p)[:2]))
     t_single = _median_time(lambda: smooth(params))
     updates_per_sec = 3 * T / t_single
 
@@ -93,8 +141,7 @@ def main():
         xib,
         jnp.broadcast_to(jnp.asarray(w_obs), (B, T, d, d)),
     )
-    bsmooth = jax.jit(jax.vmap(lambda p: parallel_smoother(p)[:2]))
-    jax.block_until_ready(bsmooth(pb))
+    bsmooth = jax.jit(_scalarize(jax.vmap(lambda p: parallel_smoother(p)[:2])))
     t_batch = _median_time(lambda: bsmooth(pb), n=3, inner=5)
     batched_updates_per_sec = 3 * T * B / t_batch
 
@@ -105,11 +152,10 @@ def main():
     state = FilterState(
         jnp.zeros((BF, d)), jnp.broadcast_to(jnp.asarray(p0), (BF, d, d))
     )
-    filt = jax.jit(
+    filt = jax.jit(_scalarize(
         lambda st, ys: filtering_scan(st, ys, jnp.asarray(f_mat), jnp.asarray(q),
                                       jnp.asarray(h), jnp.asarray(r))
-    )
-    jax.block_until_ready(filt(state, ys))
+    ))
     t_filt = _median_time(lambda: filt(state, ys), n=3, inner=3)
     filter_updates_per_sec = BF * TF / t_filt
 
@@ -133,8 +179,7 @@ def main():
         iterations=IT_G, free_energy=False, keep_each=False
     )
     yg_dev = jnp.asarray(yg)
-    gmm_batched = jax.jit(jax.vmap(lambda y: gmm_prog({"y": y})[0]))
-    jax.block_until_ready(gmm_batched(yg_dev))
+    gmm_batched = jax.jit(_scalarize(jax.vmap(lambda y: gmm_prog({"y": y})[0])))
     t_gmm = _median_time(lambda: gmm_batched(yg_dev), n=3, inner=3)
     # marginal updates per sweep: n latent assignments + 5 parameters
     gmm_updates_per_sec = BG * IT_G * (NG + 5) / t_gmm
@@ -161,8 +206,7 @@ def main():
         iterations=IT_H, free_energy=False, keep_each=False
     )
     yh_dev = jnp.asarray(yh1)
-    hmm_batched = jax.jit(jax.vmap(lambda y: hmm_prog({"y": y})[0]))
-    jax.block_until_ready(hmm_batched(yh_dev))
+    hmm_batched = jax.jit(_scalarize(jax.vmap(lambda y: hmm_prog({"y": y})[0])))
     t_hmm = _median_time(lambda: hmm_batched(yh_dev), n=3, inner=3)
     hmm_updates_per_sec = BH * IT_H * (TH + 2) / t_hmm
 

@@ -58,18 +58,35 @@ def chol_solve(chol, b):
 
 
 def pd_inverse(m):
-    """Positive-definite inverse via Cholesky, symmetrized."""
+    """Positive-definite inverse, symmetrized.
+
+    d <= 8 uses closed-form cofactor/Schur inverses (ops/smallmat.py): batched
+    Cholesky/LU on tiny matrices lowers to sequential per-matrix loops on TPU
+    (measured ~35 ms for 10k 4x4 solves vs <1 ms closed-form).  Larger d keeps
+    the Cholesky path."""
+    if m.shape[-1] <= 8:
+        from ..ops.smallmat import small_inv
+
+        return _symmetrize(small_inv(m))
     c = cholesky(m)
     eye = jnp.broadcast_to(jnp.eye(m.shape[-1], dtype=m.dtype), m.shape)
     return _symmetrize(chol_solve(c, eye))
 
 
 def pd_logdet(m):
+    if m.shape[-1] <= 8:
+        from ..ops.smallmat import small_logdet
+
+        return small_logdet(m)
     c = cholesky(m)
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(c, axis1=-2, axis2=-1)), axis=-1)
 
 
 def pd_inverse_and_logdet(m):
+    if m.shape[-1] <= 8:
+        from ..ops.smallmat import small_inv, small_logdet
+
+        return _symmetrize(small_inv(m)), small_logdet(m)
     c = cholesky(m)
     eye = jnp.broadcast_to(jnp.eye(m.shape[-1], dtype=m.dtype), m.shape)
     inv = _symmetrize(chol_solve(c, eye))
@@ -221,10 +238,20 @@ class AbstractMvNormal(Distribution):
         m, c = self.mean(), self.cov()
         d = m.shape[-1]
         diff = x - m
-        cl = cholesky(c)
-        y = jax.scipy.linalg.solve_triangular(cl, diff[..., None], lower=True)[..., 0]
-        maha = jnp.sum(y * y, axis=-1)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cl, axis1=-2, axis2=-1)), axis=-1)
+        if d <= 8:
+            from ..ops.smallmat import small_logdet, small_solve
+
+            maha = jnp.sum(diff * small_solve(_symmetrize(c), diff), axis=-1)
+            logdet = small_logdet(c)
+        else:
+            cl = cholesky(c)
+            y = jax.scipy.linalg.solve_triangular(
+                cl, diff[..., None], lower=True
+            )[..., 0]
+            maha = jnp.sum(y * y, axis=-1)
+            logdet = 2.0 * jnp.sum(
+                jnp.log(jnp.diagonal(cl, axis1=-2, axis2=-1)), axis=-1
+            )
         return -0.5 * (d * _LOG2PI + logdet + maha)
 
     def precision(self):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..dists import PointMass
+from ..ops.smallmat import small_inv, small_logdet
 from ..dists.gaussian import pd_logdet
 from ..graph.ir import Const, Factor, ModelGraph, Ref, SymIndex
 from ..rules.registry import get_average_energy
@@ -206,7 +207,7 @@ def gaussian_pair_fe(f: Factor, q: dict, state: dict, in_key: str,
     jmat = jnp.concatenate([top, bot], axis=-2)
     xi = jnp.concatenate([xi_o + wbar @ b_vec, xi_i - a_mat.T @ wbar @ b_vec])
 
-    vmat = jnp.linalg.inv(jmat)
+    vmat = small_inv(jmat)
     mu = vmat @ xi
     mu_o, mu_i = mu[:d_o], mu[d_o:]
     v_oo = vmat[:d_o, :d_o]
@@ -221,7 +222,7 @@ def gaussian_pair_fe(f: Factor, q: dict, state: dict, in_key: str,
         + elogv
         + jnp.einsum("ij,ji->", wbar, c2)
     )
-    h_pair = 0.5 * (d_o + d_i) * _LOG2PIE - 0.5 * jnp.linalg.slogdet(jmat)[1]
+    h_pair = 0.5 * (d_o + d_i) * _LOG2PIE - 0.5 * small_logdet(jmat)
     term = ae - h_pair
     # noise entropy (mean-field boundary), if the noise is a random variable
     noise = q.get(noise_key)

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dists.gaussian import _symmetrize, pd_inverse
-from .smallmat import small_inv, small_solve
+from .smallmat import small_inv, small_logdet, small_solve
 
 
 class ChainParams(NamedTuple):
@@ -60,10 +60,13 @@ class SmoothResult(NamedTuple):
 def _solve(a, b):
     """Batched general solve a @ x = b (a not necessarily symmetric).
 
-    Measured on v5e: XLA's batched LU solve wins inside the big associative
-    scans (better fusion/layout than the closed-form cofactor path), while the
-    closed-form inverse wins in the per-step streaming filter (filter_step)."""
-    return jnp.linalg.solve(a, b)
+    Closed-form cofactor path for d <= 4 (ops/smallmat.py): XLA lowers batched
+    LU on tiny matrices to sequential per-matrix loops on TPU — fetch-synced
+    measurement on v5e-lite showed 35 ms for one batched (10k,4,4) solve stage
+    vs <1 ms closed-form.  (An earlier measurement claiming the opposite used
+    jax.block_until_ready, which does NOT actually block through the remote
+    tunnel.)  d > 4 falls back to LU inside small_solve."""
+    return small_solve(a, b)
 
 
 # ---------------------------------------------------------------------------------
@@ -82,17 +85,16 @@ def _make_filter_elements(p: ChainParams):
     eta0 = jnp.zeros((d,), p.m0.dtype)
     j0 = jnp.zeros((d, d), p.m0.dtype)
 
-    # Elements t>=1 from (F, b, Q, xi_t, W_t).
+    # Elements t>=1 from (F, b, Q, xi_t, W_t).  Since Q and W are symmetric,
+    # (I + W Q) = (I + Q W)^T — one closed-form inverse serves both solves.
     def make(f, b, q, xi, w):
-        qw = q @ w
-        m_inv = eye + qw                     # (I + Q W)
-        a = _solve(m_inv, f)                 # (I+QW)^{-1} F
-        belem = _solve(m_inv, b + q @ xi)    # (I+QW)^{-1} (b + Q xi)
-        c = _solve(m_inv, q)                 # (I+QW)^{-1} Q
-        n_inv = eye + w @ q                  # (I + W Q)
-        tmp = _solve(n_inv, (xi - w @ b)[..., None])[..., 0]
-        eta = f.T @ tmp
-        j = f.T @ _solve(n_inv, w) @ f
+        minv = small_inv(eye + q @ w)        # (I + Q W)^{-1}
+        a = minv @ f                         # (I+QW)^{-1} F
+        belem = minv @ (b + q @ xi)          # (I+QW)^{-1} (b + Q xi)
+        c = minv @ q                         # (I+QW)^{-1} Q
+        minv_t = minv.T                      # (I + W Q)^{-1}
+        eta = f.T @ (minv_t @ (xi - w @ b))
+        j = f.T @ (minv_t @ w) @ f
         return a, belem, _symmetrize(c), eta, _symmetrize(j)
 
     a_r, b_r, c_r, eta_r, j_r = jax.vmap(make)(p.F, p.b, p.Q, p.xi[1:], p.W[1:])
@@ -115,26 +117,26 @@ def _filter_compose(elem_i, elem_j):
     d = a_i.shape[-1]
     eye = jnp.eye(d, dtype=a_i.dtype)
 
+    # C_i and J_j are symmetric, so (I + J_j C_i) = (I + C_i J_j)^T: one
+    # closed-form inverse (TPU-fast elementwise cofactors, smallmat.py) covers
+    # all five solves of the lemma.
     m = eye + c_i @ j_j                                    # (I + C_i J_j)
-    minv_a_i = jnp.linalg.solve(m, a_i)
-    minv_rest = jnp.linalg.solve(m, (b_i + c_i @ eta_j)[..., None])[..., 0]
-    minv_c_i = jnp.linalg.solve(m, c_i)
+    minv = small_inv(m)
+    minv_t = jnp.swapaxes(minv, -1, -2)                    # (I + J_j C_i)^{-1}
 
-    a = a_j @ minv_a_i
-    b = a_j @ minv_rest + b_j
-    c = a_j @ minv_c_i @ jnp.swapaxes(a_j, -1, -2) + c_j
+    a = a_j @ (minv @ a_i)
+    b = a_j @ (minv @ (b_i + c_i @ eta_j)) + b_j
+    c = a_j @ (minv @ c_i) @ jnp.swapaxes(a_j, -1, -2) + c_j
 
-    n = eye + j_j @ c_i                                    # (I + J_j C_i)
-    ninv_eta = jnp.linalg.solve(n, (eta_j - j_j @ b_i)[..., None])[..., 0]
-    ninv_jj = jnp.linalg.solve(n, j_j)
-    eta = jnp.swapaxes(a_i, -1, -2) @ ninv_eta + eta_i
-    j = jnp.swapaxes(a_i, -1, -2) @ ninv_jj @ a_i + j_i
+    a_i_t = jnp.swapaxes(a_i, -1, -2)
+    eta = a_i_t @ (minv_t @ (eta_j - j_j @ b_i)) + eta_i
+    j = a_i_t @ (minv_t @ j_j) @ a_i + j_i
 
     return a, b, _symmetrize(c), eta, _symmetrize(j)
 
 
 def _cast_tree(tree, dtype):
-    return tuple(x.astype(dtype) for x in tree)
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
 
 
 def _compose_with_payload(compose, payload_dtype):
@@ -318,10 +320,19 @@ def chain_log_evidence(
     mu_y = jnp.einsum("tij,tj->ti", H, m_pred) + c
     s = jnp.einsum("tij,tjk,tlk->til", H, p_pred, H) + R
     diff = y - mu_y
-    chol = jnp.linalg.cholesky(_symmetrize(s))
-    sol = jax.scipy.linalg.solve_triangular(chol, diff[..., None], lower=True)[..., 0]
-    maha = jnp.sum(sol * sol, axis=-1)
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    s = _symmetrize(s)
+    if s.shape[-1] <= 4:
+        maha = jnp.sum(diff * small_solve(s, diff), axis=-1)
+        logdet = small_logdet(s)
+    else:
+        chol = jnp.linalg.cholesky(s)
+        sol = jax.scipy.linalg.solve_triangular(
+            chol, diff[..., None], lower=True
+        )[..., 0]
+        maha = jnp.sum(sol * sol, axis=-1)
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+        )
     dy = y.shape[-1]
     ll = -0.5 * (dy * jnp.log(2.0 * jnp.pi) + logdet + maha)
     if mask is not None:

@@ -61,32 +61,115 @@ def _inv4(m):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _inv_core(ms):
+    """Inverse of pre-normalized matrices, d <= 8 (d in 5..8 via 4|rest block
+    Schur complement over the closed-form d<=4 kernels)."""
+    d = ms.shape[-1]
+    if d == 1:
+        return 1.0 / ms
+    if d == 2:
+        return _inv2(ms)
+    if d == 3:
+        return _inv3(ms)
+    if d == 4:
+        return _inv4(ms)
+    k = 4
+    a = ms[..., :k, :k]
+    b = ms[..., :k, k:]
+    c = ms[..., k:, :k]
+    dd = ms[..., k:, k:]
+    a_inv = _inv_core(a)
+    ca = c @ a_inv
+    schur = dd - ca @ b
+    s_inv = _inv_core(schur)
+    ab = a_inv @ b
+    top_left = a_inv + ab @ s_inv @ ca
+    top_right = -(ab @ s_inv)
+    bot_left = -(s_inv @ ca)
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([bot_left, s_inv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def small_inv(m):
-    """General (not necessarily symmetric) inverse for trailing dims d ≤ 4;
-    falls back to jnp.linalg.inv for larger d.
+    """General (not necessarily symmetric) inverse for trailing dims d ≤ 8 as
+    branch-free elementwise cofactor/Schur arithmetic; falls back to
+    jnp.linalg.inv for larger d (where LU's O(d^3) pivoting starts to pay off —
+    on TPU, batched LU on tiny matrices lowers to sequential per-matrix loops).
 
     Inputs are normalized by their mean diagonal magnitude so that determinants
     of vague (1e12-scaled) matrices stay inside fp32 range."""
     d = m.shape[-1]
-    if d > 4:
+    if d > 8:
         return jnp.linalg.inv(m)
     scale = jnp.mean(jnp.abs(jnp.diagonal(m, axis1=-2, axis2=-1)), axis=-1)
     scale = jnp.where(scale > 0, scale, 1.0)[..., None, None]
-    ms = m / scale
+    return _inv_core(m / scale) / scale
+
+
+def _det2(m):
+    return m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+
+
+def _det3(m):
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def _det4(m):
+    """det via 2x2 Schur complement: det(M) = det(A) det(D - C A^{-1} B)."""
+    a = m[..., :2, :2]
+    b = m[..., :2, 2:]
+    c = m[..., 2:, :2]
+    d = m[..., 2:, 2:]
+    schur = d - c @ _inv2(a) @ b
+    return _det2(a) * _det2(schur)
+
+
+def _det_core(ms):
+    d = ms.shape[-1]
     if d == 1:
-        inv = 1.0 / ms
-    elif d == 2:
-        inv = _inv2(ms)
-    elif d == 3:
-        inv = _inv3(ms)
-    else:
-        inv = _inv4(ms)
-    return inv / scale
+        return ms[..., 0, 0]
+    if d == 2:
+        return _det2(ms)
+    if d == 3:
+        return _det3(ms)
+    if d == 4:
+        return _det4(ms)
+    k = 4
+    a = ms[..., :k, :k]
+    schur = ms[..., k:, k:] - ms[..., k:, :k] @ _inv_core(a) @ ms[..., :k, k:]
+    return _det_core(a) * _det_core(schur)
+
+
+def small_logdet(m):
+    """log|det m| for PD matrices with trailing dims d <= 8, as pure
+    elementwise arithmetic (TPU-fast; batched Cholesky lowers to sequential
+    per-matrix loops).  Falls back to Cholesky for larger d.  The same
+    diagonal normalization as small_inv keeps vague (1e12·I) matrices inside
+    fp32 determinant range."""
+    d = m.shape[-1]
+    if d > 8:
+        c = jnp.linalg.cholesky(0.5 * (m + jnp.swapaxes(m, -1, -2)))
+        return 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(c, axis1=-2, axis2=-1)), axis=-1
+        )
+    scale = jnp.mean(jnp.abs(jnp.diagonal(m, axis1=-2, axis2=-1)), axis=-1)
+    scale = jnp.where(scale > 0, scale, 1.0)
+    det = _det_core(m / scale[..., None, None])
+    return jnp.log(jnp.clip(det, 1e-37)) + d * jnp.log(scale)
+
+
+def small_inv_and_logdet(m):
+    """(inverse, log|det|) pair sharing the normalization (d <= 4 fast path)."""
+    return small_inv(m), small_logdet(m)
 
 
 def small_solve(m, x):
-    """solve(m, x) via closed-form inverse for d ≤ 4 (x vector or matrix)."""
-    if m.shape[-1] > 4:
+    """solve(m, x) via closed-form inverse for d ≤ 8 (x vector or matrix)."""
+    if m.shape[-1] > 8:
         return jnp.linalg.solve(m, x)
     inv = small_inv(m)
     if x.ndim == m.ndim - 1:

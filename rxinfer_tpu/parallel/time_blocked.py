@@ -32,6 +32,7 @@ from ..ops.kalman import (
     _smooth_compose,
 )
 from ..dists.gaussian import _symmetrize, pd_inverse
+from ..ops.smallmat import small_inv, small_solve
 
 
 def _filter_identity(d: int, dtype=jnp.float32):
@@ -53,15 +54,15 @@ def _make_elements_uniform(f_full, b_full, q_full, xi, w):
     eye = jnp.eye(d, dtype=xi.dtype)
 
     def make(f, b, q, xi_t, w_t):
-        qw = q @ w_t
-        m_inv = eye + qw
-        a = jnp.linalg.solve(m_inv, f)
-        belem = jnp.linalg.solve(m_inv, (b + q @ xi_t)[..., None])[..., 0]
-        c = jnp.linalg.solve(m_inv, q)
-        n_inv = eye + w_t @ q
-        tmp = jnp.linalg.solve(n_inv, (xi_t - w_t @ b)[..., None])[..., 0]
-        eta = f.T @ tmp
-        j = f.T @ jnp.linalg.solve(n_inv, w_t) @ f
+        # (I + W Q) = (I + Q W)^T for symmetric Q, W: one closed-form inverse
+        # (ops/smallmat.py — TPU-fast; batched LU lowers to per-matrix loops)
+        minv = small_inv(eye + q @ w_t)
+        a = minv @ f
+        belem = minv @ (b + q @ xi_t)
+        c = minv @ q
+        minv_t = minv.T
+        eta = f.T @ (minv_t @ (xi_t - w_t @ b))
+        j = f.T @ (minv_t @ w_t) @ f
         return a, belem, _symmetrize(c), eta, _symmetrize(j)
 
     return jax.vmap(make)(f_full, b_full, q_full, xi, w)
@@ -96,7 +97,7 @@ def _block_smoother(m0, p0, f_full, b_full, q_full, f_shift, b_shift, q_shift,
     # shard 0, slot 0: exact filtered prior element
     w_post0 = pd_inverse(p0) + w[0]
     c0 = pd_inverse(w_post0)
-    m0f = c0 @ (jnp.linalg.solve(p0, m0[..., None])[..., 0] + xi[0])
+    m0f = c0 @ (small_solve(p0, m0) + xi[0])
     prior_elem = (jnp.zeros((d, d)), m0f, c0, jnp.zeros((d,)), jnp.zeros((d, d)))
     slot0 = _tree_where(p_idx == 0,
                         prior_elem,
@@ -116,7 +117,7 @@ def _block_smoother(m0, p0, f_full, b_full, q_full, f_shift, b_shift, q_shift,
     # ---- backward (smoothing) ----
     def make_s(mf, cf, f, b, q):
         p_pred = _symmetrize(f @ cf @ f.T + q)
-        e = jnp.linalg.solve(p_pred, f @ cf).T
+        e = small_solve(p_pred, f @ cf).T
         g = mf - e @ (f @ mf + b)
         l = _symmetrize(cf - e @ p_pred @ e.T)
         return e, g, l
