@@ -18,50 +18,34 @@ import time
 import numpy as np
 
 
-def _median_time(fn, n=5, inner=20):
-    """Median over n trials of `inner` pipelined calls, synced by a scalar FETCH.
+def _median_time(fn, n=3, inner=20):
+    """Per-call time by the two-point slope method, synced by a scalar FETCH.
 
     ``fn`` must return a scalar device array reducing over every output of the
     benched program (so nothing is dead-code-eliminated).  The sync point is
     ``np.asarray`` of that scalar: under remote-execution backends (axon
     tunnel) ``jax.block_until_ready`` can return before the computation has
     actually finished, so a device-to-host value fetch is the only trustworthy
-    barrier.  Per-call dispatch is amortized by pipelining ``inner`` calls
-    before the single fetch, and the measured constant per-fetch round-trip
-    latency (~25 ms through the tunnel, measured per process run) is
-    subtracted so the reported time is device execution, not network."""
+    barrier.  The fixed per-fetch round-trip latency (~25 ms through the
+    tunnel) is cancelled by timing two pipelined batches of different lengths
+    (``inner`` and ``3*inner``) and taking the slope — robust even when the
+    program runs faster than the RTT jitter (no subtraction underflow)."""
     float(np.asarray(fn()))  # warm + compile
-    times = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(inner):
-            out = fn()
-        float(np.asarray(out))
-        times.append((time.perf_counter() - t0 - _fetch_rtt()) / inner)
-    return max(float(np.median(times)), 1e-9)
 
-
-_RTT = [None]
-
-
-def _fetch_rtt():
-    """Median round-trip latency of fetching one scalar from a trivial jitted
-    program — the fixed per-fetch cost of the execution tunnel."""
-    if _RTT[0] is None:
-        import jax
-        import jax.numpy as jnp
-
-        f = jax.jit(lambda x: jnp.sum(x) * 1e-20)
-        x = jnp.ones((8, 128), jnp.float32)
-        float(np.asarray(f(x)))
+    def batch(k):
         ts = []
-        for _ in range(5):
+        for _ in range(n):
             t0 = time.perf_counter()
-            float(np.asarray(f(x)))
+            out = None
+            for _ in range(k):
+                out = fn()
+            float(np.asarray(out))
             ts.append(time.perf_counter() - t0)
-        _RTT[0] = float(np.median(ts))
-    return _RTT[0]
+        return float(np.median(ts))
+
+    t_small = batch(inner)
+    t_large = batch(3 * inner)
+    return max((t_large - t_small) / (2 * inner), 1e-9)
 
 
 def _scalarize(program):
@@ -141,7 +125,9 @@ def main():
         xib,
         jnp.broadcast_to(jnp.asarray(w_obs), (B, T, d, d)),
     )
-    bsmooth = jax.jit(_scalarize(jax.vmap(lambda p: parallel_smoother(p)[:2])))
+    # native leading-batch axis (NOT vmap: the SoA scans fold (B, T) onto full
+    # (sublane, lane) tiles; vmap would waste them — ops/kalman.py)
+    bsmooth = jax.jit(_scalarize(lambda p: parallel_smoother(p)[:2]))
     t_batch = _median_time(lambda: bsmooth(pb), n=3, inner=5)
     batched_updates_per_sec = 3 * T * B / t_batch
 

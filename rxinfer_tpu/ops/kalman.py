@@ -139,6 +139,148 @@ def _cast_tree(tree, dtype):
     return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
 
 
+# ---------------------------------------------------------------------------------
+# Batch-minor (SoA) scan paths for small d
+#
+# The associative-scan elements are tiny d x d matrices.  Stored as (T, d, d)
+# arrays, each 4x4 matrix pads to a full (8, 128) TPU tile inside the scan
+# levels — ~64x wasted HBM traffic and VPU lanes.  Transposing to (d, d, T)
+# puts the time axis on the lanes: every compose is a handful of einsums
+# batched over full-width vectors, and the closed-form inverse is
+# ops/smallmat.inv_soa.  (A list-of-(T,)-entries pytree representation was
+# tried first — numerically identical but the per-entry leaves blow the
+# unrolled scan graph up to ~10k jaxprs eqns and minutes of XLA compile; the
+# (d, d, T)-axes form keeps the graph as small as the naive (T, d, d) one.)
+#
+# Leading batch axes of ChainParams are handled NATIVELY: (B, T, d, d) becomes
+# (d, d, B, T) with (B, T) on the (sublane, lane) tiles — full-tile utilization.
+# Prefer passing batched params directly over jax.vmap(parallel_smoother):
+# vmap pushes the batch dim in front of the tiny d/1 minor dims, wasting tiles.
+# ---------------------------------------------------------------------------------
+
+from .smallmat import inv_soa_scaled
+
+
+def _to_soa_mat(x):   # (..., T, d, d) -> (d, d, ..., T)
+    return jnp.moveaxis(x, (-2, -1, -3), (0, 1, -1))
+
+
+def _to_soa_vec(x):   # (..., T, d) -> (d, 1, ..., T): vectors as single-column
+    v = jnp.moveaxis(x, (-1, -2), (0, -1))   # matrices so every scan leaf
+    return v[:, None]                        # shares the scanned-axis index
+
+
+def _from_soa_mat(x):
+    return jnp.moveaxis(x, (0, 1, -1), (-2, -1, -3))
+
+
+def _from_soa_vec(x):  # (d, 1, ..., T) -> (..., T, d)
+    return jnp.moveaxis(x[:, 0], (0, -1), (-1, -2))
+
+
+def _mm(x, y):
+    return jnp.einsum("ik...,kj...->ij...", x, y)
+
+
+_mv = _mm  # vectors are (d, 1, N) matrices
+
+
+def _t(x):
+    return jnp.swapaxes(x, 0, 1)
+
+
+def _sym_soa(x):
+    return 0.5 * (x + _t(x))
+
+
+def _eye_plus(m):
+    d = m.shape[0]
+    return m + jnp.eye(d, dtype=m.dtype)[(...,) + (None,) * (m.ndim - 2)]
+
+
+def _make_filter_elements_soa(p: ChainParams):
+    """Filter elements built directly in the (d, d, ..., T) layout — every op is
+    full-width elementwise VPU work; nothing materializes in (T, d, d) form."""
+    f = _to_soa_mat(p.F)
+    b = _to_soa_vec(p.b)
+    q = _to_soa_mat(p.Q)
+    xi_r = _to_soa_vec(p.xi[..., 1:, :])
+    w_r = _to_soa_mat(p.W[..., 1:, :, :])
+
+    minv = inv_soa_scaled(_eye_plus(_mm(q, w_r)))      # (I + Q W)^{-1}
+    minv_t = _t(minv)                                  # (I + W Q)^{-1}
+    f_t = _t(f)
+    a = _mm(minv, f)
+    belem = _mv(minv, b + _mv(q, xi_r))
+    c = _sym_soa(_mm(minv, q))
+    eta = _mv(f_t, _mv(minv_t, xi_r - _mv(w_r, b)))
+    j = _sym_soa(_mm(f_t, _mm(_mm(minv_t, w_r), f)))
+
+    # Element 0: exact filtered state at t=0 (prior × evidence_0), dense math
+    # on a single (..., d, d) matrix, then appended as a length-1 time slice.
+    w_post0 = pd_inverse(p.P0) + p.W[..., 0, :, :]
+    c0 = pd_inverse(w_post0)
+    rhs0 = small_solve(p.P0, p.m0) + p.xi[..., 0, :]
+    m0f = jnp.einsum("...ij,...j->...i", c0, rhs0)
+    z_m = jnp.zeros_like(c0)
+
+    A = jnp.concatenate([_to_soa_mat(z_m[..., None, :, :]), a], axis=-1)
+    B = jnp.concatenate([_to_soa_vec(m0f[..., None, :]), belem], axis=-1)
+    C = jnp.concatenate([_to_soa_mat(c0[..., None, :, :]), c], axis=-1)
+    ETA = jnp.concatenate([_to_soa_vec(jnp.zeros_like(m0f)[..., None, :]), eta],
+                          axis=-1)
+    J = jnp.concatenate([_to_soa_mat(z_m[..., None, :, :]), j], axis=-1)
+    return A, B, C, ETA, J
+
+
+def _make_smoother_elements_soa(p: ChainParams, bf_soa, cf_soa):
+    """Smoother elements (E, g, L) in SoA form from SoA filtered moments."""
+    f = _to_soa_mat(p.F)
+    b = _to_soa_vec(p.b)
+    q = _to_soa_mat(p.Q)
+    mf = bf_soa[..., :-1]
+    cf = cf_soa[..., :-1]
+
+    fcf = _mm(f, cf)
+    p_pred = _sym_soa(_mm(fcf, _t(f)) + q)
+    e = _t(_mm(inv_soa_scaled(p_pred), fcf))          # RTS gain Cf F^T P_pred^{-1}
+    g = mf - _mv(e, _mv(f, mf) + b)
+    l = _sym_soa(cf - _mm(_mm(e, p_pred), _t(e)))
+
+    E = jnp.concatenate([e, jnp.zeros_like(e[..., :1])], axis=-1)
+    G = jnp.concatenate([g, bf_soa[..., -1:]], axis=-1)
+    L = jnp.concatenate([l, cf_soa[..., -1:]], axis=-1)
+    return (E, G, L), e
+
+
+def _filter_compose_soa(elem_i, elem_j):
+    """_filter_compose on (d, d, N)/(d, N) batch-minor elements."""
+    a_i, b_i, c_i, eta_i, j_i = elem_i
+    a_j, b_j, c_j, eta_j, j_j = elem_j
+
+    minv = inv_soa_scaled(_eye_plus(_mm(c_i, j_j)))    # (I + C_i J_j)^{-1}
+    minv_t = _t(minv)                                  # (I + J_j C_i)^{-1}
+
+    a = _mm(a_j, _mm(minv, a_i))
+    b = _mv(a_j, _mv(minv, b_i + _mv(c_i, eta_j))) + b_j
+    c = _mm(_mm(a_j, _mm(minv, c_i)), _t(a_j)) + c_j
+
+    a_i_t = _t(a_i)
+    eta = _mv(a_i_t, _mv(minv_t, eta_j - _mv(j_j, b_i))) + eta_i
+    j = _mm(a_i_t, _mm(_mm(minv_t, j_j), a_i)) + j_i
+
+    return a, b, _sym_soa(c), eta, _sym_soa(j)
+
+
+def _smooth_compose_soa(elem_later, elem_earlier):
+    e_i, g_i, l_i = elem_later
+    e_j, g_j, l_j = elem_earlier
+    e = _mm(e_j, e_i)
+    g = _mv(e_j, g_i) + g_j
+    l = _mm(_mm(e_j, l_i), _t(e_j)) + l_j
+    return e, g, _sym_soa(l)
+
+
 def _compose_with_payload(compose, payload_dtype):
     """Wrap an associative compose so the scan's intermediate element storage is
     ``payload_dtype`` (bf16 message payloads) while the arithmetic stays fp32
@@ -153,11 +295,29 @@ def _compose_with_payload(compose, payload_dtype):
     return fn
 
 
-def parallel_filter(p: ChainParams, payload_dtype=None):
-    """Parallel Kalman filter: returns filtered means (T,d) and covs (T,d,d).
+def _parallel_filter_soa(p: ChainParams, payload_dtype=None):
+    """SoA filter scan; returns filtered (means, covs) still in SoA layout."""
+    soa = _make_filter_elements_soa(p)
+    if payload_dtype is not None:
+        soa = _cast_tree(soa, payload_dtype)
+    composed = jax.lax.associative_scan(
+        _compose_with_payload(_filter_compose_soa, payload_dtype),
+        soa, axis=soa[0].ndim - 1,
+    )
+    _, b, c, _, _ = composed
+    return b.astype(jnp.float32), c.astype(jnp.float32)
 
-    ``payload_dtype=jnp.bfloat16`` halves the HBM traffic of the scan levels at
-    ~1e-2 relative accuracy (validated in tests)."""
+
+def parallel_filter(p: ChainParams, payload_dtype=None):
+    """Parallel Kalman filter: filtered means (..., T, d) and covs (..., T, d, d).
+
+    Leading batch axes are handled natively (preferred over jax.vmap — see the
+    SoA note above).  ``payload_dtype=jnp.bfloat16`` halves the HBM traffic of
+    the scan levels at ~1e-2 relative accuracy (validated in tests)."""
+    d = p.m0.shape[-1]
+    if d <= 8:
+        b, c = _parallel_filter_soa(p, payload_dtype)
+        return _from_soa_vec(b), _from_soa_mat(c)
     elems = _make_filter_elements(p)
     if payload_dtype is not None:
         elems = _cast_tree(elems, payload_dtype)
@@ -243,22 +403,39 @@ def _smooth_compose(elem_later, elem_earlier):
 def parallel_smoother(p: ChainParams, payload_dtype=None) -> SmoothResult:
     """Full parallel Kalman smoother: filter + backward pass + pairwise
     cross-covariances (needed for structured Bethe energies and EM)."""
+    d = p.m0.shape[-1]
+    if d <= 8:
+        bf_soa, cf_soa = _parallel_filter_soa(p, payload_dtype)
+        soa, e_step = _make_smoother_elements_soa(p, bf_soa, cf_soa)
+        if payload_dtype is not None:
+            soa = _cast_tree(soa, payload_dtype)
+        _, g_all, l_all = jax.lax.associative_scan(
+            _compose_with_payload(_smooth_compose_soa, payload_dtype),
+            soa, axis=soa[0].ndim - 1, reverse=True,
+        )
+        l_all = l_all.astype(jnp.float32)
+        # Cross covariance Cov(x_t, x_{t+1}) = E_t P_{t+1|T}
+        cross = _from_soa_mat(_mm(e_step.astype(jnp.float32), l_all[..., 1:]))
+        return SmoothResult(
+            _from_soa_vec(g_all).astype(jnp.float32),
+            _from_soa_mat(l_all),
+            _from_soa_vec(bf_soa),
+            _from_soa_mat(cf_soa),
+            cross,
+        )
+
     filt_means, filt_covs = parallel_filter(p, payload_dtype)
     elems = _make_smoother_elements(p, filt_means, filt_covs)
+    e_step = elems[0][:-1]
     if payload_dtype is not None:
         elems = _cast_tree(elems, payload_dtype)
-    e_all, g_all, l_all = jax.lax.associative_scan(
+    _, g_all, l_all = jax.lax.associative_scan(
         jax.vmap(_compose_with_payload(_smooth_compose, payload_dtype)),
         elems, axis=0, reverse=True
     )
-    e_all = e_all.astype(jnp.float32)
-    g_all = g_all.astype(jnp.float32)
-    l_all = l_all.astype(jnp.float32)
-    means, covs = g_all, l_all
-
-    # Cross covariance Cov(x_t, x_{t+1}) = E_t P_{t+1|T}
-    e_step = elems[0][:-1]
-    cross = e_step @ covs[1:]
+    means = g_all.astype(jnp.float32)
+    covs = l_all.astype(jnp.float32)
+    cross = e_step.astype(jnp.float32) @ covs[1:]
     return SmoothResult(means, covs, filt_means, filt_covs, cross)
 
 

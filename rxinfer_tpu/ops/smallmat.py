@@ -196,35 +196,43 @@ def _inv2_soa(m):
     ], axis=0) * inv_det
 
 
-def _inv4_soa(m):
-    a = m[:2, :2]
-    b = m[:2, 2:]
-    c = m[2:, :2]
-    d = m[2:, 2:]
-
-    def mm(x, y):  # (2,2,B) @ (2,2,B)
-        return jnp.einsum("ikB,kjB->ijB", x, y)
-
-    a_inv = _inv2_soa(a)
-    ca = mm(c, a_inv)
-    schur = d - mm(ca, b)
-    s_inv = _inv2_soa(schur)
-    ab = mm(a_inv, b)
-    top_left = a_inv + mm(mm(ab, s_inv), ca)
-    top_right = -mm(ab, s_inv)
-    bot_left = -mm(s_inv, ca)
-    top = jnp.concatenate([top_left, top_right], axis=1)
-    bot = jnp.concatenate([bot_left, s_inv], axis=1)
-    return jnp.concatenate([top, bot], axis=0)
+def _mm_soa(x, y):
+    """(n,k,B) @ (k,m,B) batched over trailing (lane) axis."""
+    return jnp.einsum("ik...,kj...->ij...", x, y)
 
 
 def inv_soa(m):
-    """Inverse of (d, d, B) batch-minor matrices, d in {1, 2, 4}."""
+    """Inverse of (d, d, B) batch-minor matrices, any d (Schur recursion over
+    the d=1/2 cofactor bases; d is static so the recursion unrolls at trace
+    time into a handful of einsums — small graphs, full-lane VPU work)."""
     d = m.shape[0]
     if d == 1:
         return 1.0 / m
     if d == 2:
         return _inv2_soa(m)
-    if d == 4:
-        return _inv4_soa(m)
-    raise NotImplementedError(f"inv_soa supports d in (1,2,4); got {d}")
+    k = d // 2
+    a = m[:k, :k]
+    b = m[:k, k:]
+    c = m[k:, :k]
+    dd = m[k:, k:]
+    a_inv = inv_soa(a)
+    ca = _mm_soa(c, a_inv)
+    schur = dd - _mm_soa(ca, b)
+    s_inv = inv_soa(schur)
+    ab = _mm_soa(a_inv, b)
+    top_left = a_inv + _mm_soa(_mm_soa(ab, s_inv), ca)
+    top_right = -_mm_soa(ab, s_inv)
+    bot_left = -_mm_soa(s_inv, ca)
+    top = jnp.concatenate([top_left, top_right], axis=1)
+    bot = jnp.concatenate([bot_left, s_inv], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def inv_soa_scaled(m):
+    """inv_soa with the small_inv-style mean-|diagonal| normalization, keeping
+    cofactor determinants of vague (1e12-scaled) matrices inside fp32 range."""
+    d = m.shape[0]
+    diag = jnp.diagonal(m, axis1=0, axis2=1)          # (..., B, d) -> last two
+    scale = jnp.mean(jnp.abs(diag), axis=-1)
+    scale = jnp.where(scale > 0, scale, 1.0)
+    return inv_soa(m / scale) / scale

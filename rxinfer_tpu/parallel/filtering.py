@@ -28,16 +28,20 @@ class FilterState(NamedTuple):
 def filtering_scan(state: FilterState, ys, f_mat, q_cov, h, r):
     """Scan the batched filter over a (T, B, dy) observation stream.
 
-    Internally runs in the batch-minor (struct-of-arrays) layout — matrices as
-    (d, d, B) — so every cofactor/matmul term is a full-width VPU op instead of
-    wasting ~64x of each (8,128) tile on a (B, 4, 4) layout (ops/smallmat.py).
-    For d not in {1,2,4} falls back to the batch-major path."""
+    The scan body runs entirely in the entry-wise representation
+    (ops/entrywise.py): the carry is d + d*d separate (B,)-shaped arrays and
+    every operation — including the closed-form Schur inverse — is scalar
+    arithmetic on whole (B,) vectors.  XLA fuses the body into a handful of
+    full-width VPU kernels; array-layout forms ((B,d,d) batched dot_generals or
+    (d,d,B) einsums with stack/concat cofactor inverses) measured 100-700 us
+    per step on v5e-lite for B=10k where this form is ~VPU-bound.
+    d > 8 falls back to the batch-major dense path."""
     d = state.m.shape[-1]
     rinv = pd_inverse(r)
     w_obs = jnp.einsum("ji,jk,kl->il", h, rinv, h)
     hr = jnp.einsum("ji,jk->ik", h, rinv)
 
-    if d not in (1, 2, 4):
+    if d > 8:
         def step(carry, y_t):
             m, p = carry
             xi = jnp.einsum("ik,bk->bi", hr, y_t)
@@ -48,30 +52,33 @@ def filtering_scan(state: FilterState, ys, f_mat, q_cov, h, r):
         (final, (means,)) = jax.lax.scan(step, state, ys)
         return final, means
 
-    from ..ops.smallmat import inv_soa
+    from ..ops import entrywise as ew
 
-    def sym(p):
-        return 0.5 * (p + jnp.swapaxes(p, 0, 1))
+    # static (d, d) parameters as scalar entries — broadcast against (B,) carries
+    f_e = [[f_mat[i, j] for j in range(d)] for i in range(d)]
+    q_e = [[q_cov[i, j] for j in range(d)] for i in range(d)]
+    w_e = [[w_obs[i, j] for j in range(d)] for i in range(d)]
+    hr_e = [[hr[i, j] for j in range(hr.shape[1])] for i in range(d)]
 
     def step(carry, y_t):
-        m, p = carry                       # m: (d,B), p: (d,d,B)
-        xi = jnp.einsum("ik,Bk->iB", hr, y_t)
-        m_pred = jnp.einsum("ij,jB->iB", f_mat, m)
-        p_pred = sym(
-            jnp.einsum("ij,jkB,lk->ilB", f_mat, p, f_mat) + q_cov[:, :, None]
-        )
-        p_pred_inv = sym(inv_soa(p_pred))
-        w_post = p_pred_inv + w_obs[:, :, None]
-        p_new = sym(inv_soa(w_post))
-        xi_tot = jnp.einsum("ijB,jB->iB", p_pred_inv, m_pred) + xi
-        m_new = jnp.einsum("ijB,jB->iB", p_new, xi_tot)
-        return (m_new, p_new), (m_new,)
+        m, p = carry                       # m: d x (B,); p: d x d x (B,)
+        y_e = [y_t[:, k] for k in range(y_t.shape[1])]
+        xi = ew.mat_vec(hr_e, y_e)
+        m_pred = ew.mat_vec(f_e, m)
+        p_pred = ew.mat_sym(ew.mat_add(ew.mat_mul(ew.mat_mul(f_e, p), ew.mat_t(f_e)), q_e))
+        p_pred_inv = ew.mat_sym(ew.mat_inv_scaled(p_pred))
+        w_post = ew.mat_add(p_pred_inv, w_e)
+        p_new = ew.mat_sym(ew.mat_inv_scaled(w_post))
+        xi_tot = ew.vec_add(ew.mat_vec(p_pred_inv, m_pred), xi)
+        m_new = ew.mat_vec(p_new, xi_tot)
+        return (m_new, p_new), (ew.stack_vec(m_new),)
 
-    m0 = jnp.moveaxis(state.m, 0, -1)          # (d, B)
-    p0 = jnp.moveaxis(state.p, 0, -1)          # (d, d, B)
+    m0 = ew.unstack_vec(state.m)                       # d entries of (B,)
+    p0 = [[state.p[:, i, j] for j in range(d)] for i in range(d)]
     (mf, pf), (means,) = jax.lax.scan(step, (m0, p0), ys)
-    final = FilterState(jnp.moveaxis(mf, -1, 0), jnp.moveaxis(pf, -1, 0))
-    return final, jnp.moveaxis(means, -1, 1)
+    final = FilterState(ew.stack_vec(mf),
+                        jnp.stack([jnp.stack(row, axis=-1) for row in pf], axis=-2))
+    return final, means
 
 
 def make_sharded_filtering(mesh: Mesh, f_mat, q_cov, h, r, axis_name="batch"):
