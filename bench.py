@@ -145,6 +145,29 @@ def main():
     t_filt = _median_time(lambda: filt(state, ys), n=3, inner=3)
     filter_updates_per_sec = BF * TF / t_filt
 
+    # fused Pallas VMEM-resident filter on SoA-staged observations (the layout
+    # a continuous-batching producer maintains) — ops/pallas_filter.py
+    from rxinfer_tpu.dists.gaussian import pd_inverse as _pd_inverse
+    from rxinfer_tpu.ops.pallas_filter import (
+        _fold_batch, batch_pad, fused_filter_soa,
+    )
+
+    bp = batch_pad(BF)
+    rinv_j = _pd_inverse(jnp.asarray(r))
+    w_obs_j = jnp.einsum("ji,jk,kl->il", h, rinv_j, h).astype(jnp.float32)
+    hr_j = jnp.einsum("ji,jk->ik", h, rinv_j).astype(jnp.float32)
+    m0_soa = _fold_batch(state.m.astype(jnp.float32), bp)
+    p0_soa = _fold_batch(state.p.astype(jnp.float32), bp)
+    p0_soa = p0_soa.reshape((d * d,) + p0_soa.shape[2:])
+    ys_soa = jnp.moveaxis(_fold_batch(jnp.moveaxis(ys, 0, -1), bp), 1, 0)
+    jax.block_until_ready(ys_soa)
+    fused = jax.jit(_scalarize(lambda yss: fused_filter_soa(
+        m0_soa, p0_soa, yss, jnp.asarray(f_mat), jnp.asarray(q),
+        hr_j, w_obs_j, chunk=8,
+    )))
+    t_fused = _median_time(lambda: fused(ys_soa), n=3, inner=3)
+    fused_filter_updates_per_sec = BF * TF / t_fused
+
     # --- BASELINE config 4: GMM clustering batched over 1k datasets ----------
     from rxinfer_tpu.dists import Dirichlet, GammaShapeRate, NormalMeanVariance
     from rxinfer_tpu.engine.compile import CompiledModel
@@ -210,6 +233,9 @@ def main():
         ),
         "streaming_filter_10k_chains_state_updates_per_sec": round(
             filter_updates_per_sec, 1
+        ),
+        "streaming_filter_fused_pallas_state_updates_per_sec": round(
+            fused_filter_updates_per_sec, 1
         ),
         "gmm_1k_datasets_vmp_updates_per_sec": round(gmm_updates_per_sec, 1),
         "hmm_256x200_structured_vmp_updates_per_sec": round(
