@@ -23,6 +23,9 @@ from .dists import *  # noqa: F401,F403 — distribution families are top-level 
 from .graph import (  # noqa: F401
     factor_node,
     lincomb,
+    where,
+    RequireMessage,
+    RequireMessageFunctionalDependencies,
     AbstractFormConstraint,
     Constraints,
     FixedMarginalFormConstraint,
@@ -100,6 +103,7 @@ from .rules.registry import NodeFunctionRuleFallback, call_rule  # noqa: F401
 from .rules import CVI, CVIProjection, DeltaMeta, Linearization, Unscented  # noqa: F401
 from .utils.callbacks import (  # noqa: F401
     BenchmarkCallbacks,
+    benchmark_table,
     convert_to_tensorboard,
     StopEarlyIterationStrategy,
     TraceCallbacks,
@@ -110,6 +114,7 @@ from .utils import (  # noqa: F401
     Session,
     create_session,
     summarize_session,
+    summarize_session_table,
 )
 
 __version__ = "0.1.0"

@@ -266,6 +266,21 @@ class PlainGroup:
             q = build_q(f, state, data,
                         exclude=None if needs_self else iface,
                         chain_cross=chain_cross)
+            deps = getattr(f, "dependencies", None)
+            require_msg = deps is not None and iface in deps.interfaces
+            if require_msg:
+                # RequireMessageFunctionalDependencies: the rule for this
+                # interface receives the inbound message on its OWN edge
+                # (marginal ÷ this factor's previous outbound message), seeded
+                # by the user-provided initial message on the first sweep
+                # (reference docs/src/manuals/model-specification.md:471-480).
+                key = f"_msg:{f.id}:{iface}"
+                if key in state:
+                    own = resolve_iface(f.all_interfaces()[iface], f, state,
+                                        data)
+                    q[iface] = nat_div(own, state[key])
+                elif deps.interfaces[iface] is not None:
+                    q[iface] = deps.interfaces[iface]
             if uses_cavity:
                 # EP-style: divide each same-cluster neighbor's marginal by
                 # this factor's previous message to it — the rule then sees
@@ -334,7 +349,7 @@ class PlainGroup:
                 msgs.append(msg)
                 continue
             msg = mask_message(raw, factor_data_mask(f, data))
-            if uses_cavity:
+            if uses_cavity or require_msg:
                 # store per-copy messages with a stable shape/dtype (broadcast
                 # unbatched messages over the plate) so the store is a valid
                 # lax.scan carry

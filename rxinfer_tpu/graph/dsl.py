@@ -444,10 +444,62 @@ def plate(*args, name: Optional[str] = None):
 # Builder
 # ---------------------------------------------------------------------------------
 
+class RequireMessage:
+    """Per-node functional-dependencies override: computing the outbound
+    message from a named interface additionally receives the *inbound message*
+    on that same edge (the reference's ``m_`` argument) instead of nothing,
+    seeded with an optional initial message on the first sweep.
+
+    Reference: ``where { dependencies = RequireMessageFunctionalDependencies(
+    in = NormalMeanPrecision(0.0, 1.0)) }``
+    (docs/src/manuals/model-specification.md:471-480).  Python can't use the
+    ``in`` keyword, so a trailing underscore is stripped: ``in_=...``."""
+
+    def __init__(self, **interfaces):
+        self.interfaces = {
+            (k[:-1] if k.endswith("_") else k): v for k, v in interfaces.items()
+        }
+
+    def __repr__(self):
+        return f"RequireMessage({', '.join(self.interfaces)})"
+
+
+# reference-spelled alias
+RequireMessageFunctionalDependencies = RequireMessage
+
+
+class where:
+    """Block-scoped node-creation options, the reference's ``where {...}``
+    (docs/src/manuals/model-specification.md:449-480)::
+
+        with rx.where(dependencies=rx.RequireMessage(in_=prior)):
+            y[k] = rx.Probit(x[k])
+
+    ``meta`` merges into (without overriding) any node-specific meta dict;
+    ``dependencies`` attaches a RequireMessage spec to every factor emitted
+    inside the block."""
+
+    def __init__(self, meta=None, dependencies=None):
+        self.meta = meta
+        self.dependencies = dependencies
+
+    def __enter__(self):
+        b = _active()
+        if b is None:
+            raise RuntimeError("rx.where(...) is only valid inside @rx.model.")
+        b.options_stack.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        _builder().options_stack.pop()
+        return False
+
+
 class ModelBuilder:
     def __init__(self, name: str):
         self.graph = ModelGraph(name)
         self.plate_stack: list[Plate] = []
+        self.options_stack: list["where"] = []
         self.scope_stack: list[str] = []
         self._scope_counts: dict[str, int] = {}
         self._name_counter = 0
@@ -534,6 +586,13 @@ class ModelBuilder:
         f = Factor(fform, out, interfaces, plate=p, meta=meta)
         f.plates = tuple(self.plate_stack)
         f.scope = tuple(self.scope_stack)
+        for opt in self.options_stack:
+            if opt.meta is not None:
+                extra = opt.meta if isinstance(opt.meta, dict) else \
+                    {"method": opt.meta}
+                f.meta = {**extra, **(f.meta or {})}
+            if opt.dependencies is not None:
+                f.dependencies = opt.dependencies
         self.graph.add_factor(f)
         return RVRef(out)
 

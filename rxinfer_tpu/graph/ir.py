@@ -164,6 +164,10 @@ class Factor:
         # loop indices in @model bodies).
         self.plates: tuple = (plate,) if plate is not None else ()
         self.meta = meta
+        # Optional RequireMessage functional-dependencies override (reference
+        # `where {dependencies = RequireMessageFunctionalDependencies(...)}`,
+        # docs/src/manuals/model-specification.md:471-480).
+        self.dependencies = None
         # Submodel scope path of the creating context (see Variable.scope).
         self.scope: tuple = ()
         # True for factors attached to an already-defined variable (reference:

@@ -129,6 +129,7 @@ def infer(
     annotations: Any = None,
     postprocess: Any = None,
     session: Any = "default",
+    uselock: Any = False,
 ):
     """Run inference.  Batch mode when ``autoupdates is None``; streaming mode
     (returns an RxInferenceEngine) otherwise — mirroring the reference dispatch."""
@@ -144,6 +145,7 @@ def infer(
             free_energy=free_energy,
             keephistory=keephistory,
             options=options,
+            uselock=uselock,
         )
 
     if data is None:

@@ -75,7 +75,8 @@ class RxInferenceEngine:
                  iterations: int = 1, free_energy: bool = False,
                  keephistory: int = 0, options: Optional[dict] = None,
                  event_callbacks: Optional[dict] = None,
-                 initialization: Optional[dict] = None):
+                 initialization: Optional[dict] = None,
+                 uselock=False):
         self.model = model
         self.autoupdates = autoupdates_spec
         self.args = dict(autoupdates_spec.initial)
@@ -92,6 +93,13 @@ class RxInferenceEngine:
         self._callbacks = event_callbacks or {}
         self.is_running = False
         self.is_errored = False
+        # opt-in tick serialization against concurrent producers (reference
+        # `uselock` SpinLock, src/inference/streaming.jl:560,802-810); pass
+        # True for a fresh lock or an existing lock object to share one.
+        import threading
+
+        self._lock = (threading.Lock() if uselock is True else uselock) \
+            if uselock else None
 
     def _fire(self, name: str, payload=None):
         ev = RxInferenceEvent(name, payload)
@@ -112,6 +120,12 @@ class RxInferenceEngine:
         """Process one observation: run autoupdates-fed inference step
         (reference executor on_next!, src/inference/streaming.jl:311-436;
         event set mirrors the engine events at :847-866)."""
+        if self._lock is not None:
+            with self._lock:
+                return self._on_next(obs)
+        return self._on_next(obs)
+
+    def _on_next(self, obs: dict):
         self._ensure_compiled(obs)
         self._fire("before_data_update", obs)
         self._fire("before_iteration")
@@ -184,7 +198,8 @@ class RxInferenceEngine:
 
 
 def streaming_infer(model, datastream, autoupdates, initialization=None,
-                    iterations=1, free_energy=False, keephistory=0, options=None):
+                    iterations=1, free_energy=False, keephistory=0,
+                    options=None, uselock=False):
     """Streaming dispatch target of `infer` (reference
     src/inference/inference.jl:700-731)."""
     if autoupdates is None:
@@ -192,7 +207,7 @@ def streaming_infer(model, datastream, autoupdates, initialization=None,
     engine = RxInferenceEngine(
         model, autoupdates, iterations=iterations,
         free_energy=free_energy, keephistory=keephistory, options=options,
-        initialization=initialization,
+        initialization=initialization, uselock=uselock,
     )
     if datastream is not None:
         engine.start(datastream)

@@ -122,6 +122,25 @@ class BenchmarkCallbacks:
         return out
 
 
+def benchmark_table(bench: "BenchmarkCallbacks") -> str:
+    """Plain-text table of per-stage timing stats (reference: PrettyTablesExt
+    pretty_table over get_benchmark_stats,
+    ext/PrettyTablesExt/PrettyTablesExt.jl:22)."""
+    stats = bench.stats()
+    if not stats:
+        return "(no benchmark samples recorded)"
+    header = (f"{'stage':<18}{'n':>6}{'min ms':>10}{'median ms':>11}"
+              f"{'mean ms':>10}{'max ms':>10}{'std ms':>9}")
+    lines = [header, "-" * len(header)]
+    for stage, row in stats.items():
+        lines.append(
+            f"{stage:<18}{row['n']:>6}{row['min_ms']:>10.3f}"
+            f"{row['median_ms']:>11.3f}{row['mean_ms']:>10.3f}"
+            f"{row['max_ms']:>10.3f}{row['std_ms']:>9.3f}"
+        )
+    return "\n".join(lines)
+
+
 class TraceCallbacks:
     """Record every event with timestamps (reference RxInferTraceCallbacks,
     src/callbacks/trace.jl:60-124); filterable; exportable as JSON."""

@@ -129,3 +129,59 @@ def test_convert_to_tensorboard(tmp_path):
     rx.convert_to_tensorboard(res.trace, logdir)
     files = os.listdir(logdir)
     assert any("tfevents" in f for f in files)
+
+
+def test_benchmark_table_and_session_table():
+    import numpy as np
+
+    import rxinfer_tpu as rx
+
+    @rx.model
+    def coin(y):
+        theta = rx.Beta(1.0, 1.0)
+        for i in rx.plate(len(y)):
+            y[i] = rx.Bernoulli(theta)
+        return {"theta": theta}
+
+    y = np.array([1.0, 0.0, 1.0], np.float32)
+    res = rx.infer(model=coin, data={"y": y}, iterations=3, benchmark=True)
+    table = rx.benchmark_table(res.benchmark)
+    assert "stage" in table and "median ms" in table and "inference" in table
+    assert rx.summarize_session_table()  # non-empty string
+
+
+def test_streaming_uselock_serializes_ticks():
+    import threading
+
+    import numpy as np
+
+    import rxinfer_tpu as rx
+    from rxinfer_tpu.dists import NormalMeanVariance
+
+    @rx.model
+    def step(y, pm, pv):
+        x = rx.Normal(mean=pm, var=pv)
+        y.observe(rx.Normal(mean=x, var=1.0))
+        return {"x": x}
+
+    au = rx.autoupdates(
+        initial={"pm": 0.0, "pv": 100.0},
+        pm=lambda q: q["x"].mean(),
+        pv=lambda q: q["x"].var(),
+    )
+    engine = rx.infer(model=step, datastream=None, autoupdates=au,
+                      uselock=True)
+    assert engine._lock is not None
+    rng = np.random.default_rng(0)
+    obs = [{"y": np.float32(v)} for v in rng.standard_normal(24) + 2.0]
+    # hammer on_next from several threads: the lock serializes ticks so every
+    # observation is consumed exactly once (reference `uselock` SpinLock)
+    chunks = [obs[i::4] for i in range(4)]
+    threads = [threading.Thread(target=lambda c=c: [engine.on_next(o) for o in c])
+               for c in chunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(1 for e in engine.events if e.name == "on_tick") == len(obs)
+    assert abs(float(engine.posteriors["x"].mean()) - 2.0) < 1.0
