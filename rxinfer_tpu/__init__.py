@@ -35,6 +35,7 @@ from .graph import (  # noqa: F401
     factorize,
     factorize_slots,
     PointMassFormConstraint,
+    ComposedFormConstraint,
     SampleListFormConstraint,
     constraints,
     AND,

@@ -104,6 +104,15 @@ class SampleList(Distribution):
         w = self._w()
         return -jnp.sum(w * jnp.log(jnp.clip(w, 1e-37)), axis=-1)
 
+    def mode(self):
+        # Highest-weight sample (reference BayesBase mode of a sample list).
+        idx = jnp.argmax(self.log_weights, axis=-1)
+        return jnp.take_along_axis(
+            self.samples,
+            idx.reshape(idx.shape + (1,) * (self.samples.ndim - idx.ndim)),
+            axis=self.log_weights.ndim - 1,
+        ).squeeze(self.log_weights.ndim - 1)
+
     def batch_shape(self):
         return jnp.shape(self.log_weights)[:-1]
 

@@ -227,7 +227,8 @@ class PlainGroup:
     (src/model/plugins/reactivemp_inference.jl:362-447)."""
 
     def __init__(self, var, family: str, adjacency: list[tuple[Factor, str]],
-                 form_constraint=None, mf_ids=None, rule_overrides=None):
+                 form_constraint=None, mf_ids=None, rule_overrides=None,
+                 message_form=None):
         self.var = var
         self.family = family
         # adjacency: (factor, interface-name-where-this-group-appears)
@@ -240,6 +241,9 @@ class PlainGroup:
         self.mf_ids = mf_ids or set()
         # (factor.id, iface) -> rule fn (NodeFunctionRuleFallback resolutions)
         self.rule_overrides = rule_overrides or {}
+        # message-form constraint μ(x)::C applied to each inbound message
+        # before the marginal product (reference constraints-specification.md)
+        self.message_form = message_form
 
     def update(self, state: dict, data: dict, chain_cross: dict) -> Any:
         from ..dists import LogPdfMessage
@@ -374,6 +378,14 @@ class PlainGroup:
                         f"{f.fform} is not supported yet."
                     )
             msgs.append(msg)
+        if self.message_form is not None:
+            # μ(x)::C — constrain each inbound message; projection-style
+            # constraints (ProjectedTo) also absorb LogPdfMessage fallbacks
+            if hasattr(self.message_form, "project_product"):
+                msgs = [self.message_form.project_product([m]) for m in msgs]
+            else:
+                msgs = [m if isinstance(m, LogPdfMessage)
+                        else self.message_form.constrain(m) for m in msgs]
         if self.form_constraint is not None and hasattr(
             self.form_constraint, "project_product"
         ):

@@ -451,17 +451,34 @@ class CompiledModel:
             )
 
             if constraints is None:
-                constraints = Constraints(None, {}, [], {}, None)
+                constraints = Constraints(
+                    factorization=None, forms={}, slot_factorized=[],
+                    submodel={},
+                )
             constraints = expand_submodel_constraints(
                 graph, constraints, defaults
             )
         self.constraints = constraints
         # @meta equivalent: attach per-node-type metadata (reference MetaPlugin,
         # docs/src/manuals/inference/meta-specification.md) — e.g.
-        # meta={"Delta": {"method": Unscented()}}
+        # meta={"Delta": {"method": Unscented()}}.  A tuple key
+        # ("GCV", ("x", "k", "w")) matches only node instances whose
+        # interfaces are bound to variables of those names (the reference's
+        # per-neighborhood form ``GCV(x, k, w) -> GCVMetadata(...)``).
         if meta:
+            def _neighbor_names(f):
+                names = set()
+                for v in f.all_interfaces().values():
+                    if isinstance(v, Ref):
+                        names.add(v.var.name.split("/")[-1])
+                return names
+
             for f in graph.factors:
                 extra = meta.get(f.fform)
+                for key, val in meta.items():
+                    if (isinstance(key, tuple) and key[0] == f.fform
+                            and set(key[1]) <= _neighbor_names(f)):
+                        extra = val
                 if extra is not None:
                     merged = dict(f.meta or {})
                     merged.update(extra if isinstance(extra, dict) else {"meta": extra})
@@ -557,9 +574,15 @@ class CompiledModel:
                         if isinstance(v, Ref) and v.var is var:
                             adjacency.append((f, iface))
                             break
-                form = None
+                from ..graph.constraints import as_form_constraint
+
+                form = mform = None
                 if constraints is not None and getattr(constraints, "forms", None):
-                    form = constraints.forms.get(name)
+                    form = as_form_constraint(constraints.forms.get(name))
+                if constraints is not None and getattr(
+                        constraints, "message_forms", None):
+                    mform = as_form_constraint(
+                        constraints.message_forms.get(name))
                 rule_overrides = {}
                 for f, iface in adjacency:
                     # Validate rules exist now (compile-time rule resolution);
@@ -575,7 +598,8 @@ class CompiledModel:
                 group = PlainGroup(var, self.infos[name].family, adjacency,
                                    form_constraint=form,
                                    mf_ids=self.mf_factor_ids,
-                                   rule_overrides=rule_overrides)
+                                   rule_overrides=rule_overrides,
+                                   message_form=mform)
                 self.blocks.append(("plain", group))
 
         # Free-energy plan (built lazily: some nodes, e.g. Delta, define no

@@ -71,21 +71,26 @@ class Constraints:
     """Container passed to infer(constraints=...)."""
 
     factorization: Any = None  # MeanField() | list of name-tuples | None
-    forms: Optional[dict] = None  # var name -> form constraint
+    forms: Optional[dict] = None  # var name -> form constraint (q(x)::C)
     slot_factorized: Optional[list] = None  # array vars mean-field over slots
     # scope name -> Constraints applying inside that submodel scope (reference:
     # @constraints ``for q in submodel ... end`` blocks; instance-specific via
     # 'name:2' keys — the ``(submodel, i)`` syntax).
     submodel: Optional[dict] = None
+    # var name -> form constraint applied to each inbound MESSAGE before the
+    # marginal product (reference μ(x)::C message-form constraints,
+    # docs/src/manuals/variational/constraints-specification.md).
+    message_forms: Optional[dict] = None
     # filled by expansion: scope prefixes whose factors go mean-field
     mf_scopes: Optional[list] = None
 
 
 def constraints(factorization: Any = None, forms: Optional[dict] = None,
                 slot_factorized: Optional[list] = None,
-                submodel: Optional[dict] = None) -> Constraints:
+                submodel: Optional[dict] = None,
+                message_forms: Optional[dict] = None) -> Constraints:
     return Constraints(factorization, forms or {}, slot_factorized or [],
-                       submodel or {})
+                       submodel or {}, message_forms or {})
 
 
 def _scope_base(segment: str) -> str:
@@ -122,6 +127,7 @@ def expand_submodel_constraints(graph, cons: Constraints,
         ),
         forms=dict(cons.forms or {}),
         slot_factorized=list(cons.slot_factorized or []),
+        message_forms=dict(cons.message_forms or {}),
         mf_scopes=[],
     )
     known = {v.name for v in graph.variables if v.kind == "random"}
@@ -150,6 +156,8 @@ def expand_submodel_constraints(graph, cons: Constraints,
             flat.forms[full] = form
         for local in (sub.slot_factorized or []):
             flat.slot_factorized.append(f"{prefix}/{local}")
+        for local, form in (getattr(sub, "message_forms", None) or {}).items():
+            flat.message_forms[f"{prefix}/{local}"] = form
 
     user_matched: set[tuple] = set()
     for key, sub in (cons.submodel or {}).items():
@@ -185,6 +193,29 @@ def expand_submodel_constraints(graph, cons: Constraints,
 class AbstractFormConstraint:
     def constrain(self, dist):
         raise NotImplementedError
+
+
+class ComposedFormConstraint(AbstractFormConstraint):
+    """Stacked form constraints applied left to right (reference: composed
+    ``q(x) :: C1 :: C2`` stacking,
+    docs/src/manuals/variational/constraints-specification.md)."""
+
+    def __init__(self, parts):
+        self.parts = list(parts)
+
+    def constrain(self, dist):
+        for p in self.parts:
+            dist = p.constrain(dist)
+        return dist
+
+
+def as_form_constraint(spec):
+    """Normalize a form-constraint spec: tuple/list -> ComposedFormConstraint."""
+    if spec is None:
+        return None
+    if isinstance(spec, (tuple, list)):
+        return ComposedFormConstraint(spec) if len(spec) > 1 else spec[0]
+    return spec
 
 
 class PointMassFormConstraint(AbstractFormConstraint):

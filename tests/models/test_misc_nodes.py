@@ -205,3 +205,39 @@ def test_catch_exception_partial_result():
     assert res.error is not None
     assert "unknown" in str(res.error).lower()
     assert res.posteriors == {}
+
+
+def test_meta_per_neighborhood_matching():
+    """Tuple meta keys match node instances by neighbor variable names
+    (reference @meta per-neighborhood form ``GCV(x, k, w) -> ...``,
+    docs/src/manuals/inference/meta-specification.md:9-98)."""
+    import jax.numpy as jnp
+
+    import rxinfer_tpu as rx
+    from rxinfer_tpu.engine.compile import CompiledModel
+
+    @rx.model
+    def m(y):
+        a = rx.Normal(mean=0.0, var=1.0)
+        b = rx.Normal(mean=0.0, var=1.0)
+        u = rx.Delta(jnp.sin, a)
+        v = rx.Delta(jnp.sin, b)
+        y.observe(rx.Normal(mean=u + v, var=1.0))
+        return {"a": a, "b": b}
+
+    graph = m.trace({"y": 0.5})
+    CompiledModel(
+        graph,
+        init={"a": rx.dists.NormalMeanVariance(0.0, 1.0),
+              "b": rx.dists.NormalMeanVariance(0.0, 1.0)},
+        meta={("Delta", ("a",)): {"tag": "only-a"}},
+    )
+    tags = {}
+    for f in graph.factors:
+        if f.meta and "tag" in (f.meta or {}):
+            names = [v.var.name for v in f.all_interfaces().values()
+                     if hasattr(v, "var")]
+            tags[tuple(sorted(n for n in names if not n.startswith("_")))] = \
+                f.meta["tag"]
+    assert any("a" in k for k in tags), tags
+    assert not any("b" in k for k in tags), tags
