@@ -638,6 +638,32 @@ class CompiledModel:
             state[name] = d
         return state
 
+    def variable_outbound_message(self, state: dict, data: dict, varname: str):
+        """μ(x): the outbound message from variable x along its LAST edge —
+        marginal ÷ message from the last-attached factor (reference
+        ``get_stream_of_outbound_messages(var, degree(var))``,
+        src/inference/autoupdates.jl:605-607; used by μ() autoupdate args)."""
+        from ..dists.natural import nat_div
+        from .blocks import build_q, factor_data_mask, mask_message
+
+        for kind, block in self.blocks:
+            if kind == "plain" and block.var.name == varname:
+                f, iface = block.adjacency[-1]
+                rule = block.rule_overrides.get((f.id, iface)) or \
+                    get_message_rule(f.fform, iface, vmp=f.id in block.mf_ids)
+                from ..rules.registry import get_node
+
+                needs_self = getattr(get_node(f.fform),
+                                     "needs_self_marginal", False)
+                q = build_q(f, state, data,
+                            exclude=None if needs_self else iface)
+                msg = mask_message(rule(q), factor_data_mask(f, data))
+                return nat_div(state[varname], msg)
+        raise ValueError(
+            f"mu({varname}): no plain variable group named {varname!r} "
+            "(chain-block variables do not expose per-edge messages)."
+        )
+
     def _sweep_once(self, state: dict, chain_cross: dict, data: dict):
         for kind, block in self.blocks:
             if kind == "chain":

@@ -50,11 +50,39 @@ class autoupdates:
                 "every autoupdated argument."
             )
 
-    def __call__(self, posteriors: dict) -> dict:
-        return {
-            k: jnp.asarray(fn(posteriors), jnp.float32)
-            for k, fn in self.mapping.items()
-        }
+    def __call__(self, posteriors: dict, messages=None) -> dict:
+        """Apply the mapping.  A mapping function declaring TWO positional
+        parameters receives ``(q, mu)`` where ``mu[name]`` is the variable's
+        recent outbound message (reference μ(x) autoupdate arguments,
+        src/inference/autoupdates.jl:588-610)."""
+        import inspect
+
+        out = {}
+        for k, fn in self.mapping.items():
+            try:
+                nargs = len([
+                    p for p in inspect.signature(fn).parameters.values()
+                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                ])
+            except (TypeError, ValueError):
+                nargs = 1
+            val = fn(posteriors, messages) if nargs >= 2 else fn(posteriors)
+            out[k] = jnp.asarray(val, jnp.float32)
+        return out
+
+
+class _MessageFetch:
+    """Lazy μ(x) resolver handed to two-argument autoupdate mappings."""
+
+    def __init__(self, compiled, state, data):
+        self._compiled = compiled
+        self._state = state
+        self._data = data
+
+    def __getitem__(self, name):
+        return self._compiled.variable_outbound_message(
+            self._state, self._data, name
+        )
 
 
 class RxInferenceEvent:
@@ -137,7 +165,11 @@ class RxInferenceEngine:
 
         self.posteriors = _extract_posteriors(self._compiled, state)
         self._fire("on_marginal_update", self.posteriors)
-        self.args = self.autoupdates(self.posteriors)
+        self.args = self.autoupdates(
+            self.posteriors,
+            _MessageFetch(self._compiled, state,
+                          {k: jnp.asarray(v) for k, v in data.items()}),
+        )
         if self.free_energy:
             self.fe_history.append(fe)
         if self.keephistory:
@@ -165,9 +197,10 @@ class RxInferenceEngine:
         from .inference import _extract_posteriors
 
         def step(args, obs_t):
-            state, fe, _ = program({**obs_t, **args})
+            data_t = {**obs_t, **args}
+            state, fe, _ = program(data_t)
             post = _extract_posteriors(compiled, state)
-            return au(post), (post, fe)
+            return au(post, _MessageFetch(compiled, state, data_t)), (post, fe)
 
         obs_arrays = {
             k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in observations.items()

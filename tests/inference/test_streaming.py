@@ -144,3 +144,40 @@ def test_streaming_event_set():
     eng.on_next({"y": np.asarray(1.0, np.float32)})
     assert seen == ["before_data_update", "on_marginal_update",
                     "after_data_update", "on_tick"], seen
+
+
+def test_autoupdates_message_argument():
+    """μ(x) autoupdate args: the mapping receives the variable's outbound
+    message along its last edge — here the PRIOR-side message, untouched by
+    the current observation (reference AutoUpdateFetchMessageArgument,
+    src/inference/autoupdates.jl:588-610)."""
+    import rxinfer_tpu as rx
+
+    @rx.model
+    def step(y, pm, pv):
+        x = rx.Normal(mean=pm, var=pv)
+        y.observe(rx.Normal(mean=x, var=1.0))
+        return {"x": x}
+
+    au = rx.autoupdates(
+        initial={"pm": 0.0, "pv": 100.0},
+        # pm tracks mu(x) = prior-side message mean, NOT the posterior mean
+        pm=lambda q, mu: mu["x"].mean(),
+        pv=lambda q: q["x"].var() + 0.5,
+    )
+    engine = rx.infer(model=step, datastream=None, autoupdates=au)
+    engine.on_next({"y": np.float32(5.0)})
+    # posterior mean moved toward y...
+    assert abs(float(engine.posteriors["x"].mean()) - 5.0 * 100 / 101) < 1e-3
+    # ...but mu(x) is the prior message N(0, 100): pm stays 0
+    assert abs(float(engine.args["pm"])) < 1e-4
+    assert abs(float(engine.args["pv"]) - (100.0 / 101 + 0.5)) < 1e-3
+    # offline scan path supports mu() args too
+    au2 = rx.autoupdates(
+        initial={"pm": 0.0, "pv": 100.0},
+        pm=lambda q, mu: mu["x"].mean(),
+        pv=lambda q: q["x"].var() + 0.5,
+    )
+    engine2 = rx.infer(model=step, datastream=None, autoupdates=au2)
+    posts, _ = engine2.run_offline({"y": np.full(4, 5.0, np.float32)})
+    assert abs(float(engine2.args["pm"])) < 1e-4
