@@ -131,6 +131,31 @@ def main():
     t_batch = _median_time(lambda: bsmooth(pb), n=3, inner=5)
     batched_updates_per_sec = 3 * T * B / t_batch
 
+    # fused Pallas batched RTS smoother (ops/pallas_smoother.py): VMEM-resident
+    # chain state, streamed moments; B=64 matches the batched64 workload above,
+    # B=1024 shows the saturated large-batch regime
+    from rxinfer_tpu.ops.pallas_smoother import fused_batched_smoother
+
+    w_sm = jnp.asarray(w_obs)
+    xib_t = jnp.moveaxis(xib, 0, 1)  # (T, B, d)
+    m0b = jnp.zeros((B, d))
+    p0b = jnp.broadcast_to(jnp.asarray(p0), (B, d, d))
+    fsm = jax.jit(_scalarize(lambda xi: fused_batched_smoother(
+        m0b, p0b, xi, f_mat, np.zeros(d, np.float32), q, w_obs, chunk=8)[:2]))
+    t_fsm = _median_time(lambda: fsm(xib_t), n=3, inner=3)
+    fused_b64_updates_per_sec = 3 * T * B / t_fsm
+
+    B2 = 1024
+    xi2 = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(0), (T, B2, d)))()
+    jax.block_until_ready(xi2)
+    m0b2 = jnp.zeros((B2, d))
+    p0b2 = jnp.broadcast_to(jnp.asarray(p0), (B2, d, d))
+    fsm2 = jax.jit(_scalarize(lambda xi: fused_batched_smoother(
+        m0b2, p0b2, xi, f_mat, np.zeros(d, np.float32), q, w_obs, chunk=8)[:2]))
+    t_fsm2 = _median_time(lambda: fsm2(xi2), n=3, inner=3)
+    fused_b1024_updates_per_sec = 3 * T * B2 / t_fsm2
+
     # streaming filtering over 10k parallel chains (BASELINE config 5)
     BF, TF = 10_000, 200
     ys = jnp.asarray(rng.standard_normal((TF, BF, d)).astype(np.float32))
@@ -230,6 +255,15 @@ def main():
         "batched64_updates_per_sec": round(batched_updates_per_sec, 1),
         "batched64_vs_baseline": round(
             batched_updates_per_sec / baseline_updates_per_sec, 2
+        ),
+        "batched64_fused_pallas_updates_per_sec": round(
+            fused_b64_updates_per_sec, 1
+        ),
+        "batched1024_fused_pallas_updates_per_sec": round(
+            fused_b1024_updates_per_sec, 1
+        ),
+        "batched1024_fused_vs_baseline": round(
+            fused_b1024_updates_per_sec / baseline_updates_per_sec, 2
         ),
         "streaming_filter_10k_chains_state_updates_per_sec": round(
             filter_updates_per_sec, 1

@@ -1,0 +1,298 @@
+"""Pallas fused batched Kalman (RTS) smoother — VMEM-resident chain state.
+
+The XLA batched smoother (ops/kalman.py parallel_smoother with a leading batch
+axis) shows no batching benefit on v5e-lite: 64 chains of T=10k take ~100x one
+chain (the associative scan materializes (B, T) element pytrees through HBM at
+every tree level).  For B large the right machine shape is the same as the
+fused streaming filter (ops/pallas_filter.py): a sequential time grid with the
+per-chain state pinned in VMEM and only the per-step payload streamed —
+forward pass writes filtered moments to HBM, backward pass streams them back
+in reverse and emits smoothed moments + pairwise cross-covariances.
+
+Layout: batch folded onto (S, L=128) fp32 tiles; covariance carried as the
+d(d+1)/2 upper-triangle entries (symmetric storage — 37% less HBM traffic than
+full d*d for d=4).  Model parameters (F, b, Q, W) are compile-closure
+constants of the kernel: shared across time and chains, which is the batched
+LGSSM workload (BASELINE configs 1-2); time-varying parameters fall back to
+the XLA path.
+
+Math per forward step (information-form update, identical to the scan path):
+    m_pred = F m + b ; P_pred = F P F^T + Q
+    L = P_pred^-1 ; W_post = L + W_t ; P = W_post^-1 ; m = P (L m_pred + xi_t)
+Backward (RTS with recomputed prediction):
+    P_pred = F P_f F^T + Q ; G = P_f F^T P_pred^-1
+    m_s = m_f + G (m_s' - F m_f - b) ; P_s = P_f + G (P_s' - P_pred) G^T
+    cross_t = G P_s'            [Cov(x_t, x_{t+1} | all evidence)]
+
+Reference parity: the reference smooths by T sequential per-edge message
+updates on one thread (SURVEY.md §6); this kernel is the TPU replacement for
+the batched-chains regime.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import entrywise as ew
+from .pallas_filter import LANE, SUBLANE, _fold_batch, _unfold_batch, batch_pad
+
+
+def _sym_idx(d):
+    return [(i, j) for i in range(d) for j in range(i, d)]
+
+
+def _pack_sym(mat_e, d):
+    """entry-wise d x d (symmetric) -> list of d(d+1)/2 upper-tri entries."""
+    return [mat_e[i][j] for (i, j) in _sym_idx(d)]
+
+
+def _unpack_sym(entries, d):
+    """upper-tri entry list -> full entry-wise matrix (aliasing, no compute)."""
+    m = [[None] * d for _ in range(d)]
+    for e, (i, j) in zip(entries, _sym_idx(d)):
+        m[i][j] = e
+        m[j][i] = e
+    return m
+
+
+def _const_mat(a):
+    """(d, m) numpy/array -> list-of-lists of python floats (trace constants)."""
+    a = np.asarray(a)
+    return [[float(a[i, j]) for j in range(a.shape[1])] for i in range(a.shape[0])]
+
+
+def _fwd_kernel(xi_ref, m0_ref, p0_ref, mf_ref, pf_ref, mlast_ref, plast_ref,
+                *, f_e, b_e, q_e, w_e, d, chunk, t_total):
+    nsym = d * (d + 1) // 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        mlast_ref[...] = m0_ref[...]
+        plast_ref[...] = p0_ref[...]
+
+    base_t = pl.program_id(0) * chunk
+
+    def body(t, carry):
+        m, p_entries = carry
+        p = _unpack_sym(p_entries, d)
+        xi = [xi_ref[t, k] for k in range(d)]
+        m_pred = [a + b for a, b in zip(ew.mat_vec(f_e, m), b_e)]
+        p_pred = ew.mat_sym(
+            ew.mat_add(ew.mat_mul(ew.mat_mul(f_e, p), ew.mat_t(f_e)), q_e)
+        )
+        # ChainParams convention: step 0 is prior + update, NO transition
+        first = base_t + t == 0
+        m_pred = [jnp.where(first, a, b) for a, b in zip(m, m_pred)]
+        p_pred = [[jnp.where(first, a, b) for a, b in zip(ra, rb)]
+                  for ra, rb in zip(p, p_pred)]
+        lam = ew.mat_sym(ew.mat_inv_scaled(p_pred))
+        w_post = ew.mat_add(lam, w_e)
+        p_new = ew.mat_sym(ew.mat_inv_scaled(w_post))
+        m_new = ew.mat_vec(p_new, ew.vec_add(ew.mat_vec(lam, m_pred), xi))
+
+        live = base_t + t < t_total
+        m_new = [jnp.where(live, a, b) for a, b in zip(m_new, m)]
+        p_new_entries = [jnp.where(live, a, b)
+                         for a, b in zip(_pack_sym(p_new, d), p_entries)]
+        for i in range(d):
+            mf_ref[t, i] = m_new[i]
+        for k in range(nsym):
+            pf_ref[t, k] = p_new_entries[k]
+        return m_new, p_new_entries
+
+    m0 = [mlast_ref[i] for i in range(d)]
+    p0 = [plast_ref[k] for k in range(nsym)]
+    mf, pf = jax.lax.fori_loop(0, chunk, body, (m0, p0))
+    for i in range(d):
+        mlast_ref[i] = mf[i]
+    for k in range(nsym):
+        plast_ref[k] = pf[k]
+
+
+def _bwd_kernel(mf_ref, pf_ref, ms_ref, ps_ref, cross_ref, m0s_ref, p0s_ref,
+                *, f_e, b_e, q_e, d, chunk, t_total, t_pad):
+    nsym = d * (d + 1) // 2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for i in range(d):
+            m0s_ref[i] = jnp.zeros_like(m0s_ref[i])
+        for k in range(nsym):
+            p0s_ref[k] = jnp.zeros_like(p0s_ref[k])
+
+    # grid step i covers time indices [t_pad - (i+1)*chunk, t_pad - i*chunk),
+    # iterated descending; local index tl in [0, chunk) maps to rt below.
+    base = t_pad - (pl.program_id(0) + 1) * chunk
+
+    def body(tl, carry):
+        t = chunk - 1 - tl          # descending within the chunk
+        rt = base + t               # absolute time index
+        m_s_next, p_s_next_entries = carry
+        p_s_next = _unpack_sym(p_s_next_entries, d)
+        m_f = [mf_ref[t, i] for i in range(d)]
+        p_f = _unpack_sym([pf_ref[t, k] for k in range(nsym)], d)
+
+        p_pred = ew.mat_sym(
+            ew.mat_add(ew.mat_mul(ew.mat_mul(f_e, p_f), ew.mat_t(f_e)), q_e)
+        )
+        gain = ew.mat_mul(ew.mat_mul(p_f, ew.mat_t(f_e)),
+                          ew.mat_sym(ew.mat_inv_scaled(p_pred)))
+        m_pred_next = [a + b for a, b in zip(ew.mat_vec(f_e, m_f), b_e)]
+        m_new = ew.vec_add(m_f, ew.mat_vec(gain, ew.vec_sub(m_s_next,
+                                                            m_pred_next)))
+        p_new = ew.mat_sym(ew.mat_add(
+            p_f,
+            ew.mat_mul(ew.mat_mul(gain, ew.mat_sub(p_s_next, p_pred)),
+                       ew.mat_t(gain)),
+        ))
+        cross = ew.mat_mul(gain, p_s_next)   # Cov(x_t, x_{t+1})
+
+        is_last = rt == t_total - 1          # smoothed == filtered at T-1
+        dead = rt >= t_total                 # time padding: no-op
+        m_out = [jnp.where(is_last, a, jnp.where(dead, c, b))
+                 for a, b, c in zip(m_f, m_new, m_s_next)]
+        p_out = [jnp.where(is_last, a, jnp.where(dead, c, b))
+                 for a, b, c in zip(_pack_sym(p_f, d),
+                                    _pack_sym(p_new, d), p_s_next_entries)]
+        for i in range(d):
+            ms_ref[t, i] = m_out[i]
+        for i in range(d):
+            for j in range(d):
+                cross_ref[t, i * d + j] = cross[i][j]
+        for k in range(nsym):
+            ps_ref[t, k] = p_out[k]
+        return m_out, p_out
+
+    m0 = [m0s_ref[i] for i in range(d)]
+    p0 = [p0s_ref[k] for k in range(nsym)]
+    ms, ps = jax.lax.fori_loop(0, chunk, body, (m0, p0))
+    for i in range(d):
+        m0s_ref[i] = ms[i]
+    for k in range(nsym):
+        p0s_ref[k] = ps[k]
+
+
+@partial(jax.jit,
+         static_argnames=("chunk", "interpret", "f_t", "b_t", "q_t", "w_t"))
+def _fused_smoother_impl(m0, p0, xi, *, f_t, b_t, q_t, w_t,
+                         chunk=4, interpret=False):
+    d = m0.shape[0]
+    nsym = d * (d + 1) // 2
+    s, l = m0.shape[1], m0.shape[2]
+    t_total = xi.shape[0]
+    t_pad = -(-t_total // chunk) * chunk
+    if t_pad != t_total:
+        xi = jnp.pad(xi, ((0, t_pad - t_total), (0, 0), (0, 0), (0, 0)))
+    f_e = [list(r) for r in f_t]
+    b_e = list(b_t)
+    q_e = [list(r) for r in q_t]
+    w_e = [list(r) for r in w_t]
+
+    grid = (t_pad // chunk,)
+    full3 = lambda n: pl.BlockSpec((n, s, l), lambda i: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    stream = lambda n: pl.BlockSpec((chunk, n, s, l), lambda i: (i, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    rstream = lambda n: pl.BlockSpec(
+        (chunk, n, s, l), lambda i: (t_pad // chunk - 1 - i, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    fwd = partial(_fwd_kernel, f_e=f_e, b_e=b_e, q_e=q_e, w_e=w_e,
+                  d=d, chunk=chunk, t_total=t_total)
+    mf, pf, _, _ = pl.pallas_call(
+        fwd,
+        grid=grid,
+        in_specs=[stream(d), full3(d), full3(nsym)],
+        out_specs=(stream(d), stream(nsym), full3(d), full3(nsym)),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, nsym, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((nsym, s, l), jnp.float32),
+        ),
+        interpret=interpret,
+    )(xi, m0, p0)
+
+    bwd = partial(_bwd_kernel, f_e=f_e, b_e=b_e, q_e=q_e,
+                  d=d, chunk=chunk, t_total=t_total, t_pad=t_pad)
+    ms, ps, cross, _, _ = pl.pallas_call(
+        bwd,
+        grid=grid,
+        in_specs=[rstream(d), rstream(nsym)],
+        out_specs=(rstream(d), rstream(nsym), rstream(d * d),
+                   full3(d), full3(nsym)),
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, nsym, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, d * d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((nsym, s, l), jnp.float32),
+        ),
+        interpret=interpret,
+    )(mf, pf)
+    return (ms[:t_total], ps[:t_total], mf[:t_total], pf[:t_total],
+            cross[: t_total - 1] if t_total > 1 else cross[:0])
+
+
+def fused_smoother_soa(m0, p0, xi, f_mat, b, q_cov, w_obs, *,
+                       chunk=4, interpret=False):
+    """SoA fused smoother.  m0 (d,S,L); p0 (nsym,S,L) upper-tri entries;
+    xi (T,d,S,L); f_mat/q_cov/w_obs (d,d) and b (d,) SHARED (concrete numpy
+    values — they become kernel constants).  Returns smoothed means (T,d,S,L),
+    smoothed covs (T,nsym,S,L), filtered means/covs, cross (T-1,d*d,S,L)."""
+    to_t = lambda a: tuple(tuple(float(x) for x in row) for row in np.asarray(a))
+    return _fused_smoother_impl(
+        m0, p0, xi,
+        f_t=to_t(f_mat), b_t=tuple(float(x) for x in np.asarray(b)),
+        q_t=to_t(q_cov), w_t=to_t(w_obs), chunk=chunk, interpret=interpret,
+    )
+
+
+def _sym_fold(p, b_pad):
+    """(B, d, d) -> (nsym, S, L) upper-tri SoA."""
+    d = p.shape[-1]
+    cols = [p[:, i, j] for (i, j) in _sym_idx(d)]
+    return _fold_batch(jnp.stack(cols, axis=-1), b_pad).reshape(
+        (len(cols), b_pad // LANE, LANE))
+
+
+def _sym_unfold(x, b, d):
+    """(T, nsym, S, L) -> (T, B, d, d)."""
+    flat = _unfold_batch(jnp.moveaxis(x, 0, 1), b)    # (B, nsym, T)
+    out = jnp.zeros((flat.shape[0], d, d) + flat.shape[2:], flat.dtype)
+    for k, (i, j) in enumerate(_sym_idx(d)):
+        out = out.at[:, i, j].set(flat[:, k])
+        out = out.at[:, j, i].set(flat[:, k])
+    return jnp.moveaxis(out, -1, 0)                   # (T, B, d, d)
+
+
+def fused_batched_smoother(m0, p0, xi, f_mat, b, q_cov, w_obs, *,
+                           chunk=4, interpret=False):
+    """Batch-axis wrapper: m0 (B,d), p0 (B,d,d), xi (T,B,d); parameters shared
+    (d,d)/(d,).  Returns smoothed means (T,B,d), covs (T,B,d,d),
+    cross (T-1,B,d,d)."""
+    b_n, d = m0.shape
+    b_pad = batch_pad(b_n)
+    m0s = _fold_batch(m0.astype(jnp.float32), b_pad)
+    p0s = _sym_fold(p0.astype(jnp.float32), b_pad)
+    xis = jnp.moveaxis(
+        _fold_batch(jnp.moveaxis(xi.astype(jnp.float32), 0, -1), b_pad), 1, 0)
+    if b_pad != b_n:
+        mask = _fold_batch(jnp.arange(b_pad) < b_n, b_pad)
+        eye = _sym_fold(jnp.broadcast_to(
+            jnp.eye(d, dtype=jnp.float32), (b_pad, d, d)), b_pad)
+        p0s = jnp.where(mask, p0s, eye)
+    ms, ps, _, _, cross = fused_smoother_soa(
+        m0s, p0s, xis, f_mat, b, q_cov, w_obs,
+        chunk=chunk, interpret=interpret)
+    means = jnp.moveaxis(_unfold_batch(jnp.moveaxis(ms, 0, 1), b_n), -1, 0)
+    covs = _sym_unfold(ps, b_n, d)
+    crossm = _unfold_batch(jnp.moveaxis(cross, 0, 1), b_n)   # (B, d*d, T-1)
+    crossm = jnp.moveaxis(crossm, -1, 0).reshape(cross.shape[0], b_n, d, d)
+    return means, covs, crossm
