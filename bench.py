@@ -18,34 +18,53 @@ import time
 import numpy as np
 
 
-def _median_time(fn, n=3, inner=20):
-    """Per-call time by the two-point slope method, synced by a scalar FETCH.
+def _median_time(prog, args, n=3):
+    """Per-call device time of ``prog(*args) -> scalar``, measured by an
+    ON-DEVICE repetition loop + two-point slope, synced by a scalar FETCH.
 
-    ``fn`` must return a scalar device array reducing over every output of the
-    benched program (so nothing is dead-code-eliminated).  The sync point is
-    ``np.asarray`` of that scalar: under remote-execution backends (axon
-    tunnel) ``jax.block_until_ready`` can return before the computation has
-    actually finished, so a device-to-host value fetch is the only trustworthy
-    barrier.  The fixed per-fetch round-trip latency (~25 ms through the
-    tunnel) is cancelled by timing two pipelined batches of different lengths
-    (``inner`` and ``3*inner``) and taking the slope — robust even when the
-    program runs faster than the RTT jitter (no subtraction underflow)."""
-    float(np.asarray(fn()))  # warm + compile
+    Why this shape (learned the hard way on the axon tunnel):
+    - ``jax.block_until_ready`` can return before the computation finishes
+      under remote execution, so the only trustworthy barrier is a
+      device-to-host fetch of a scalar that depends on every output.
+    - A HOST-side repetition loop measures dispatch RTT (~25 ms/call jitter
+      through the tunnel), not device time — fast programs swung >10x between
+      runs.  Repetition therefore goes INSIDE the jitted program as a
+      ``lax.fori_loop`` whose iterations are serialized by threading the
+      accumulated scalar back into the inputs (a ``+ acc*1e-30`` perturbation
+      XLA cannot fold away), so k iterations = k real executions.
+    - The fixed fetch latency is cancelled by timing k and 3k iterations and
+      taking the slope.
+    """
+    import jax
+    import jax.numpy as jnp
 
-    def batch(k):
+    def looped(k, *args):
+        def body(_, acc):
+            eps = acc * jnp.float32(1e-30)
+            perturbed = jax.tree_util.tree_map(
+                lambda a: a + eps.astype(a.dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                args,
+            )
+            return acc + prog(*perturbed)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    run = jax.jit(looped)
+
+    def timed(k):
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
-            out = None
-            for _ in range(k):
-                out = fn()
-            float(np.asarray(out))
+            float(np.asarray(run(k, *args)))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t_small = batch(inner)
-    t_large = batch(3 * inner)
-    return max((t_large - t_small) / (2 * inner), 1e-9)
+    float(np.asarray(run(1, *args)))  # warm + compile
+    t1 = timed(2) / 2.0               # RTT-inflated estimate, upper bound
+    k = int(min(2000, max(4, 0.5 / max(t1, 1e-7))))
+    t_small = timed(k)
+    t_large = timed(3 * k)
+    return max((t_large - t_small) / (2 * k), 1e-9)
 
 
 def _scalarize(program):
@@ -69,8 +88,19 @@ def _scalarize(program):
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: every program here recompiles through the
+    # remote-compile tunnel (20-120 s each) otherwise; verified effective
+    # under the axon backend
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from rxinfer_tpu.dists.gaussian import pd_inverse
     from rxinfer_tpu.ops.kalman import ChainParams, parallel_smoother
@@ -107,8 +137,8 @@ def main():
         jnp.broadcast_to(jnp.asarray(w_obs), (T, d, d)),
     )
 
-    smooth = jax.jit(_scalarize(lambda p: parallel_smoother(p)[:2]))
-    t_single = _median_time(lambda: smooth(params))
+    smooth = _scalarize(lambda p: parallel_smoother(p)[:2])
+    t_single = _median_time(smooth, (params,))
     updates_per_sec = 3 * T / t_single
 
     # --- extras -------------------------------------------------------------
@@ -127,8 +157,8 @@ def main():
     )
     # native leading-batch axis (NOT vmap: the SoA scans fold (B, T) onto full
     # (sublane, lane) tiles; vmap would waste them — ops/kalman.py)
-    bsmooth = jax.jit(_scalarize(lambda p: parallel_smoother(p)[:2]))
-    t_batch = _median_time(lambda: bsmooth(pb), n=3, inner=5)
+    bsmooth = _scalarize(lambda p: parallel_smoother(p)[:2])
+    t_batch = _median_time(bsmooth, (pb,))
     batched_updates_per_sec = 3 * T * B / t_batch
 
     # fused Pallas batched RTS smoother (ops/pallas_smoother.py): VMEM-resident
@@ -140,9 +170,11 @@ def main():
     xib_t = jnp.moveaxis(xib, 0, 1)  # (T, B, d)
     m0b = jnp.zeros((B, d))
     p0b = jnp.broadcast_to(jnp.asarray(p0), (B, d, d))
-    fsm = jax.jit(_scalarize(lambda xi: fused_batched_smoother(
-        m0b, p0b, xi, f_mat, np.zeros(d, np.float32), q, w_obs, chunk=8)[:2]))
-    t_fsm = _median_time(lambda: fsm(xib_t), n=3, inner=3)
+    # perturb the SMALL arg (m0) between device-loop iterations: perturbing
+    # the big xi array would add a full copy pass per iteration
+    fsm = _scalarize(lambda m0x: fused_batched_smoother(
+        m0x, p0b, xib_t, f_mat, np.zeros(d, np.float32), q, w_obs, chunk=8)[:2])
+    t_fsm = _median_time(fsm, (m0b,))
     fused_b64_updates_per_sec = 3 * T * B / t_fsm
 
     B2 = 1024
@@ -151,9 +183,9 @@ def main():
     jax.block_until_ready(xi2)
     m0b2 = jnp.zeros((B2, d))
     p0b2 = jnp.broadcast_to(jnp.asarray(p0), (B2, d, d))
-    fsm2 = jax.jit(_scalarize(lambda xi: fused_batched_smoother(
-        m0b2, p0b2, xi, f_mat, np.zeros(d, np.float32), q, w_obs, chunk=8)[:2]))
-    t_fsm2 = _median_time(lambda: fsm2(xi2), n=3, inner=3)
+    fsm2 = _scalarize(lambda m0x: fused_batched_smoother(
+        m0x, p0b2, xi2, f_mat, np.zeros(d, np.float32), q, w_obs, chunk=8)[:2])
+    t_fsm2 = _median_time(fsm2, (m0b2,))
     fused_b1024_updates_per_sec = 3 * T * B2 / t_fsm2
 
     # streaming filtering over 10k parallel chains (BASELINE config 5)
@@ -163,11 +195,11 @@ def main():
     state = FilterState(
         jnp.zeros((BF, d)), jnp.broadcast_to(jnp.asarray(p0), (BF, d, d))
     )
-    filt = jax.jit(_scalarize(
-        lambda st, ys: filtering_scan(st, ys, jnp.asarray(f_mat), jnp.asarray(q),
-                                      jnp.asarray(h), jnp.asarray(r))
-    ))
-    t_filt = _median_time(lambda: filt(state, ys), n=3, inner=3)
+    filt = _scalarize(
+        lambda st: filtering_scan(st, ys, jnp.asarray(f_mat), jnp.asarray(q),
+                                  jnp.asarray(h), jnp.asarray(r))
+    )
+    t_filt = _median_time(filt, (state,))
     filter_updates_per_sec = BF * TF / t_filt
 
     # fused Pallas VMEM-resident filter on SoA-staged observations (the layout
@@ -186,11 +218,11 @@ def main():
     p0_soa = p0_soa.reshape((d * d,) + p0_soa.shape[2:])
     ys_soa = jnp.moveaxis(_fold_batch(jnp.moveaxis(ys, 0, -1), bp), 1, 0)
     jax.block_until_ready(ys_soa)
-    fused = jax.jit(_scalarize(lambda yss: fused_filter_soa(
-        m0_soa, p0_soa, yss, jnp.asarray(f_mat), jnp.asarray(q),
+    fused = _scalarize(lambda m0s: fused_filter_soa(
+        m0s, p0_soa, ys_soa, jnp.asarray(f_mat), jnp.asarray(q),
         hr_j, w_obs_j, chunk=8,
-    )))
-    t_fused = _median_time(lambda: fused(ys_soa), n=3, inner=3)
+    ))
+    t_fused = _median_time(fused, (m0_soa,))
     fused_filter_updates_per_sec = BF * TF / t_fused
 
     # --- BASELINE config 4: GMM clustering batched over 1k datasets ----------
@@ -213,8 +245,8 @@ def main():
         iterations=IT_G, free_energy=False, keep_each=False
     )
     yg_dev = jnp.asarray(yg)
-    gmm_batched = jax.jit(_scalarize(jax.vmap(lambda y: gmm_prog({"y": y})[0])))
-    t_gmm = _median_time(lambda: gmm_batched(yg_dev), n=3, inner=3)
+    gmm_batched = _scalarize(jax.vmap(lambda y: gmm_prog({"y": y})[0]))
+    t_gmm = _median_time(gmm_batched, (yg_dev,))
     # marginal updates per sweep: n latent assignments + 5 parameters
     gmm_updates_per_sec = BG * IT_G * (NG + 5) / t_gmm
 
@@ -240,8 +272,8 @@ def main():
         iterations=IT_H, free_energy=False, keep_each=False
     )
     yh_dev = jnp.asarray(yh1)
-    hmm_batched = jax.jit(_scalarize(jax.vmap(lambda y: hmm_prog({"y": y})[0])))
-    t_hmm = _median_time(lambda: hmm_batched(yh_dev), n=3, inner=3)
+    hmm_batched = _scalarize(jax.vmap(lambda y: hmm_prog({"y": y})[0]))
+    t_hmm = _median_time(hmm_batched, (yh_dev,))
     hmm_updates_per_sec = BH * IT_H * (TH + 2) / t_hmm
 
     baseline_updates_per_sec = 3 * 10_000 / 0.901667  # reference d=2 T=10k CPU

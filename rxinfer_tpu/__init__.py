@@ -40,6 +40,9 @@ from .graph import (  # noqa: F401
     constraints,
     AND,
     AR,
+    ARMeta,
+    ARsafe,
+    ARunsafe,
     IMPLY,
     NOT,
     OR,

@@ -523,6 +523,26 @@ class CompiledModel:
         init = dict(init or {})
         from ..graph.constraints import InitMessage
 
+        # submodel-TYPE scoped init (reference `@initialization for init in
+        # submodel`, src/model/plugins/initialization_plugin.jl:190-199):
+        # a ("walk", "tau") tuple key applies to walk/tau, walk:2/tau, ... —
+        # every instance of that submodel type.
+        rv_names = {v.name for v in graph.random_variables()}
+        for key in [k for k in init if isinstance(k, tuple)]:
+            base, local = key
+            val = init.pop(key)
+            matched = [
+                n for n in rv_names
+                if n.endswith("/" + local)
+                and n[: -len(local) - 1].split("/")[-1].split(":")[0] == base
+            ]
+            if not matched:
+                raise ValueError(
+                    f"initialization block ({base!r}, {local!r}) matches no "
+                    "variable in the model."
+                )
+            for n in matched:
+                init.setdefault(n, val)
         init = {
             k: (v.dist if isinstance(v, InitMessage) else v)
             for k, v in init.items()

@@ -1061,8 +1061,35 @@ def SoftDot(theta, x, gamma) -> RVRef:
     )
 
 
-def AR(prev, theta, gamma, order: int) -> RVRef:
-    """Autoregressive node (reference AR + ARMeta)."""
+class ARsafe:
+    """Stability variant marker (reference ARMeta's ARsafe).  The TPU AR chain
+    block is solved by an exact (associative-scan) Kalman smoother, which is
+    unconditionally the 'safe' path — ARunsafe is accepted and ignored."""
+
+
+class ARunsafe:
+    pass
+
+
+class ARMeta:
+    """Reference ``ARMeta(Multivariate|Univariate, order, ARsafe())``
+    (docs: latent AR models).  Variate kind is inferred from order here."""
+
+    def __init__(self, variate_or_order=None, order=None, stability=None):
+        if order is None and isinstance(variate_or_order, int):
+            order = variate_or_order
+        if not isinstance(order, int):
+            raise TypeError("ARMeta requires an integer order.")
+        self.order = order
+        self.stability = stability if stability is not None else ARsafe()
+
+
+def AR(prev, theta, gamma, order: int = None, meta: "ARMeta" = None) -> RVRef:
+    """Autoregressive node (reference AR + ARMeta + ARsafe)."""
+    if meta is not None:
+        order = meta.order
+    if order is None:
+        raise TypeError("AR requires order= (or meta=ARMeta(order)).")
     return _builder().emit(
         "AR",
         {"in": _as_interface(prev), "theta": _as_interface(theta), "gamma": _as_interface(gamma)},

@@ -154,9 +154,13 @@ class RxInferenceEngine:
         return self._on_next(obs)
 
     def _on_next(self, obs: dict):
+        # Event set = the reference engine's 16 events
+        # (src/inference/streaming.jl:847-866).  The VMP iterations run inside
+        # ONE compiled program, so the per-iteration pairs fire once per tick.
         self._ensure_compiled(obs)
-        self._fire("before_data_update", obs)
+        self._fire("on_new_data", obs)
         self._fire("before_iteration")
+        self._fire("before_data_update", obs)
         data = {**obs, **self.args}
         state, fe, _ = self._compiled.run(
             data, iterations=self.iterations, free_energy=self.free_energy
@@ -165,19 +169,23 @@ class RxInferenceEngine:
 
         self.posteriors = _extract_posteriors(self._compiled, state)
         self._fire("on_marginal_update", self.posteriors)
+        self._fire("after_data_update", obs)
+        self._fire("after_iteration")
+        self._fire("before_auto_update")
         self.args = self.autoupdates(
             self.posteriors,
             _MessageFetch(self._compiled, state,
                           {k: jnp.asarray(v) for k, v in data.items()}),
         )
+        self._fire("after_auto_update")
         if self.free_energy:
             self.fe_history.append(fe)
         if self.keephistory:
+            self._fire("before_history_save")
             self.history.append(self.posteriors)
             if len(self.history) > self.keephistory:
                 self.history.pop(0)
-        self._fire("after_iteration")
-        self._fire("after_data_update", obs)
+            self._fire("after_history_save")
         self._fire("on_tick")
         return self.posteriors
 
@@ -213,21 +221,29 @@ class RxInferenceEngine:
     def start(self, datastream: Iterable[dict]):
         self.is_running = True
         self._fire("before_autostart")
+        self._fire("before_start")
+        self._fire("after_start")
+        completed = False
         try:
             for obs in datastream:
                 if not self.is_running:
                     break
                 self.on_next(obs)
+            completed = self.is_running
         except Exception:
             self.is_errored = True
             self._fire("on_error")
             raise
         finally:
+            if completed:
+                self._fire("on_complete")
             self._fire("after_autostart")
         return self
 
     def stop(self):
+        self._fire("before_stop")
         self.is_running = False
+        self._fire("after_stop")
 
 
 def streaming_infer(model, datastream, autoupdates, initialization=None,

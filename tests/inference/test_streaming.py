@@ -181,3 +181,31 @@ def test_autoupdates_message_argument():
     engine2 = rx.infer(model=step, datastream=None, autoupdates=au2)
     posts, _ = engine2.run_offline({"y": np.full(4, 5.0, np.float32)})
     assert abs(float(engine2.args["pm"])) < 1e-4
+
+
+def test_streaming_event_set_matches_reference():
+    """All 16 reference engine events fire (streaming.jl:847-866)."""
+    import rxinfer_tpu as rx
+
+    @rx.model
+    def step(y, pm, pv):
+        x = rx.Normal(mean=pm, var=pv)
+        y.observe(rx.Normal(mean=x, var=1.0))
+        return {"x": x}
+
+    au = rx.autoupdates(initial={"pm": 0.0, "pv": 100.0},
+                        pm=lambda q: q["x"].mean(),
+                        pv=lambda q: q["x"].var())
+    engine = rx.infer(model=step, autoupdates=au, keephistory=4,
+                      datastream=[{"y": np.float32(v)} for v in (0.1, -0.3)])
+    engine.stop()
+    names = {e.name for e in engine.events}
+    expected = {
+        "before_start", "after_start", "before_stop", "after_stop",
+        "on_new_data", "before_iteration", "before_auto_update",
+        "after_auto_update", "before_data_update", "after_data_update",
+        "after_iteration", "before_history_save", "after_history_save",
+        "on_tick", "on_complete",
+    }
+    assert expected <= names, expected - names
+    assert sum(1 for e in engine.events if e.name == "on_complete") == 1

@@ -147,3 +147,47 @@ def test_scoped_meanfield_matches_global_meanfield():
         float(r_scoped.posteriors["blk/mu"].mean()),
         float(r_global.posteriors["blk/mu"].mean()), rtol=1e-6,
     )
+
+
+def test_submodel_type_scoped_initialization():
+    """('blk', 'tau') init keys apply to every instance of the submodel type
+    (reference `@initialization for init in submodel`,
+    src/model/plugins/initialization_plugin.jl:190-199)."""
+    rng = np.random.default_rng(0)
+    y1 = (1.5 + 0.5 * rng.standard_normal(80)).astype(np.float32)
+    y2 = (-1.0 + 0.5 * rng.standard_normal(80)).astype(np.float32)
+
+    @rx.model
+    def two_blocks(y1, y2):
+        out = {}
+        for name, y in (("a", y1), ("b", y2)):
+            with rx.scope("blk"):
+                mu = rx.Normal(mean=0.0, var=100.0)
+                tau = rx.Gamma(shape=1.0, rate=1.0)
+                for i in rx.plate(len(y)):
+                    (y1 if name == "a" else y2)[i] = rx.Normal(
+                        mean=mu, precision=tau)
+                out[name] = mu
+        return out
+
+    res = rx.infer(
+        model=two_blocks, data={"y1": y1, "y2": y2}, iterations=15,
+        initialization={("blk", "tau"): GammaShapeRate(1.0, 1.0)},
+    )
+    assert abs(float(res.posteriors["a"].mean()) - 1.5) < 0.2
+    assert abs(float(res.posteriors["b"].mean()) - (-1.0)) < 0.2
+
+
+def test_submodel_type_scoped_initialization_unknown_raises():
+    @rx.model
+    def m(y):
+        mu = rx.Normal(mean=0.0, var=1.0)
+        y.observe(rx.Normal(mean=mu, var=1.0))
+        return {"mu": mu}
+
+    try:
+        rx.infer(model=m, data={"y": np.float32(0.3)},
+                 initialization={("nope", "tau"): GammaShapeRate(1.0, 1.0)})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "matches no" in str(e)
