@@ -108,6 +108,7 @@ from .rules import CVI, CVIProjection, DeltaMeta, Linearization, Unscented  # no
 from .utils.callbacks import (  # noqa: F401
     BenchmarkCallbacks,
     benchmark_table,
+    profile_trace,
     convert_to_tensorboard,
     StopEarlyIterationStrategy,
     TraceCallbacks,

@@ -81,8 +81,38 @@ def filtering_scan(state: FilterState, ys, f_mat, q_cov, h, r):
     return final, means
 
 
-def make_sharded_filtering(mesh: Mesh, f_mat, q_cov, h, r, axis_name="batch"):
-    """jit the filtering scan with the batch axis sharded over the mesh."""
+def make_sharded_filtering(mesh: Mesh, f_mat, q_cov, h, r, axis_name="batch",
+                           fused=False, interpret=False, chunk=16):
+    """jit the filtering scan with the batch axis sharded over the mesh.
+
+    ``fused=True`` runs the Pallas VMEM-resident kernel
+    (ops/pallas_filter.py) INSIDE each shard via shard_map — continuous
+    batching sharded across chips/hosts with zero steady-state collectives
+    (BASELINE config 5); pass ``interpret=True`` on the CPU test mesh."""
+    if fused:
+        from ..ops.pallas_filter import fused_filtering_scan
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+
+        def local(st, ys):
+            return fused_filtering_scan(
+                st, ys, f_mat, q_cov, h, r, chunk=chunk, interpret=interpret
+            )
+
+        mapped = shard_map(
+            local, mesh=mesh,
+            in_specs=(FilterState(P(axis_name), P(axis_name)),
+                      P(None, axis_name)),
+            out_specs=(FilterState(P(axis_name), P(axis_name)),
+                       P(None, axis_name)),
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
     fn = partial(filtering_scan, f_mat=f_mat, q_cov=q_cov, h=h, r=r)
     batch_sharding = NamedSharding(mesh, P(axis_name))
     state_shardings = FilterState(batch_sharding, batch_sharding)

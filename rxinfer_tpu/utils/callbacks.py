@@ -122,6 +122,32 @@ class BenchmarkCallbacks:
         return out
 
 
+class profile_trace:
+    """Context manager wrapping ``jax.profiler.trace`` — device-level TPU
+    profiling around inference calls (SURVEY.md §5: "TPU equivalent: jax
+    profiler traces + per-phase host callbacks around compiled steps")::
+
+        with rx.profile_trace("/tmp/tb"):
+            rx.infer(...)
+
+    View with TensorBoard's profile plugin."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False
+
+
 def benchmark_table(bench: "BenchmarkCallbacks") -> str:
     """Plain-text table of per-stage timing stats (reference: PrettyTablesExt
     pretty_table over get_benchmark_stats,

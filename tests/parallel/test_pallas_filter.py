@@ -47,3 +47,21 @@ def test_fused_filter_matches_scan_d2_chunk_aligned():
     )
     np.testing.assert_allclose(out_means, ref_means, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(out_final.p, ref_final.p, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_fused_filter_on_cpu_mesh():
+    """fused kernel inside shard_map over the 8-device CPU mesh (interpret)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from rxinfer_tpu.parallel.filtering import make_sharded_filtering
+
+    state, ys, f, q, h, r = _setup(b=16, d=4, t=24, seed=3)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    with mesh:
+        fn = make_sharded_filtering(mesh, f, q, h, r, fused=True,
+                                    interpret=True, chunk=8)
+        out_final, out_means = fn(state, ys)
+    ref_final, ref_means = filtering_scan(state, ys, f, q, h, r)
+    np.testing.assert_allclose(out_means, ref_means, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_final.p, ref_final.p, rtol=2e-4, atol=2e-4)
