@@ -276,6 +276,35 @@ def main():
     t_hmm = _median_time(hmm_batched, (yh_dev,))
     hmm_updates_per_sec = BH * IT_H * (TH + 2) / t_hmm
 
+    # ops-level fused HMM VMP: same workload, inner forward-backward solved by
+    # the Pallas kernel (ops/pallas_discrete.py), conjugate Dirichlet updates
+    # in XLA around it
+    from jax.scipy.special import digamma
+
+    from rxinfer_tpu.ops.pallas_discrete import fused_fb_batched
+
+    y_t_dev = jnp.moveaxis(yh_dev, 0, 1)             # (T, B, K)
+    a0_h = jnp.full((BH, 3, 3), 1.0)
+    b0_h = jnp.asarray(np.broadcast_to(
+        np.eye(3) * 5.0 + 1.0, (BH, 3, 3)).astype(np.float32))
+    lp_h = jnp.zeros((BH, 3))
+
+    def _elog(c):
+        return digamma(c) - digamma(jnp.sum(c, axis=1, keepdims=True))
+
+    def hmm_fused(y_t):
+        def body(_, carry):
+            ca, cb = carry
+            le = jnp.einsum("tbo,bok->tbk", y_t, _elog(cb))
+            g, xi, _ = fused_fb_batched(lp_h, _elog(ca), le, chunk=32)
+            return a0_h + xi, b0_h + jnp.einsum("tbo,tbk->bok", y_t, g)
+        ca, cb = jax.lax.fori_loop(0, IT_H, body, (a0_h, b0_h))
+        return ca, cb
+
+    hmm_fused_s = _scalarize(hmm_fused)
+    t_hmm_f = _median_time(hmm_fused_s, (y_t_dev,))
+    hmm_fused_updates_per_sec = BH * IT_H * (TH + 2) / t_hmm_f
+
     baseline_updates_per_sec = 3 * 10_000 / 0.901667  # reference d=2 T=10k CPU
 
     # --- accuracy anchor: the fused kernel vs a float64 numpy RTS oracle ------
@@ -345,6 +374,9 @@ def main():
         "gmm_1k_datasets_vmp_updates_per_sec": round(gmm_updates_per_sec, 1),
         "hmm_256x200_structured_vmp_updates_per_sec": round(
             hmm_updates_per_sec, 1
+        ),
+        "hmm_fused_pallas_vmp_updates_per_sec": round(
+            hmm_fused_updates_per_sec, 1
         ),
         "device": str(jax.devices()[0]),
     }))
