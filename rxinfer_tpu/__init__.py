@@ -103,7 +103,7 @@ from .inference_streaming import (  # noqa: F401
     RxInferenceEngine,
     autoupdates,
 )
-from .rules.registry import NodeFunctionRuleFallback, call_rule  # noqa: F401
+from .rules.registry import NodeFunctionRuleFallback, call_rule, trace_messages  # noqa: F401
 from .rules import CVI, CVIProjection, DeltaMeta, Linearization, Unscented  # noqa: F401
 from .utils.callbacks import (  # noqa: F401
     BenchmarkCallbacks,

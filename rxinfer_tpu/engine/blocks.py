@@ -302,6 +302,10 @@ class PlainGroup:
                         key = f"_msg:{f.id}:{name}"
                         if key in state:
                             q[name] = nat_div(q[name], state[key])
+            from ..rules.registry import trace_messages
+
+            trace_messages.record(node=f.fform, interface=iface,
+                                  mean_field=mean_field)
             raw = rule(q)
             if isinstance(raw, LogPdfMessage):
                 # function-form fallback message: the plate product is already

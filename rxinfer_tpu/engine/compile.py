@@ -685,8 +685,14 @@ class CompiledModel:
         )
 
     def _sweep_once(self, state: dict, chain_cross: dict, data: dict):
+        from ..rules.registry import trace_messages
+
         for kind, block in self.blocks:
             if kind == "chain":
+                trace_messages.record(
+                    node=f"<chain:{type(block).__name__}>",
+                    interface=block.var.name, mean_field=False,
+                )
                 marg, cross = block.update(state, data, chain_cross)
                 state[block.var.name] = marg
                 # store rule-ready joint: Cov(out, in) for Gaussian, xis for discrete

@@ -29,6 +29,40 @@ from typing import Any, Callable, Optional
 _NODES: dict[str, type] = {}
 
 
+class trace_messages:
+    """Record every message-rule invocation while a program is built/traced
+    (reference: "Tracing individual message computations",
+    docs/src/manuals/debugging.md:136-143 — per-rule-call events).
+
+    In this engine rules fire at COMPILE/trace time (the schedule is static),
+    so the recording is the message schedule itself: one entry per
+    (node, interface, variant) rule dispatch, in execution order::
+
+        with rx.trace_messages() as mt:
+            rx.infer(model=m, data=...)
+        mt.records   # [{'node': 'NormalMeanPrecision', 'interface': 'mean',
+                     #   'mean_field': False}, ...]
+    """
+
+    _active = None
+
+    def __init__(self):
+        self.records: list[dict] = []
+
+    def __enter__(self):
+        trace_messages._active = self
+        return self
+
+    def __exit__(self, *exc):
+        trace_messages._active = None
+        return False
+
+    @staticmethod
+    def record(**entry):
+        if trace_messages._active is not None:
+            trace_messages._active.records.append(entry)
+
+
 class RuleNotFoundError(KeyError):
     pass
 

@@ -185,3 +185,25 @@ def test_streaming_uselock_serializes_ticks():
         t.join()
     assert sum(1 for e in engine.events if e.name == "on_tick") == len(obs)
     assert abs(float(engine.posteriors["x"].mean()) - 2.0) < 1.0
+
+
+def test_trace_messages_records_schedule():
+    import numpy as np
+
+    import rxinfer_tpu as rx
+
+    @rx.model
+    def coin(y):
+        theta = rx.Beta(1.0, 1.0)
+        for i in rx.plate(len(y)):
+            y[i] = rx.Bernoulli(theta)
+        return {"theta": theta}
+
+    y = np.array([1.0, 0.0, 1.0], np.float32)
+    with rx.trace_messages() as mt:
+        rx.infer(model=coin, data={"y": y}, iterations=2)
+    nodes = {r["node"] for r in mt.records}
+    assert "Bernoulli" in nodes or "Beta" in nodes, nodes
+    assert all("interface" in r for r in mt.records)
+    # recorder detaches outside the block
+    assert rx.trace_messages._active is None
