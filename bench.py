@@ -206,7 +206,7 @@ def main():
     # a continuous-batching producer maintains) — ops/pallas_filter.py
     from rxinfer_tpu.dists.gaussian import pd_inverse as _pd_inverse
     from rxinfer_tpu.ops.pallas_filter import (
-        _fold_batch, batch_pad, fused_filter_soa,
+        _fold_batch, batch_pad, fused_filter_soa, sym_fold,
     )
 
     bp = batch_pad(BF)
@@ -214,8 +214,7 @@ def main():
     w_obs_j = jnp.einsum("ji,jk,kl->il", h, rinv_j, h).astype(jnp.float32)
     hr_j = jnp.einsum("ji,jk->ik", h, rinv_j).astype(jnp.float32)
     m0_soa = _fold_batch(state.m.astype(jnp.float32), bp)
-    p0_soa = _fold_batch(state.p.astype(jnp.float32), bp)
-    p0_soa = p0_soa.reshape((d * d,) + p0_soa.shape[2:])
+    p0_soa = sym_fold(state.p.astype(jnp.float32), bp)
     ys_soa = jnp.moveaxis(_fold_batch(jnp.moveaxis(ys, 0, -1), bp), 1, 0)
     jax.block_until_ready(ys_soa)
     fused = _scalarize(lambda m0s: fused_filter_soa(

@@ -36,6 +36,7 @@ from .graph import (  # noqa: F401
     factorize_slots,
     PointMassFormConstraint,
     ComposedFormConstraint,
+    UnspecifiedFormConstraint,
     SampleListFormConstraint,
     constraints,
     AND,

@@ -195,6 +195,15 @@ class AbstractFormConstraint:
         raise NotImplementedError
 
 
+class UnspecifiedFormConstraint(AbstractFormConstraint):
+    """No-op form constraint (reference UnspecifiedFormConstraint,
+    docs/src/manuals/variational/functional-forms.md) — same as leaving the
+    variable unconstrained; exists for name parity."""
+
+    def constrain(self, dist):
+        return dist
+
+
 class ComposedFormConstraint(AbstractFormConstraint):
     """Stacked form constraints applied left to right (reference: composed
     ``q(x) :: C1 :: C2`` stacking,

@@ -47,9 +47,50 @@ def _read_smem_mat(ref, n, m):
     return [[ref[i, j] for j in range(m)] for i in range(n)]
 
 
+# -- symmetric (upper-triangle) batch folding, shared with pallas_smoother ----
+
+def sym_idx(d):
+    return [(i, j) for i in range(d) for j in range(i, d)]
+
+
+def sym_fold(p, b_pad):
+    """(B, d, d) symmetric -> (nsym, S, L) upper-tri SoA."""
+    d = p.shape[-1]
+    cols = [p[:, i, j] for (i, j) in sym_idx(d)]
+    return _fold_batch(jnp.stack(cols, axis=-1), b_pad).reshape(
+        (len(cols), b_pad // LANE, LANE))
+
+
+def sym_unfold(x, b, d):
+    """(nsym, S, L) -> (B, d, d)."""
+    flat = _unfold_batch(x, b)                           # (B, nsym)
+    out = jnp.zeros((b, d, d), flat.dtype)
+    for k, (i, j) in enumerate(sym_idx(d)):
+        out = out.at[:, i, j].set(flat[:, k])
+        out = out.at[:, j, i].set(flat[:, k])
+    return out
+
+
+def sym_unfold_t(x, b, d):
+    """(T, nsym, S, L) -> (T, B, d, d)."""
+    flat = _unfold_batch(jnp.moveaxis(x, 0, 1), b)       # (B, nsym, T)
+    out = jnp.zeros((b, d, d, flat.shape[-1]), flat.dtype)
+    for k, (i, j) in enumerate(sym_idx(d)):
+        out = out.at[:, i, j].set(flat[:, k])
+        out = out.at[:, j, i].set(flat[:, k])
+    return jnp.moveaxis(out, -1, 0)
+
+
 def _filter_kernel(f_s, q_s, w_s, hr_s, m0_ref, p0_ref, ys_ref,
                    means_ref, mf_ref, pf_ref, *, d, dy, chunk, t_total):
-    """One grid step = ``chunk`` filter steps on the VMEM-resident state."""
+    """One grid step = ``chunk`` filter steps on the VMEM-resident state.
+
+    Covariance carried as the d(d+1)/2 upper-triangle entries; all
+    symmetric products/inverses compute upper-triangle only
+    (ops/entrywise.py sym_* — ~30% fewer VPU ops than the full-matrix
+    formulation on this VPU-bound kernel)."""
+    nsym = d * (d + 1) // 2
+    sidx = sym_idx(d)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -63,36 +104,44 @@ def _filter_kernel(f_s, q_s, w_s, hr_s, m0_ref, p0_ref, ys_ref,
 
     base_t = pl.program_id(0) * chunk
 
+    def _unpack(entries):
+        m = [[None] * d for _ in range(d)]
+        for e, (i, j) in zip(entries, sidx):
+            m[i][j] = e
+            m[j][i] = e
+        return m
+
     def body(t, carry):
-        m, p = carry
+        m, p_entries = carry
+        p = _unpack(p_entries)
         y_e = [ys_ref[t, k] for k in range(dy)]
         xi = ew.mat_vec(hr_e, y_e)
         m_pred = ew.mat_vec(f_e, m)
-        p_pred = ew.mat_sym(
-            ew.mat_add(ew.mat_mul(ew.mat_mul(f_e, p), ew.mat_t(f_e)), q_e)
-        )
-        p_pred_inv = ew.mat_sym(ew.mat_inv_scaled(p_pred))
-        w_post = ew.mat_add(p_pred_inv, w_e)
-        p_new = ew.mat_sym(ew.mat_inv_scaled(w_post))
+        p_pred = ew.sandwich_sym(f_e, p, q_e)
+        p_pred_inv = ew.sym_inv_scaled(p_pred)
+        w_post = ew.sym_alias([
+            [p_pred_inv[i][j] + w_e[i][j] if i <= j else None
+             for j in range(d)] for i in range(d)])
+        p_new = ew.sym_inv_scaled(w_post)
         xi_tot = ew.vec_add(ew.mat_vec(p_pred_inv, m_pred), xi)
         m_new = ew.mat_vec(p_new, xi_tot)
 
         # time padding: steps past t_total must not advance the state
         live = base_t + t < t_total
         m_new = [jnp.where(live, a, b) for a, b in zip(m_new, m)]
-        p_new = [[jnp.where(live, a, b) for a, b in zip(ra, rb)]
-                 for ra, rb in zip(p_new, p)]
+        p_new_entries = [jnp.where(live, p_new[i][j], e)
+                         for e, (i, j) in zip(p_entries, sidx)]
         for i in range(d):
             means_ref[t, i] = m_new[i]
-        return m_new, p_new
+        return m_new, p_new_entries
 
     m0 = [mf_ref[i] for i in range(d)]
-    p0 = [[pf_ref[i * d + j] for j in range(d)] for i in range(d)]
+    p0 = [pf_ref[k] for k in range(nsym)]
     mf, pf = jax.lax.fori_loop(0, chunk, body, (m0, p0))
     for i in range(d):
         mf_ref[i] = mf[i]
-        for j in range(d):
-            pf_ref[i * d + j] = pf[i][j]
+    for k in range(nsym):
+        pf_ref[k] = pf[k]
 
 
 @partial(jax.jit, static_argnames=("chunk", "interpret"))
@@ -101,14 +150,16 @@ def fused_filter_soa(m0, p0, ys, f_mat, q_cov, hr, w_obs, *,
     """VMEM-resident streaming filter on SoA inputs.
 
     Args:
-      m0:  (d, S, L)   initial means, batch folded onto (S, L) tiles
-      p0:  (d*d, S, L) initial covariances (row-major entries)
+      m0:  (d, S, L)    initial means, batch folded onto (S, L) tiles
+      p0:  (nsym, S, L) initial covariances, upper-triangle entries
+                        (nsym = d(d+1)/2; see sym_fold)
       ys:  (T, dy, S, L) observation stream, SoA
       f_mat, q_cov: (d, d); hr = H^T R^-1 (d, dy); w_obs = H^T R^-1 H (d, d)
     Returns:
-      means (T, d, S, L), final (m, p) in the same SoA layout.
+      means (T, d, S, L), final (m, p) in the same SoA layout (p packed).
     """
     d = m0.shape[0]
+    nsym = d * (d + 1) // 2
     dy = ys.shape[1]
     t_total = ys.shape[0]
     s, l = m0.shape[1], m0.shape[2]
@@ -130,12 +181,12 @@ def fused_filter_soa(m0, p0, ys, f_mat, q_cov, hr, w_obs, *,
         kernel,
         grid=grid,
         in_specs=[smem(d, d), smem(d, d), smem(d, d), smem(d, dy),
-                  full3(d), full3(d * d), stream4(dy)],
-        out_specs=(stream4(d), full3(d), full3(d * d)),
+                  full3(d), full3(nsym), stream4(dy)],
+        out_specs=(stream4(d), full3(d), full3(nsym)),
         out_shape=(
             jax.ShapeDtypeStruct((t_pad, d, s, l), jnp.float32),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
-            jax.ShapeDtypeStruct((d * d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((nsym, s, l), jnp.float32),
         ),
         interpret=interpret,
     )(f_mat, q_cov, w_obs, hr, m0, p0, ys)
@@ -181,14 +232,13 @@ def fused_filtering_scan(state, ys, f_mat, q_cov, h, r, *,
     hr = jnp.einsum("ji,jk->ik", h, rinv).astype(jnp.float32)
 
     m0 = _fold_batch(state.m.astype(jnp.float32), b_pad)          # (d, S, L)
-    p0 = _fold_batch(state.p.astype(jnp.float32), b_pad)          # (d, d, S, L)
-    p0 = p0.reshape((d * d,) + p0.shape[2:])
+    p0 = sym_fold(state.p.astype(jnp.float32), b_pad)             # (nsym, S, L)
     # pad chains get identity covariance so the Schur inverse stays finite
     if b_pad != b:
-        eye = _fold_batch(
+        eye = sym_fold(
             jnp.broadcast_to(jnp.eye(d, dtype=jnp.float32), (b_pad, d, d)),
             b_pad,
-        ).reshape((d * d,) + p0.shape[1:])
+        )
         mask = _fold_batch(
             jnp.arange(b_pad) < b, b_pad
         )  # (S, L) bool
@@ -208,6 +258,6 @@ def fused_filtering_scan(state, ys, f_mat, q_cov, h, r, *,
     mean_out = jnp.moveaxis(mean_out, -1, 0)                      # (T, B, d)
     final = FilterState(
         _unfold_batch(mf, b),
-        _unfold_batch(pf.reshape((d, d) + pf.shape[1:]), b),
+        sym_unfold(pf, b, d),
     )
     return final, mean_out

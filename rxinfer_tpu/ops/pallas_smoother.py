@@ -40,11 +40,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import entrywise as ew
-from .pallas_filter import LANE, SUBLANE, _fold_batch, _unfold_batch, batch_pad
-
-
-def _sym_idx(d):
-    return [(i, j) for i in range(d) for j in range(i, d)]
+from .pallas_filter import (
+    LANE,
+    SUBLANE,
+    _fold_batch,
+    _unfold_batch,
+    batch_pad,
+    sym_fold,
+    sym_idx as _sym_idx,
+    sym_unfold_t,
+)
 
 
 def _pack_sym(mat_e, d):
@@ -83,17 +88,18 @@ def _fwd_kernel(xi_ref, m0_ref, p0_ref, mf_ref, pf_ref, mlast_ref, plast_ref,
         p = _unpack_sym(p_entries, d)
         xi = [xi_ref[t, k] for k in range(d)]
         m_pred = [a + b for a, b in zip(ew.mat_vec(f_e, m), b_e)]
-        p_pred = ew.mat_sym(
-            ew.mat_add(ew.mat_mul(ew.mat_mul(f_e, p), ew.mat_t(f_e)), q_e)
-        )
+        p_pred = ew.sandwich_sym(f_e, p, q_e)
         # ChainParams convention: step 0 is prior + update, NO transition
         first = base_t + t == 0
         m_pred = [jnp.where(first, a, b) for a, b in zip(m, m_pred)]
-        p_pred = [[jnp.where(first, a, b) for a, b in zip(ra, rb)]
-                  for ra, rb in zip(p, p_pred)]
-        lam = ew.mat_sym(ew.mat_inv_scaled(p_pred))
-        w_post = ew.mat_add(lam, w_e)
-        p_new = ew.mat_sym(ew.mat_inv_scaled(w_post))
+        p_pred = ew.sym_alias([
+            [jnp.where(first, p[i][j], p_pred[i][j]) if i <= j else None
+             for j in range(d)] for i in range(d)])
+        lam = ew.sym_inv_scaled(p_pred)
+        w_post = ew.sym_alias([
+            [lam[i][j] + w_e[i][j] if i <= j else None for j in range(d)]
+            for i in range(d)])
+        p_new = ew.sym_inv_scaled(w_post)
         m_new = ew.mat_vec(p_new, ew.vec_add(ew.mat_vec(lam, m_pred), xi))
 
         live = base_t + t < t_total
@@ -138,19 +144,17 @@ def _bwd_kernel(mf_ref, pf_ref, ms_ref, ps_ref, cross_ref, m0s_ref, p0s_ref,
         m_f = [mf_ref[t, i] for i in range(d)]
         p_f = _unpack_sym([pf_ref[t, k] for k in range(nsym)], d)
 
-        p_pred = ew.mat_sym(
-            ew.mat_add(ew.mat_mul(ew.mat_mul(f_e, p_f), ew.mat_t(f_e)), q_e)
-        )
+        p_pred = ew.sandwich_sym(f_e, p_f, q_e)
         gain = ew.mat_mul(ew.mat_mul(p_f, ew.mat_t(f_e)),
-                          ew.mat_sym(ew.mat_inv_scaled(p_pred)))
+                          ew.sym_inv_scaled(p_pred))
         m_pred_next = [a + b for a, b in zip(ew.mat_vec(f_e, m_f), b_e)]
         m_new = ew.vec_add(m_f, ew.mat_vec(gain, ew.vec_sub(m_s_next,
                                                             m_pred_next)))
-        p_new = ew.mat_sym(ew.mat_add(
-            p_f,
-            ew.mat_mul(ew.mat_mul(gain, ew.mat_sub(p_s_next, p_pred)),
-                       ew.mat_t(gain)),
-        ))
+        # P_s = P_f + G (P_s' - P_pred) G^T — upper triangle only
+        gd = ew.mat_mul(gain, ew.mat_sub(p_s_next, p_pred))
+        p_new = ew.sym_alias([
+            [p_f[i][j] + sum(gd[i][kk] * gain[j][kk] for kk in range(d))
+             if i <= j else None for j in range(d)] for i in range(d)])
         cross = ew.mat_mul(gain, p_s_next)   # Cov(x_t, x_{t+1})
 
         is_last = rt == t_total - 1          # smoothed == filtered at T-1
@@ -254,22 +258,8 @@ def fused_smoother_soa(m0, p0, xi, f_mat, b, q_cov, w_obs, *,
     )
 
 
-def _sym_fold(p, b_pad):
-    """(B, d, d) -> (nsym, S, L) upper-tri SoA."""
-    d = p.shape[-1]
-    cols = [p[:, i, j] for (i, j) in _sym_idx(d)]
-    return _fold_batch(jnp.stack(cols, axis=-1), b_pad).reshape(
-        (len(cols), b_pad // LANE, LANE))
-
-
-def _sym_unfold(x, b, d):
-    """(T, nsym, S, L) -> (T, B, d, d)."""
-    flat = _unfold_batch(jnp.moveaxis(x, 0, 1), b)    # (B, nsym, T)
-    out = jnp.zeros((flat.shape[0], d, d) + flat.shape[2:], flat.dtype)
-    for k, (i, j) in enumerate(_sym_idx(d)):
-        out = out.at[:, i, j].set(flat[:, k])
-        out = out.at[:, j, i].set(flat[:, k])
-    return jnp.moveaxis(out, -1, 0)                   # (T, B, d, d)
+_sym_fold = sym_fold
+_sym_unfold = sym_unfold_t
 
 
 def fused_batched_smoother(m0, p0, xi, f_mat, b, q_cov, w_obs, *,
