@@ -102,7 +102,6 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from rxinfer_tpu.dists.gaussian import pd_inverse
     from rxinfer_tpu.ops.kalman import ChainParams, parallel_smoother
     from rxinfer_tpu.parallel.filtering import FilterState, filtering_scan
 
@@ -166,7 +165,6 @@ def main():
     # B=1024 shows the saturated large-batch regime
     from rxinfer_tpu.ops.pallas_smoother import fused_batched_smoother
 
-    w_sm = jnp.asarray(w_obs)
     xib_t = jnp.moveaxis(xib, 0, 1)  # (T, B, d)
     m0b = jnp.zeros((B, d))
     p0b = jnp.broadcast_to(jnp.asarray(p0), (B, d, d))

@@ -90,6 +90,7 @@ from .inference import (  # noqa: F401
     KeepLast,
     UnfactorizedData,
     infer,
+    infer_batched,
 )
 from .postprocess import (  # noqa: F401
     LogScaleAnnotations,

@@ -309,3 +309,35 @@ def _apply_constraints(graph, constraints):
     # factorization (structured pairwise on chains, mean-field between groups)
     # coincides with the reference defaults used in its model test-suite.
     return graph
+
+
+def infer_batched(model, data: dict, iterations: Optional[int] = None,
+                  free_energy: bool = False, initialization: Optional[dict] = None,
+                  constraints: Any = None, meta: Any = None,
+                  options: Optional[dict] = None):
+    """Batched inference over B independent datasets in one XLA program.
+
+    Every value in ``data`` carries a leading batch axis; the model is traced
+    once on the first element and the compiled program is ``jax.vmap``-ed over
+    the batch (the reference has no equivalent — its engine runs one dataset
+    per reactive graph; this is the BASELINE "batched over 1k datasets"
+    deployment shape).  Returns ``(posteriors, free_energy)`` where every
+    posterior's parameters carry the leading batch axis and free_energy is
+    ``(B,)`` (last iteration) or None.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .engine.compile import CompiledModel
+
+    first = {k: np.asarray(v)[0] for k, v in data.items()}
+    graph = model.trace(first)
+    compiled = CompiledModel(graph, init=initialization, options=options,
+                             constraints=constraints, meta=meta)
+    prog = compiled.make_program(iterations or 1, free_energy, False)
+    data_dev = {k: jnp.asarray(np.asarray(v), jnp.float32)
+                for k, v in data.items()}
+    state, fe, _ = jax.vmap(lambda d: prog(d))(data_dev)
+    posteriors = _extract_posteriors(compiled, state)
+    return posteriors, (fe if free_energy else None)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_filter import LANE, _fold_batch, _unfold_batch, batch_pad
+from .pallas_filter import _fold_batch, _unfold_batch, batch_pad
 
 
 def _lse(terms):

@@ -41,8 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import entrywise as ew
 from .pallas_filter import (
-    LANE,
-    SUBLANE,
     _fold_batch,
     _unfold_batch,
     batch_pad,

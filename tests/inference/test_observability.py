@@ -207,3 +207,33 @@ def test_trace_messages_records_schedule():
     assert all("interface" in r for r in mt.records)
     # recorder detaches outside the block
     assert rx.trace_messages._active is None
+
+
+def test_infer_batched_over_datasets():
+    """infer_batched: one vmapped program over B independent datasets."""
+    import numpy as np
+
+    import rxinfer_tpu as rx
+    from rxinfer_tpu.dists import GammaShapeRate
+
+    rng = np.random.default_rng(0)
+    B, n = 6, 80
+    true_mu = np.linspace(-2.0, 3.0, B).astype(np.float32)
+    y = (true_mu[:, None] + 0.3 * rng.standard_normal((B, n))).astype(np.float32)
+
+    @rx.model
+    def gauss(y):
+        mu = rx.Normal(mean=0.0, var=100.0)
+        tau = rx.Gamma(shape=0.01, rate=0.01)
+        for i in rx.plate(n):
+            y[i] = rx.Normal(mean=mu, precision=tau)
+        return {"mu": mu, "tau": tau}
+
+    posts, fe = rx.infer_batched(
+        gauss, {"y": y}, iterations=15, free_energy=True,
+        initialization={"tau": GammaShapeRate(0.01, 0.01)},
+    )
+    mus = np.asarray(posts["mu"].mean())
+    assert mus.shape == (B,)
+    np.testing.assert_allclose(mus, true_mu, atol=0.15)
+    assert fe.shape[0] == B and np.isfinite(np.asarray(fe)).all()
