@@ -107,7 +107,7 @@ def _fwd_kernel(xi_ref, m0_ref, p0_ref, mf_ref, pf_ref, mlast_ref, plast_ref,
         for i in range(d):
             mf_ref[t, i] = m_new[i]
         for k in range(nsym):
-            pf_ref[t, k] = p_new_entries[k]
+            pf_ref[t, k] = p_new_entries[k].astype(pf_ref.dtype)
         return m_new, p_new_entries
 
     m0 = [mlast_ref[i] for i in range(d)]
@@ -140,7 +140,8 @@ def _bwd_kernel(mf_ref, pf_ref, ms_ref, ps_ref, cross_ref, m0s_ref, p0s_ref,
         m_s_next, p_s_next_entries = carry
         p_s_next = _unpack_sym(p_s_next_entries, d)
         m_f = [mf_ref[t, i] for i in range(d)]
-        p_f = _unpack_sym([pf_ref[t, k] for k in range(nsym)], d)
+        p_f = _unpack_sym([pf_ref[t, k].astype(jnp.float32)
+                           for k in range(nsym)], d)
 
         p_pred = ew.sandwich_sym(f_e, p_f, q_e)
         gain = ew.mat_mul(ew.mat_mul(p_f, ew.mat_t(f_e)),
@@ -166,9 +167,9 @@ def _bwd_kernel(mf_ref, pf_ref, ms_ref, ps_ref, cross_ref, m0s_ref, p0s_ref,
             ms_ref[t, i] = m_out[i]
         for i in range(d):
             for j in range(d):
-                cross_ref[t, i * d + j] = cross[i][j]
+                cross_ref[t, i * d + j] = cross[i][j].astype(cross_ref.dtype)
         for k in range(nsym):
-            ps_ref[t, k] = p_out[k]
+            ps_ref[t, k] = p_out[k].astype(ps_ref.dtype)
         return m_out, p_out
 
     m0 = [m0s_ref[i] for i in range(d)]
@@ -181,9 +182,11 @@ def _bwd_kernel(mf_ref, pf_ref, ms_ref, ps_ref, cross_ref, m0s_ref, p0s_ref,
 
 
 @partial(jax.jit,
-         static_argnames=("chunk", "interpret", "f_t", "b_t", "q_t", "w_t"))
+         static_argnames=("chunk", "interpret", "f_t", "b_t", "q_t", "w_t",
+                          "moment_dtype"))
 def _fused_smoother_impl(m0, p0, xi, *, f_t, b_t, q_t, w_t,
-                         chunk=4, interpret=False):
+                         chunk=4, interpret=False,
+                         moment_dtype=jnp.float32):
     d = m0.shape[0]
     nsym = d * (d + 1) // 2
     s, l = m0.shape[1], m0.shape[2]
@@ -214,7 +217,7 @@ def _fused_smoother_impl(m0, p0, xi, *, f_t, b_t, q_t, w_t,
         out_specs=(stream(d), stream(nsym), full3(d), full3(nsym)),
         out_shape=(
             jax.ShapeDtypeStruct((t_pad, d, s, l), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, nsym, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, nsym, s, l), moment_dtype),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
             jax.ShapeDtypeStruct((nsym, s, l), jnp.float32),
         ),
@@ -231,8 +234,8 @@ def _fused_smoother_impl(m0, p0, xi, *, f_t, b_t, q_t, w_t,
                    full3(d), full3(nsym)),
         out_shape=(
             jax.ShapeDtypeStruct((t_pad, d, s, l), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, nsym, s, l), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, d * d, s, l), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, nsym, s, l), moment_dtype),
+            jax.ShapeDtypeStruct((t_pad, d * d, s, l), moment_dtype),
             jax.ShapeDtypeStruct((d, s, l), jnp.float32),
             jax.ShapeDtypeStruct((nsym, s, l), jnp.float32),
         ),
@@ -243,7 +246,7 @@ def _fused_smoother_impl(m0, p0, xi, *, f_t, b_t, q_t, w_t,
 
 
 def fused_smoother_soa(m0, p0, xi, f_mat, b, q_cov, w_obs, *,
-                       chunk=4, interpret=False):
+                       chunk=4, interpret=False, moment_dtype=jnp.float32):
     """SoA fused smoother.  m0 (d,S,L); p0 (nsym,S,L) upper-tri entries;
     xi (T,d,S,L); f_mat/q_cov/w_obs (d,d) and b (d,) SHARED (concrete numpy
     values — they become kernel constants).  Returns smoothed means (T,d,S,L),
@@ -253,6 +256,7 @@ def fused_smoother_soa(m0, p0, xi, f_mat, b, q_cov, w_obs, *,
         m0, p0, xi,
         f_t=to_t(f_mat), b_t=tuple(float(x) for x in np.asarray(b)),
         q_t=to_t(q_cov), w_t=to_t(w_obs), chunk=chunk, interpret=interpret,
+        moment_dtype=moment_dtype,
     )
 
 
@@ -261,10 +265,16 @@ _sym_unfold = sym_unfold_t
 
 
 def fused_batched_smoother(m0, p0, xi, f_mat, b, q_cov, w_obs, *,
-                           chunk=4, interpret=False):
+                           chunk=4, interpret=False,
+                           moment_dtype=jnp.float32):
     """Batch-axis wrapper: m0 (B,d), p0 (B,d,d), xi (T,B,d); parameters shared
     (d,d)/(d,).  Returns smoothed means (T,B,d), covs (T,B,d,d),
-    cross (T-1,B,d,d)."""
+    cross (T-1,B,d,d).
+
+    ``moment_dtype=jnp.bfloat16`` streams the filtered/smoothed covariance and
+    cross-cov moments through HBM in bf16 (means and the backward arithmetic
+    stay fp32) — ~30% less traffic on this HBM-bound kernel at ~1e-3 relative
+    moment accuracy."""
     b_n, d = m0.shape
     b_pad = batch_pad(b_n)
     m0s = _fold_batch(m0.astype(jnp.float32), b_pad)
@@ -278,7 +288,9 @@ def fused_batched_smoother(m0, p0, xi, f_mat, b, q_cov, w_obs, *,
         p0s = jnp.where(mask, p0s, eye)
     ms, ps, _, _, cross = fused_smoother_soa(
         m0s, p0s, xis, f_mat, b, q_cov, w_obs,
-        chunk=chunk, interpret=interpret)
+        chunk=chunk, interpret=interpret, moment_dtype=moment_dtype)
+    ps = ps.astype(jnp.float32)
+    cross = cross.astype(jnp.float32)
     means = jnp.moveaxis(_unfold_batch(jnp.moveaxis(ms, 0, 1), b_n), -1, 0)
     covs = _sym_unfold(ps, b_n, d)
     crossm = _unfold_batch(jnp.moveaxis(cross, 0, 1), b_n)   # (B, d*d, T-1)

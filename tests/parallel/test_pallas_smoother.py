@@ -65,3 +65,20 @@ def test_fused_smoother_d2():
     )
     np.testing.assert_allclose(ms, ref_m, rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(cross, ref_c, rtol=3e-4, atol=3e-4)
+
+
+def test_fused_smoother_bf16_moments():
+    """bf16 moment streaming: means near-fp32, covs within bf16 tolerance."""
+    m0, p0, xi, f, bvec, q, w = _params(b=4, d=4, t=24, seed=5)
+    ms32, ps32, c32 = fused_batched_smoother(
+        jnp.asarray(m0), jnp.asarray(p0), jnp.asarray(xi),
+        f, bvec, q, w, chunk=8, interpret=True,
+    )
+    ms16, ps16, c16 = fused_batched_smoother(
+        jnp.asarray(m0), jnp.asarray(p0), jnp.asarray(xi),
+        f, bvec, q, w, chunk=8, interpret=True, moment_dtype=jnp.bfloat16,
+    )
+    assert ps16.dtype == jnp.float32  # wrapper returns fp32
+    np.testing.assert_allclose(ms16, ms32, rtol=0, atol=3e-2)
+    np.testing.assert_allclose(ps16, ps32, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(c16, c32, rtol=0, atol=5e-2)
