@@ -555,6 +555,21 @@ class CompiledModel:
             gi = self.infos[name]
             init[name] = _vague_for(gi.family, gi.event_shape)
         self.init = init
+        # reference ReactiveMPInferenceOptions surface
+        # (src/model/plugins/reactivemp_inference.jl:126-180): unknown options
+        # error with the available set.  `limit_stack_depth` is accepted and
+        # ignored — no recursion exists in this engine (SURVEY.md §2.3);
+        # `force_marginal_computation` likewise: every requested marginal is
+        # computed by the static schedule.
+        known = {"parallel_scans", "rulefallback", "check_objective", "warn",
+                 "limit_stack_depth", "force_marginal_computation"}
+        unknown = set(options) - known
+        if unknown:
+            raise ValueError(
+                f"Unknown inference options {sorted(unknown)}; available: "
+                f"{sorted(known)}."
+            )
+        self.warn = options.get("warn", True)
         self.use_parallel = options.get("parallel_scans", True)
         # reference: infer(options=(rulefallback=NodeFunctionRuleFallback(),))
         self.rulefallback = options.get("rulefallback")

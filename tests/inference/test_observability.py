@@ -237,3 +237,25 @@ def test_infer_batched_over_datasets():
     assert mus.shape == (B,)
     np.testing.assert_allclose(mus, true_mu, atol=0.15)
     assert fe.shape[0] == B and np.isfinite(np.asarray(fe)).all()
+
+
+def test_unknown_inference_option_raises():
+    import numpy as np
+
+    import pytest
+
+    import rxinfer_tpu as rx
+
+    @rx.model
+    def m(y):
+        mu = rx.Normal(mean=0.0, var=1.0)
+        y.observe(rx.Normal(mean=mu, var=1.0))
+        return {"mu": mu}
+
+    with pytest.raises(ValueError, match="Unknown inference options"):
+        rx.infer(model=m, data={"y": np.float32(0.2)},
+                 options={"nope": 1})
+    # reference-accepted options that are no-ops here pass through
+    res = rx.infer(model=m, data={"y": np.float32(0.2)},
+                   options={"limit_stack_depth": 100, "warn": False})
+    assert np.isfinite(float(res.posteriors["mu"].mean()))
