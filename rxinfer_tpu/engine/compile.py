@@ -563,6 +563,17 @@ class CompiledModel:
         # computed by the static schedule.
         known = {"parallel_scans", "rulefallback", "check_objective", "warn",
                  "limit_stack_depth", "force_marginal_computation"}
+        # reference-accepted options that are TOP-LEVEL infer kwargs here
+        # (reactivemp_inference.jl:129-137): redirect with a pointed error
+        # rather than silently accepting or claiming they're unknown.
+        redirected = {"annotations", "callbacks", "stream_postprocessors"}
+        misplaced = set(options) & redirected
+        if misplaced:
+            raise ValueError(
+                f"Options {sorted(misplaced)} are top-level infer() keyword "
+                "arguments in this framework (annotations=, callbacks=, "
+                "postprocess=); pass them there instead of inside options=."
+            )
         unknown = set(options) - known
         if unknown:
             raise ValueError(

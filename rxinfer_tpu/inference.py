@@ -83,11 +83,46 @@ def _shape_sig(data: dict) -> tuple:
     return tuple(sorted((k, tuple(np.shape(v))) for k, v in data.items()))
 
 
+def _value_equal(a, b) -> bool:
+    """Structural VALUE equality for cache keys: compiled programs close over
+    constraint/meta/init values, so equal-but-fresh objects must HIT the cache
+    (identity semantics would recompile every user-loop call) while any value
+    change must MISS it."""
+    import dataclasses
+
+    import numpy as np
+
+    if a is b:
+        return True
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, dict):
+        return set(a) == set(b) and all(_value_equal(a[k], b[k]) for k in a)
+    if isinstance(a, (list, tuple)):
+        return len(a) == len(b) and all(
+            _value_equal(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(a, (np.ndarray, jax.Array)):
+        return np.array_equal(np.asarray(a), np.asarray(b))
+    if dataclasses.is_dataclass(a) and not isinstance(a, type):
+        return all(
+            _value_equal(getattr(a, f.name), getattr(b, f.name))
+            for f in dataclasses.fields(a)
+        )
+    if callable(a) and not hasattr(a, "__dict__"):
+        return a is b
+    if hasattr(a, "__dict__"):
+        return _value_equal(vars(a), vars(b))
+    try:
+        return bool(a == b)
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _same_init(a: dict, b: dict) -> bool:
     """Initialization dicts equal as pytrees (compiled programs close over the
     init values, so a value change must recompile)."""
     import numpy as np
-    import jax
 
     from .graph.constraints import InitMessage
 
@@ -193,6 +228,24 @@ def infer(
     registry = CallbackRegistry(callbacks)
     bench_cb = BenchmarkCallbacks().attach(registry) if benchmark else None
     trace_cb = TraceCallbacks().attach(registry) if trace else None
+    if showprogress:
+        # reference: infer(showprogress=true) ProgressMeter over iterations
+        # (src/inference/batch.jl:391-430); host-loop mode with a stderr bar.
+        import sys
+
+        total_its = iterations or 1
+
+        def _progress(event):
+            i = event.payload.get("iteration", 0) + 1
+            width = 30
+            done = int(width * i / total_its)
+            sys.stderr.write(
+                f"\rinference: [{'=' * done}{' ' * (width - done)}] "
+                f"{i}/{total_its}" + ("\n" if i == total_its else "")
+            )
+            sys.stderr.flush()
+
+        registry.add("after_iteration", _progress)
 
     init_dists = dict(initialization or {})
     # Key on the function OBJECT (hashable; holding it prevents id() reuse of
@@ -203,11 +256,12 @@ def infer(
     cached = _COMPILE_CACHE.get(sig)
     compiled = None
     if cached is not None:
-        c_compiled, c_cons, c_meta, c_init = cached
+        c_compiled, c_cons, c_meta, c_init, c_opts = cached
         if (
-            c_cons is constraints
-            and c_meta is meta
+            _value_equal(c_cons, constraints)
+            and _value_equal(c_meta, meta)
             and _same_init(c_init, init_dists)
+            and _value_equal(c_opts, options)
         ):
             compiled = c_compiled
     if compiled is None:
@@ -215,7 +269,7 @@ def infer(
         graph = model.trace(data)
         compiled = CompiledModel(graph, init=init_dists, options=options,
                                  constraints=constraints, meta=meta)
-        _COMPILE_CACHE[sig] = (compiled, constraints, meta, init_dists)
+        _COMPILE_CACHE[sig] = (compiled, constraints, meta, init_dists, options)
         registry.invoke("after_model_creation")
 
     keep_each = isinstance(returnvars, KeepEach)
@@ -299,16 +353,6 @@ def _extract_posteriors(compiled: CompiledModel, state: dict) -> dict:
             continue
         out[var.name] = state[var.name]
     return out
-
-
-def _apply_constraints(graph, constraints):
-    """Factorization constraints: the engine's default already matches the
-    reference's common cases (structured chains + mean-field across groups);
-    explicit constraint objects are recorded and validated here."""
-    # Round 1: MeanField()/constraint specs are accepted; the engine's default
-    # factorization (structured pairwise on chains, mean-field between groups)
-    # coincides with the reference defaults used in its model test-suite.
-    return graph
 
 
 def infer_batched(model, data: dict, iterations: Optional[int] = None,

@@ -60,9 +60,13 @@ class autoupdates:
         out = {}
         for k, fn in self.mapping.items():
             try:
+                # Count only REQUIRED positional params: closure-capture
+                # defaults (``lambda q, k=k: ...``) must not be mistaken for a
+                # μ-messages parameter.
                 nargs = len([
                     p for p in inspect.signature(fn).parameters.values()
                     if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                    and p.default is p.empty
                 ])
             except (TypeError, ValueError):
                 nargs = 1

@@ -852,10 +852,6 @@ class NormalMixtureNode:
         return total
 
 
-def __getattr_mixture(cls):
-    pass
-
-
 # dynamic interface rules for NormalMixture: message_to_mean3 etc.
 def _normal_mixture_getattr(name):
     if name.startswith("message_to_mean"):

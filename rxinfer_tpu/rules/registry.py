@@ -44,23 +44,31 @@ class trace_messages:
                      #   'mean_field': False}, ...]
     """
 
-    _active = None
+    # contextvars: concurrent inferences (uselock producers) and nested
+    # trace_messages contexts each see their own recorder; __exit__ restores
+    # the enclosing one instead of clobbering it.
+    import contextvars as _contextvars
+
+    _active = _contextvars.ContextVar("trace_messages_active", default=None)
 
     def __init__(self):
         self.records: list[dict] = []
+        self._token = None
 
     def __enter__(self):
-        trace_messages._active = self
+        self._token = trace_messages._active.set(self)
         return self
 
     def __exit__(self, *exc):
-        trace_messages._active = None
+        trace_messages._active.reset(self._token)
+        self._token = None
         return False
 
     @staticmethod
     def record(**entry):
-        if trace_messages._active is not None:
-            trace_messages._active.records.append(entry)
+        rec = trace_messages._active.get()
+        if rec is not None:
+            rec.records.append(entry)
 
 
 class RuleNotFoundError(KeyError):

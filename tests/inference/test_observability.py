@@ -205,8 +205,8 @@ def test_trace_messages_records_schedule():
     nodes = {r["node"] for r in mt.records}
     assert "Bernoulli" in nodes or "Beta" in nodes, nodes
     assert all("interface" in r for r in mt.records)
-    # recorder detaches outside the block
-    assert rx.trace_messages._active is None
+    # recorder detaches outside the block (contextvar restored)
+    assert rx.trace_messages._active.get() is None
 
 
 def test_infer_batched_over_datasets():
