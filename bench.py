@@ -186,6 +186,27 @@ def main():
     t_fsm2 = _median_time(fsm2, (m0b2,))
     fused_b1024_updates_per_sec = 3 * T * B2 / t_fsm2
 
+    # --- PRIMARY: the same B=1024 workload THROUGH THE ENGINE ----------------
+    # rx.batched_program / rx.infer_batched lower the model's chain block to
+    # the fused kernel (engine/batched.py): evidence xi assembled by the
+    # model's own message rules (vmapped einsums over y), chain solved by the
+    # Pallas smoother, posteriors extracted from engine state.  This is the
+    # number a user gets from the single entry point.
+    import rxinfer_tpu as rx
+    from rxinfer_tpu.models import zoo
+
+    gen_lgssm = zoo.lgssm(f_mat, q, h, r, m0, p0)
+    y2 = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(1), (B2, T, d)))()
+    jax.block_until_ready(y2)
+    _, eng_prog = rx.batched_program(
+        gen_lgssm, {"y": np.zeros((B2, T, d), np.float32)},
+        iterations=1, free_energy=False,
+    )
+    eng = _scalarize(lambda ys: eng_prog({"y": ys})[0])
+    t_eng = _median_time(eng, (y2,))
+    engine_b1024_updates_per_sec = 3 * T * B2 / t_eng
+
     # streaming filtering over 10k parallel chains (BASELINE config 5)
     BF, TF = 10_000, 200
     ys = jnp.asarray(rng.standard_normal((TF, BF, d)).astype(np.float32))
@@ -224,8 +245,6 @@ def main():
 
     # --- BASELINE config 4: GMM clustering batched over 1k datasets ----------
     from rxinfer_tpu.dists import Dirichlet, GammaShapeRate, NormalMeanVariance
-    from rxinfer_tpu.engine.compile import CompiledModel
-    from rxinfer_tpu.models import zoo
 
     BG, NG, IT_G = 1000, 200, 20
     comp_g = rng.uniform(size=(BG, NG)) < 0.4
@@ -237,12 +256,12 @@ def main():
         "w0": GammaShapeRate(1.0, 1.0), "w1": GammaShapeRate(1.0, 1.0),
         "pi": Dirichlet(np.ones(2, dtype=np.float32)),
     }
-    gmm_graph = zoo.gmm(2, [-2.0, 2.0]).trace({"y": yg[0]})
-    gmm_prog = CompiledModel(gmm_graph, init=init_g).make_program(
-        iterations=IT_G, free_energy=False, keep_each=False
+    _, gmm_prog = rx.batched_program(
+        zoo.gmm(2, [-2.0, 2.0]), {"y": yg}, iterations=IT_G,
+        free_energy=False, initialization=init_g,
     )
     yg_dev = jnp.asarray(yg)
-    gmm_batched = _scalarize(jax.vmap(lambda y: gmm_prog({"y": y})[0]))
+    gmm_batched = _scalarize(lambda y: gmm_prog({"y": y})[0])
     t_gmm = _median_time(gmm_batched, (yg_dev,))
     # marginal updates per sweep: n latent assignments + 5 parameters
     gmm_updates_per_sec = BG * IT_G * (NG + 5) / t_gmm
@@ -264,12 +283,14 @@ def main():
         "A": DirichletCollection(np.full((3, 3), 1.0, np.float32)),
         "B": DirichletCollection(np.float32(np.eye(3) * 5.0 + 1.0)),
     }
-    hmm_graph = zoo.hmm(3, 3).trace({"y": yh1[0]})
-    hmm_prog = CompiledModel(hmm_graph, init=init_h).make_program(
-        iterations=IT_H, free_energy=False, keep_each=False
+    # through the engine: the discrete chain block dispatches into the fused
+    # forward-backward kernel with per-step xi streaming (engine/batched.py)
+    _, hmm_prog = rx.batched_program(
+        zoo.hmm(3, 3), {"y": yh1}, iterations=IT_H, free_energy=False,
+        initialization=init_h,
     )
     yh_dev = jnp.asarray(yh1)
-    hmm_batched = _scalarize(jax.vmap(lambda y: hmm_prog({"y": y})[0]))
+    hmm_batched = _scalarize(lambda y: hmm_prog({"y": y})[0])
     t_hmm = _median_time(hmm_batched, (yh_dev,))
     hmm_updates_per_sec = BH * IT_H * (TH + 2) / t_hmm
 
@@ -304,52 +325,79 @@ def main():
 
     baseline_updates_per_sec = 3 * 10_000 / 0.901667  # reference d=2 T=10k CPU
 
-    # --- accuracy anchor: the fused kernel vs a float64 numpy RTS oracle ------
-    # (matched-accuracy requirement of the north star; the fused sequential
-    # kernel is tighter than the fp32 parallel-prefix XLA path)
+    # --- accuracy anchor: the ENGINE path vs a float64 numpy oracle ----------
+    # (matched-accuracy requirement of the north star, at the user surface:
+    # smoothed means, smoothed covariances, and the Bethe FE — which equals
+    # −log Z exactly on this tree model)
     TA, BA = 256, 8
-    xia = rng.standard_normal((TA, BA, d)).astype(np.float32)
-    m0a = np.zeros((BA, d), np.float32)
-    p0a = np.broadcast_to(p0, (BA, d, d))
-    fm_a, _, _ = fused_batched_smoother(
-        jnp.asarray(m0a), jnp.asarray(p0a), jnp.asarray(xia),
-        f_mat, np.zeros(d, np.float32), q, w_obs, chunk=8)
+    ya = rng.standard_normal((BA, TA, d)).astype(np.float32)
+    posts_a, fe_a = rx.infer_batched(
+        gen_lgssm, {"y": ya}, iterations=1, free_energy=True)
+    fm_a = np.asarray(posts_a["x"].mean())          # (BA, TA, d)
+    fv_a = np.asarray(posts_a["x"].cov())           # (BA, TA, d, d)
 
-    def _np_rts_means(m0i, p0i, xii):
-        f64, q64, w64 = (f_mat.astype(np.float64), np.float64(q),
-                         w_obs.astype(np.float64))
+    def _np_rts(m0i, p0i, yi):
+        """float64 RTS smoother + logZ by prediction-error decomposition."""
+        f64, q64 = f_mat.astype(np.float64), np.float64(q)
+        h64, r64 = h.astype(np.float64), r.astype(np.float64)
         mf, pf = [], []
         m, p = m0i.astype(np.float64), p0i.astype(np.float64)
+        logz = 0.0
         for t in range(TA):
             if t > 0:
                 m = f64 @ m
                 p = f64 @ p @ f64.T + q64
-            lam = np.linalg.inv(p)
-            p = np.linalg.inv(lam + w64)
-            m = p @ (lam @ m + xii[t].astype(np.float64))
+            s_t = h64 @ p @ h64.T + r64
+            innov = yi[t].astype(np.float64) - h64 @ m
+            logz += -0.5 * (
+                d * np.log(2 * np.pi) + np.linalg.slogdet(s_t)[1]
+                + innov @ np.linalg.solve(s_t, innov)
+            )
+            k = p @ h64.T @ np.linalg.inv(s_t)
+            m = m + k @ innov
+            p = p - k @ h64 @ p
             mf.append(m.copy())
             pf.append(p.copy())
-        out = [None] * TA
-        out[-1] = mf[-1]
+        ms = [None] * TA
+        ps = [None] * TA
+        ms[-1], ps[-1] = mf[-1], pf[-1]
         for t in range(TA - 2, -1, -1):
             ppred = f64 @ pf[t] @ f64.T + q64
             g = pf[t] @ f64.T @ np.linalg.inv(ppred)
-            out[t] = mf[t] + g @ (out[t + 1] - f64 @ mf[t])
-        return np.stack(out)
+            ms[t] = mf[t] + g @ (ms[t + 1] - f64 @ mf[t])
+            ps[t] = pf[t] + g @ (ps[t + 1] - ppred) @ g.T
+        return np.stack(ms), np.stack(ps), logz
 
-    oracle = np.stack([_np_rts_means(m0a[i], p0a[i], xia[:, i])
-                       for i in range(BA)], axis=1)
-    accuracy_err = float(np.abs(np.asarray(fm_a) - oracle).max())
+    m0a = np.zeros((BA, d), np.float64)
+    p0a = np.broadcast_to(p0.astype(np.float64), (BA, d, d))
+    oracle = [_np_rts(m0a[i], p0a[i], ya[i]) for i in range(BA)]
+    accuracy_err = float(max(
+        np.abs(fm_a[i] - oracle[i][0]).max() for i in range(BA)))
+    accuracy_cov_err = float(max(
+        np.abs(fv_a[i] - oracle[i][1]).max() for i in range(BA)))
+    # engine FE == −logZ on trees: relative error of the evidence estimate
+    accuracy_fe_rel = float(max(
+        abs(-float(fe_a[-1, i]) - oracle[i][2]) / abs(oracle[i][2])
+        for i in range(BA)))
 
     print(json.dumps({
         "metric": "LGSSM d=4 T=10k smoothing message updates/sec/chip "
-                  "(1024 parallel chains, fused Pallas RTS)",
-        "value": round(fused_b1024_updates_per_sec, 1),
+                  "(1024 parallel chains, fused Pallas RTS via "
+                  "rx.batched_program — the user-facing engine path)",
+        "value": round(engine_b1024_updates_per_sec, 1),
         "unit": "updates/s",
         "vs_baseline": round(
-            fused_b1024_updates_per_sec / baseline_updates_per_sec, 2
+            engine_b1024_updates_per_sec / baseline_updates_per_sec, 2
+        ),
+        "ops_level_b1024_updates_per_sec": round(
+            fused_b1024_updates_per_sec, 1
+        ),
+        "engine_vs_ops_ratio": round(
+            engine_b1024_updates_per_sec / fused_b1024_updates_per_sec, 3
         ),
         "accuracy_max_abs_err_vs_float64_oracle": accuracy_err,
+        "accuracy_cov_max_abs_err_vs_float64_oracle": accuracy_cov_err,
+        "accuracy_fe_rel_err_vs_float64_logZ": accuracy_fe_rel,
         "single_chain_updates_per_sec": round(updates_per_sec, 1),
         "single_chain_vs_baseline": round(
             updates_per_sec / baseline_updates_per_sec, 2
@@ -369,7 +417,7 @@ def main():
             fused_filter_updates_per_sec, 1
         ),
         "gmm_1k_datasets_vmp_updates_per_sec": round(gmm_updates_per_sec, 1),
-        "hmm_256x200_structured_vmp_updates_per_sec": round(
+        "hmm_256x200_engine_fused_vmp_updates_per_sec": round(
             hmm_updates_per_sec, 1
         ),
         "hmm_fused_pallas_vmp_updates_per_sec": round(

@@ -89,6 +89,7 @@ from .inference import (  # noqa: F401
     KeepEach,
     KeepLast,
     UnfactorizedData,
+    batched_program,
     infer,
     infer_batched,
 )

@@ -616,7 +616,10 @@ class DiscreteChainBlock:
         self.evidence = evidence
         self.use_parallel = use_parallel
 
-    def update(self, state: dict, data: dict, chain_cross: dict):
+    def _inputs(self, state: dict, data: dict, chain_cross: dict):
+        """Assemble (log_prior (K,), E[log A] (K,K), log_evidence (T,K)) —
+        shared by the XLA solve and the fused-Pallas batched lowering
+        (engine/batched.py vmaps this and hands the batch to one kernel)."""
         length = self.var.length
         q = build_q(self.prior, state, data, exclude="out")
         prior_msg = get_message_rule(self.prior.fform, "out")(q)
@@ -628,7 +631,6 @@ class DiscreteChainBlock:
             elog_a = jnp.log(jnp.clip(mq.point, 1e-37))
         else:
             elog_a = mq.mean_log()
-        log_trans = jnp.broadcast_to(elog_a, (length - 1, self.k, self.k))
 
         log_ev = jnp.zeros((length, self.k), jnp.float32)
         for ef, iface in self.evidence:
@@ -647,6 +649,12 @@ class DiscreteChainBlock:
                 log_ev = log_ev.at[cov[0]:cov[1]].add(logits)
             elif isinstance(cov, int):
                 log_ev = log_ev.at[cov].add(logits)
+        return log_prior, elog_a, log_ev
+
+    def update(self, state: dict, data: dict, chain_cross: dict):
+        length = self.var.length
+        log_prior, elog_a, log_ev = self._inputs(state, data, chain_cross)
+        log_trans = jnp.broadcast_to(elog_a, (length - 1, self.k, self.k))
         solver = (
             parallel_forward_backward if (self.use_parallel and length >= 48)
             else forward_backward

@@ -562,7 +562,8 @@ class CompiledModel:
         # `force_marginal_computation` likewise: every requested marginal is
         # computed by the static schedule.
         known = {"parallel_scans", "rulefallback", "check_objective", "warn",
-                 "limit_stack_depth", "force_marginal_computation"}
+                 "limit_stack_depth", "force_marginal_computation",
+                 "fused_kernels"}
         # reference-accepted options that are TOP-LEVEL infer kwargs here
         # (reactivemp_inference.jl:129-137): redirect with a pointed error
         # rather than silently accepting or claiming they're unknown.
@@ -582,6 +583,9 @@ class CompiledModel:
             )
         self.warn = options.get("warn", True)
         self.use_parallel = options.get("parallel_scans", True)
+        # batched programs lower eligible chain blocks to the fused Pallas
+        # kernel tier (engine/batched.py); False forces the XLA scan paths
+        self.use_fused = options.get("fused_kernels", True)
         # reference: infer(options=(rulefallback=NodeFunctionRuleFallback(),))
         self.rulefallback = options.get("rulefallback")
         # reference: ObjectiveDiagnosticCheckNaNs/Infs (src/score/diagnostics.jl)
@@ -839,6 +843,19 @@ class CompiledModel:
             rule = get_message_rule(f.fform, "out")
         q = build_q(f, state, data, exclude="out", chain_cross=None)
         return rule(q)
+
+    def make_batched_program(self, data0: dict, iterations: int,
+                             free_energy: bool, keep_each: bool = False,
+                             all_finite: bool = True):
+        """Batch-native program over B independent datasets: eligible chain
+        blocks dispatch into the fused Pallas kernels, the rest is vmapped
+        (engine/batched.py — the kernel-tier path of infer_batched)."""
+        from .batched import make_batched_program
+
+        return make_batched_program(
+            self, data0, iterations, free_energy,
+            keep_each=keep_each, all_finite=all_finite,
+        )
 
     def make_sweep_fn(self, free_energy: bool):
         """One jitted VMP sweep as a pure carry function (host-loop mode for

@@ -14,6 +14,7 @@ import time
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 
 from .engine.compile import CompiledModel
 from .graph.dsl import ModelGenerator
@@ -181,10 +182,34 @@ def infer(
             keephistory=keephistory,
             options=options,
             uselock=uselock,
+            constraints=constraints,
+            meta=meta,
+            callbacks=callbacks,
+            returnvars=returnvars,
+            historyvars=historyvars,
+            annotations=annotations,
+            postprocess=postprocess,
+            benchmark=benchmark,
+            trace=trace,
+            catch_exception=catch_exception,
+            session=session,
         )
 
     if data is None:
         raise ValueError("Batch inference requires data= (or use datastream=).")
+    warn_opt = True if options is None else options.get("warn", True)
+    if (keephistory or historyvars is not None) and warn_opt:
+        # reference: historyvars/keephistory are "exclusive for streamline
+        # inference" (src/inference/inference.jl:549-550) — the batch branch
+        # drops them; surface that instead of silently ignoring.
+        import warnings
+
+        warnings.warn(
+            "keephistory/historyvars are streaming-only (reference parity); "
+            "ignored in batch mode. Use returnvars=KeepEach() for "
+            "per-iteration posteriors.",
+            stacklevel=2,
+        )
     if catch_exception:
         # reference: batch catch_exception=true returns a partial
         # InferenceResult with (error, traceback) (src/inference/batch.jl:440-476)
@@ -272,7 +297,15 @@ def infer(
         _COMPILE_CACHE[sig] = (compiled, constraints, meta, init_dists, options)
         registry.invoke("after_model_creation")
 
-    keep_each = isinstance(returnvars, KeepEach)
+    # returnvars: None (KeepLast all), a global KeepEach()/KeepLast(), or a
+    # per-variable dict {"x": KeepLast(), "tau": KeepEach()} (reference
+    # src/inference/batch.jl:259-276 — a dict also SELECTS which posteriors
+    # are returned; unknown names warn and are ignored).
+    rv_dict = returnvars if isinstance(returnvars, dict) else None
+    keep_each = isinstance(returnvars, KeepEach) or (
+        rv_dict is not None
+        and any(isinstance(v, KeepEach) for v in rv_dict.values())
+    )
     # Log-scale annotations need the evidence estimate even when the user did
     # not ask for the FE trace (reference: annotations flow through rules; here
     # the per-posterior log-scale IS −FE — exact log Z on trees).
@@ -304,6 +337,22 @@ def infer(
         posteriors = {
             name: [_extract_posteriors(compiled, h)[name] for h in history]
             for name in posteriors
+        }
+    if rv_dict is not None:
+        unknown = set(rv_dict) - set(posteriors)
+        if unknown and warn_opt:
+            import warnings
+
+            warnings.warn(
+                f"returnvars names unknown variables {sorted(unknown)}; "
+                "ignored (reference parity: src/inference/batch.jl:276).",
+                stacklevel=2,
+            )
+        posteriors = {
+            name: (p[-1] if isinstance(rv_dict[name], KeepLast)
+                   and isinstance(p, list) else p)
+            for name, p in posteriors.items()
+            if name in rv_dict
         }
 
     from .postprocess import Marginal, default_postprocess, inference_postprocess
@@ -355,33 +404,102 @@ def _extract_posteriors(compiled: CompiledModel, state: dict) -> dict:
     return out
 
 
-def infer_batched(model, data: dict, iterations: Optional[int] = None,
-                  free_energy: bool = False, initialization: Optional[dict] = None,
-                  constraints: Any = None, meta: Any = None,
-                  options: Optional[dict] = None):
-    """Batched inference over B independent datasets in one XLA program.
+_BATCH_CACHE: dict = {}
 
-    Every value in ``data`` carries a leading batch axis; the model is traced
-    once on the first element and the compiled program is ``jax.vmap``-ed over
-    the batch (the reference has no equivalent — its engine runs one dataset
-    per reactive graph; this is the BASELINE "batched over 1k datasets"
-    deployment shape).  Returns ``(posteriors, free_energy)`` where every
-    posterior's parameters carry the leading batch axis and free_energy is
-    ``(B,)`` (last iteration) or None.
-    """
-    import jax
-    import jax.numpy as jnp
+
+def batched_program(model, data: dict, iterations: Optional[int] = None,
+                    free_energy: bool = False,
+                    initialization: Optional[dict] = None,
+                    constraints: Any = None, meta: Any = None,
+                    options: Optional[dict] = None, keep_each: bool = False):
+    """Compile (and cache) the batch-native inference program for ``data``
+    (every leaf carrying a leading batch axis).  Returns
+    ``(compiled_model, jitted_program)`` where the program maps the batched
+    data dict to ``(state, free_energy (iters, B), history)``.
+
+    This is the exact executable ``infer_batched`` runs — exposed so
+    deployment loops (and bench.py) can drive the jitted function directly.
+    Eligible chain blocks dispatch into the fused Pallas kernels
+    (engine/batched.py)."""
     import numpy as np
 
     from .engine.compile import CompiledModel
 
+    iterations = iterations or 1
+    init_dists = dict(initialization or {})
     first = {k: np.asarray(v)[0] for k, v in data.items()}
+    all_finite = all(
+        np.all(np.isfinite(np.asarray(v)))
+        for v in data.values()
+        if np.issubdtype(np.asarray(v).dtype, np.floating)
+    )
+    sig = (model.fn, tuple(sorted(model.bound)), _shape_sig(data),
+           tuple(sorted(init_dists)), iterations, free_energy, keep_each,
+           all_finite)
+    cached = _BATCH_CACHE.get(sig)
+    if cached is not None:
+        compiled, prog, c_cons, c_meta, c_init, c_opts = cached
+        if (
+            _value_equal(c_cons, constraints)
+            and _value_equal(c_meta, meta)
+            and _same_init(c_init, init_dists)
+            and _value_equal(c_opts, options)
+        ):
+            return compiled, prog
     graph = model.trace(first)
-    compiled = CompiledModel(graph, init=initialization, options=options,
+    compiled = CompiledModel(graph, init=init_dists, options=options,
                              constraints=constraints, meta=meta)
-    prog = compiled.make_program(iterations or 1, free_energy, False)
+    prog = jax.jit(compiled.make_batched_program(
+        first, iterations, free_energy, keep_each=keep_each,
+        all_finite=all_finite,
+    ))
+    _BATCH_CACHE[sig] = (compiled, prog, constraints, meta, init_dists, options)
+    return compiled, prog
+
+
+def infer_batched(model, data: dict, iterations: Optional[int] = None,
+                  free_energy: bool = False, initialization: Optional[dict] = None,
+                  constraints: Any = None, meta: Any = None,
+                  options: Optional[dict] = None, returnvars: Any = None,
+                  predictvars: Any = None):
+    """Batched inference over B independent datasets in one XLA program.
+
+    Every value in ``data`` carries a leading batch axis; the model is traced
+    once on the first element and lowered BATCH-NATIVELY: Gaussian/discrete
+    chain blocks with kernel-compatible structure dispatch into the fused
+    Pallas smoother / forward-backward kernels (ops/pallas_smoother.py,
+    ops/pallas_discrete.py), everything else is vmapped.  The reference has no
+    equivalent — its engine runs one dataset per reactive graph; this is the
+    BASELINE "batched over 1k datasets" deployment shape at kernel-tier
+    throughput.
+
+    Returns ``(posteriors, free_energy)``: every posterior's parameters carry
+    the leading batch axis (lists per iteration under
+    ``returnvars=KeepEach()``) and free_energy is the per-iteration trace of
+    shape ``(iterations, B)`` (or None)."""
+    import numpy as np
+
+    keep_each = isinstance(returnvars, KeepEach)
+    compiled, prog = batched_program(
+        model, data, iterations=iterations, free_energy=free_energy,
+        initialization=initialization, constraints=constraints, meta=meta,
+        options=options, keep_each=keep_each,
+    )
     data_dev = {k: jnp.asarray(np.asarray(v), jnp.float32)
                 for k, v in data.items()}
-    state, fe, _ = jax.vmap(lambda d: prog(d))(data_dev)
+    state, fe, history = prog(data_dev)
     posteriors = _extract_posteriors(compiled, state)
+    if keep_each:
+        posteriors = {
+            name: [_extract_posteriors(compiled, h)[name] for h in history]
+            for name in posteriors
+        }
+    predictions = {}
+    if predictvars:
+        for name in predictvars:
+            predictions[name] = jax.vmap(
+                lambda st, d, _n=name: compiled.predict(st, d, _n)
+            )(state, data_dev)
+    if predictvars:
+        return posteriors, (fe if free_energy else None), predictions
     return posteriors, (fe if free_energy else None)

@@ -9,10 +9,21 @@ src/inference/autoupdates.jl:614-659), so an observation step is
 Python event loop (true streaming, `on_next`) or by ``lax.scan`` over a whole
 observation array (`run_offline` — full device throughput with zero host
 round-trips per step).
+
+Kwarg surface parity (reference src/inference/streaming.jl:536-845):
+constraints/meta flow into the compiled model; returnvars selects the exposed
+posteriors; historyvars/keephistory control the per-tick history buffers;
+callbacks/events, annotations/postprocess, benchmark/trace, and session are
+all honored.  When per-iteration event callbacks are registered the tick runs
+in host-loop mode — one compiled sweep per iteration — so before/after
+_iteration fire per VMP iteration and ``stop_iteration`` terminates the loop
+early (reference streaming.jl:349-407); otherwise all iterations run inside
+one compiled program and the pairs fire once per tick.
 """
 
 from __future__ import annotations
 
+import time
 from typing import Any, Callable, Iterable, Optional
 
 import jax
@@ -20,6 +31,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .engine.compile import CompiledModel
+
+# events whose registration forces host-loop (per-iteration) tick execution
+_PER_ITERATION_EVENTS = ("before_iteration", "after_iteration")
+
+ENGINE_EVENTS = (
+    "on_new_data", "before_iteration", "before_auto_update",
+    "after_auto_update", "before_data_update", "on_marginal_update",
+    "after_data_update", "after_iteration", "before_history_save",
+    "after_history_save", "on_tick", "on_error", "on_complete",
+    "before_autostart", "after_autostart", "before_start", "after_start",
+    "before_stop", "after_stop", "before_model_creation",
+    "after_model_creation",
+)
 
 
 class autoupdates:
@@ -51,10 +75,10 @@ class autoupdates:
             )
 
     def __call__(self, posteriors: dict, messages=None) -> dict:
-        """Apply the mapping.  A mapping function declaring TWO positional
-        parameters receives ``(q, mu)`` where ``mu[name]`` is the variable's
-        recent outbound message (reference μ(x) autoupdate arguments,
-        src/inference/autoupdates.jl:588-610)."""
+        """Apply the mapping.  A mapping function declaring TWO required
+        positional parameters receives ``(q, mu)`` where ``mu[name]`` is the
+        variable's recent outbound message (reference μ(x) autoupdate
+        arguments, src/inference/autoupdates.jl:588-610)."""
         import inspect
 
         out = {}
@@ -93,6 +117,9 @@ class RxInferenceEvent:
     def __init__(self, name: str, payload=None):
         self.name = name
         self.payload = payload
+        self.timestamp_ns = time.perf_counter_ns()
+        self.span_id = f"{id(self) & 0xffffffff:08x}"
+        self.stop_iteration = False  # settable by after_iteration handlers
 
     def __repr__(self):
         return f"RxInferenceEvent({self.name})"
@@ -108,7 +135,10 @@ class RxInferenceEngine:
                  keephistory: int = 0, options: Optional[dict] = None,
                  event_callbacks: Optional[dict] = None,
                  initialization: Optional[dict] = None,
-                 uselock=False):
+                 constraints: Any = None, meta: Any = None,
+                 returnvars: Any = None, historyvars: Any = None,
+                 annotations: Any = None, postprocess: Any = None,
+                 uselock=False, warn: bool = True):
         self.model = model
         self.autoupdates = autoupdates_spec
         self.args = dict(autoupdates_spec.initial)
@@ -117,12 +147,50 @@ class RxInferenceEngine:
         self.keephistory = keephistory
         self.options = options
         self.initialization = initialization
+        self.constraints = constraints
+        self.meta = meta
+        self.returnvars = returnvars
+        self.annotations = annotations
+        self.postprocess = postprocess
         self.history: list[dict] = []
         self.fe_history: list = []
         self.posteriors: Optional[dict] = None
         self._compiled: Optional[CompiledModel] = None
+        self._jitted: dict = {}
         self.events: list[RxInferenceEvent] = []
-        self._callbacks = event_callbacks or {}
+        # name -> list of handlers; plus recorders receiving EVERY event
+        self._callbacks: dict[str, list] = {}
+        for name, cb in (event_callbacks or {}).items():
+            if name not in ENGINE_EVENTS:
+                raise ValueError(
+                    f"Unknown streaming event '{name}'; available: "
+                    f"{ENGINE_EVENTS}"
+                )
+            self._callbacks.setdefault(name, []).extend(
+                cb if isinstance(cb, (list, tuple)) else [cb]
+            )
+        self._recorders: list = []
+        # historyvars semantics (reference streaming.jl:737-763): requires
+        # keephistory > 0; global KeepEach/KeepLast applies to all returned
+        # vars; dict is per-variable; default (with keephistory) = KeepLast.
+        from .inference import KeepEach, KeepLast
+
+        if historyvars is not None and not keephistory:
+            if warn:
+                import warnings
+
+                warnings.warn(
+                    "`historyvars` requires `keephistory > 0`; ignoring "
+                    "(reference parity: src/inference/streaming.jl:761-763).",
+                    stacklevel=3,
+                )
+            historyvars = None
+        self._historyvars = historyvars
+        self._need_keep_each = bool(keephistory) and (
+            isinstance(historyvars, KeepEach)
+            or (isinstance(historyvars, dict)
+                and any(isinstance(v, KeepEach) for v in historyvars.values()))
+        )
         self.is_running = False
         self.is_errored = False
         # opt-in tick serialization against concurrent producers (reference
@@ -133,20 +201,55 @@ class RxInferenceEngine:
         self._lock = (threading.Lock() if uselock is True else uselock) \
             if uselock else None
 
-    def _fire(self, name: str, payload=None):
+    def _fire(self, name: str, payload=None) -> RxInferenceEvent:
         ev = RxInferenceEvent(name, payload)
         self.events.append(ev)
-        cb = self._callbacks.get(name)
-        if cb:
+        for rec in self._recorders:
+            rec(ev)
+        for cb in self._callbacks.get(name, ()):
             cb(ev)
+        return ev
+
+    @property
+    def _host_loop(self) -> bool:
+        return any(self._callbacks.get(n) for n in _PER_ITERATION_EVENTS)
 
     def _ensure_compiled(self, obs: dict):
         if self._compiled is None:
+            self._fire("before_model_creation")
             data = {**obs, **self.args}
             graph = self.model.trace(data)
             self._compiled = CompiledModel(
-                graph, init=self.initialization, options=self.options
+                graph, init=self.initialization, options=self.options,
+                constraints=self.constraints, meta=self.meta,
             )
+            self._fire("after_model_creation")
+
+    def _extract(self, state: dict) -> dict:
+        from .inference import _extract_posteriors
+
+        out = _extract_posteriors(self._compiled, state)
+        if self.returnvars is not None:
+            names = (list(self.returnvars) if not isinstance(self.returnvars, str)
+                     else [self.returnvars])
+            out = {k: v for k, v in out.items() if k in names}
+        return out
+
+    def _postprocess(self, posteriors: dict, fe) -> dict:
+        from .postprocess import (
+            Marginal,
+            default_postprocess,
+            inference_postprocess,
+        )
+
+        strategy = (self.postprocess if self.postprocess is not None
+                    else default_postprocess(self.annotations))
+        if self.annotations is not None and fe is not None and jnp.size(fe):
+            wrap = lambda d: Marginal(d, {"log_scale": -fe[-1]})
+        else:
+            wrap = lambda d: d
+        return {k: inference_postprocess(strategy, wrap(v))
+                for k, v in posteriors.items()}
 
     def on_next(self, obs: dict):
         """Process one observation: run autoupdates-fed inference step
@@ -157,41 +260,114 @@ class RxInferenceEngine:
                 return self._on_next(obs)
         return self._on_next(obs)
 
-    def _on_next(self, obs: dict):
-        # Event set = the reference engine's 16 events
-        # (src/inference/streaming.jl:847-866).  The VMP iterations run inside
-        # ONE compiled program, so the per-iteration pairs fire once per tick.
-        self._ensure_compiled(obs)
-        self._fire("on_new_data", obs)
-        self._fire("before_iteration")
+    def _tick_compiled(self, data: dict, obs: dict):
+        """All VMP iterations inside one compiled program; the per-iteration
+        event pairs fire once per tick (documented divergence — register a
+        before/after_iteration callback to get true per-iteration events)."""
+        self._fire("before_iteration", {"iteration": 0})
+        # reference tick order (streaming.jl:349-407): the autoupdate fetched
+        # at tick start is APPLIED between before_iteration and
+        # before_data_update — here application = the args already merged
+        # into `data` (computed from the previous tick's posteriors).
+        self._fire("before_auto_update")
+        self._fire("after_auto_update")
         self._fire("before_data_update", obs)
-        data = {**obs, **self.args}
-        state, fe, _ = self._compiled.run(
-            data, iterations=self.iterations, free_energy=self.free_energy
+        state, fe, history_states = self._compiled.run(
+            data, iterations=self.iterations, free_energy=self.free_energy,
+            keep_each=self._need_keep_each,
         )
-        from .inference import _extract_posteriors
-
-        self.posteriors = _extract_posteriors(self._compiled, state)
+        raw = self._extract(state)
+        self.posteriors = self._postprocess(raw, fe if self.free_energy
+                                            else None)
         self._fire("on_marginal_update", self.posteriors)
         self._fire("after_data_update", obs)
-        self._fire("after_iteration")
-        self._fire("before_auto_update")
+        self._fire("after_iteration", {"iteration": self.iterations - 1})
+        return state, raw, fe, history_states
+
+    def _tick_host_loop(self, data: dict, obs: dict):
+        """One compiled sweep per VMP iteration with true per-iteration
+        events and ``stop_iteration`` support (reference
+        streaming.jl:349-407)."""
+        compiled = self._compiled
+        key = ("sweep", self.free_energy)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                compiled.make_sweep_fn(self.free_energy))
+        fn = self._jitted[key]
+        data_j = {k: jnp.asarray(np.asarray(v), jnp.float32)
+                  for k, v in data.items()}
+        carry = (compiled._init_state(), {})
+        fes, history_states = [], []
+        for i in range(self.iterations):
+            self._fire("before_iteration", {"iteration": i})
+            self._fire("before_auto_update")
+            self._fire("after_auto_update")
+            self._fire("before_data_update", obs)
+            carry, fe = fn(carry, data_j)
+            self._fire("on_marginal_update")
+            self._fire("after_data_update", obs)
+            if self.free_energy:
+                fes.append(fe)
+            if self._need_keep_each:
+                history_states.append(dict(carry[0]))
+            ev = self._fire("after_iteration", {
+                "iteration": i,
+                "free_energy": float(fe) if self.free_energy else None,
+            })
+            if ev.stop_iteration:
+                break
+        fe_arr = jnp.stack(fes) if fes else jnp.zeros((0,))
+        state = carry[0]
+        raw = self._extract(state)
+        self.posteriors = self._postprocess(
+            raw, fe_arr if self.free_energy else None)
+        return state, raw, fe_arr, history_states
+
+    def _on_next(self, obs: dict):
+        # Event set = the reference engine's events
+        # (src/inference/streaming.jl:847-866).
+        self._ensure_compiled(obs)
+        self._fire("on_new_data", obs)
+        data = {**obs, **self.args}
+        if self._host_loop:
+            state, raw, fe, history_states = self._tick_host_loop(data, obs)
+        else:
+            state, raw, fe, history_states = self._tick_compiled(data, obs)
+        # compute next tick's autoupdate args from this tick's posteriors
+        # (the reference prefetches at the NEXT tick's start — identical
+        # values; events around the application fire inside the tick above)
         self.args = self.autoupdates(
-            self.posteriors,
+            raw,
             _MessageFetch(self._compiled, state,
                           {k: jnp.asarray(v) for k, v in data.items()}),
         )
-        self._fire("after_auto_update")
         if self.free_energy:
             self.fe_history.append(fe)
         if self.keephistory:
             self._fire("before_history_save")
-            self.history.append(self.posteriors)
+            self.history.append(
+                self._history_entry(raw, history_states, fe))
             if len(self.history) > self.keephistory:
                 self.history.pop(0)
             self._fire("after_history_save")
         self._fire("on_tick")
         return self.posteriors
+
+    def _history_entry(self, raw: dict, history_states: list, fe):
+        from .inference import KeepEach
+
+        hv = self._historyvars
+        entry = {}
+        for name, final in raw.items():
+            opt = (hv.get(name) if isinstance(hv, dict) else hv)
+            if isinstance(hv, dict) and name not in hv:
+                continue
+            if isinstance(opt, KeepEach) and history_states:
+                entry[name] = [self._extract(hs)[name]
+                               for hs in history_states]
+            else:
+                entry[name] = final
+        return entry
 
     def run_offline(self, observations: dict):
         """Offline fast path: scan the compiled step over whole observation
@@ -252,16 +428,54 @@ class RxInferenceEngine:
 
 def streaming_infer(model, datastream, autoupdates, initialization=None,
                     iterations=1, free_energy=False, keephistory=0,
-                    options=None, uselock=False):
+                    options=None, uselock=False, constraints=None, meta=None,
+                    callbacks=None, returnvars=None, historyvars=None,
+                    annotations=None, postprocess=None, benchmark=False,
+                    trace=False, catch_exception=False, session="default"):
     """Streaming dispatch target of `infer` (reference
-    src/inference/inference.jl:700-731)."""
+    src/inference/inference.jl:700-731) — forwards the full kwarg surface."""
     if autoupdates is None:
         raise ValueError("streaming inference requires autoupdates=")
+    if catch_exception:
+        raise ValueError(
+            "catch_exception= is batch-only; streaming errors flip "
+            "engine.is_errored and fire the 'on_error' event (reference: "
+            "src/inference/streaming.jl:438-452)."
+        )
+    warn = True if options is None else options.get("warn", True)
     engine = RxInferenceEngine(
         model, autoupdates, iterations=iterations,
         free_energy=free_energy, keephistory=keephistory, options=options,
         initialization=initialization, uselock=uselock,
+        constraints=constraints, meta=meta, event_callbacks=callbacks,
+        returnvars=returnvars, historyvars=historyvars,
+        annotations=annotations, postprocess=postprocess, warn=warn,
     )
+    if benchmark:
+        from .utils.callbacks import BenchmarkCallbacks
+
+        bench = BenchmarkCallbacks()
+        engine._recorders.append(
+            lambda ev: bench.timestamps[ev.name].append(ev.timestamp_ns))
+        engine.benchmark = bench
+    if trace:
+        from .utils.callbacks import TraceCallbacks
+
+        tr = TraceCallbacks()
+        engine._recorders.append(tr.events.append)
+        engine.trace = tr
+    from .utils.session import get_default_session
+
+    sess = get_default_session() if session == "default" else session
+    if sess is not None:
+        sess.log_invoke(
+            label="streaming_inference",
+            model=getattr(model, "name", str(model)),
+            data_keys=sorted(autoupdates.initial),
+            iterations=iterations,
+            status="created",
+            duration_s=0.0,
+        )
     if datastream is not None:
         engine.start(datastream)
     return engine

@@ -85,7 +85,14 @@ def _fb_fwd_kernel(lp_ref, lt_ref, le_ref, alpha_ref, acarry_ref, cum_ref,
 
 
 def _fb_bwd_kernel(lt_ref, le_ref, alpha_ref, gamma_ref, beta_ref,
-                   lenext_ref, xi_ref, *, k, chunk, t_total, t_pad):
+                   lenext_ref, xi_ref, *xisteps_ref, k, chunk, t_total, t_pad):
+    # xisteps_ref: optional trailing output streaming the PER-STEP pairwise
+    # marginals xi_t (chunk, K*K, S, L) — the reference's structured chain
+    # pair marginals (needed for chain pair-entropy FE and per-step
+    # transition statistics inside the fused path; reference structured FE
+    # src/model/plugins/reactivemp_free_energy.jl:57-63).
+    xisteps_ref = xisteps_ref[0] if xisteps_ref else None
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         for i in range(k):
@@ -137,10 +144,13 @@ def _fb_bwd_kernel(lt_ref, le_ref, alpha_ref, gamma_ref, beta_ref,
         x_sum = sum(sum(row) for row in x_exp)
         use_xi = jnp.logical_and(jnp.logical_not(is_last),
                                  jnp.logical_not(dead))
-        xi_new = [
-            xi[i * k + j] + jnp.where(use_xi, x_exp[i][j] / x_sum, 0.0)
-            for i in range(k) for j in range(k)
-        ]
+        xi_t = [jnp.where(use_xi, x_exp[i][j] / x_sum, 0.0)
+                for i in range(k) for j in range(k)]
+        xi_new = [xi[i * k + j] + xi_t[i * k + j]
+                  for i in range(k) for j in range(k)]
+        if xisteps_ref is not None:
+            for n in range(k * k):
+                xisteps_ref[t, n] = xi_t[n]
 
         beta_out = [jnp.where(dead, b0_, b1_) for b0_, b1_ in zip(beta, b_new)]
         le_out = [jnp.where(dead, a, b) for a, b in zip(le_next, le_t)]
@@ -157,12 +167,15 @@ def _fb_bwd_kernel(lt_ref, le_ref, alpha_ref, gamma_ref, beta_ref,
         xi_ref[n] = xi_f[n]
 
 
-@partial(jax.jit, static_argnames=("chunk", "interpret"))
+@partial(jax.jit, static_argnames=("chunk", "interpret", "per_step_xi"))
 def fused_fb_soa(log_prior, log_trans, log_evidence, *, chunk=32,
-                 interpret=False):
+                 interpret=False, per_step_xi=False):
     """SoA fused forward-backward.  log_prior (K,S,L); log_trans (K*K,S,L)
     row-major [i*K+j] = [out, in]; log_evidence (T,K,S,L).
-    Returns gammas (T,K,S,L), xi_sum (K*K,S,L), logZ (S,L)."""
+    Returns gammas (T,K,S,L), xi_sum (K*K,S,L), logZ (S,L); with
+    ``per_step_xi=True`` additionally streams the per-step pairwise marginals
+    xi_steps (T,K*K,S,L) to HBM (xi_steps[T-1] is zero — there is no
+    transition out of the final step)."""
     k = log_prior.shape[0]
     s, l = log_prior.shape[1], log_prior.shape[2]
     t_total = log_evidence.shape[0]
@@ -196,29 +209,39 @@ def fused_fb_soa(log_prior, log_trans, log_evidence, *, chunk=32,
 
     bwd = partial(_fb_bwd_kernel, k=k, chunk=chunk, t_total=t_total,
                   t_pad=t_pad)
-    gammas, _, _, xi_sum = pl.pallas_call(
+    out_specs = [rstream(k), full3(k), full3(k), full3(k * k)]
+    out_shape = [
+        jax.ShapeDtypeStruct((t_pad, k, s, l), jnp.float32),
+        jax.ShapeDtypeStruct((k, s, l), jnp.float32),
+        jax.ShapeDtypeStruct((k, s, l), jnp.float32),
+        jax.ShapeDtypeStruct((k * k, s, l), jnp.float32),
+    ]
+    if per_step_xi:
+        out_specs.append(rstream(k * k))
+        out_shape.append(
+            jax.ShapeDtypeStruct((t_pad, k * k, s, l), jnp.float32))
+    outs = pl.pallas_call(
         bwd,
         grid=grid,
         in_specs=[full3(k * k), rstream(k), rstream(k)],
-        out_specs=(rstream(k), full3(k), full3(k), full3(k * k)),
-        out_shape=(
-            jax.ShapeDtypeStruct((t_pad, k, s, l), jnp.float32),
-            jax.ShapeDtypeStruct((k, s, l), jnp.float32),
-            jax.ShapeDtypeStruct((k, s, l), jnp.float32),
-            jax.ShapeDtypeStruct((k * k, s, l), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(log_trans, log_evidence, alphas)
+    gammas, xi_sum = outs[0], outs[3]
 
     m = jnp.max(a_fin, axis=0)
     logz = cum[0] + m + jnp.log(jnp.sum(jnp.exp(a_fin - m), axis=0))
+    if per_step_xi:
+        return gammas[:t_total], xi_sum, logz, outs[4][:t_total]
     return gammas[:t_total], xi_sum, logz
 
 
 def fused_fb_batched(log_prior, log_trans, log_evidence, *, chunk=32,
-                     interpret=False):
+                     interpret=False, per_step_xi=False):
     """Batch-axis wrapper.  log_prior (B,K); log_trans (B,K,K) [out,in];
-    log_evidence (T,B,K).  Returns gammas (T,B,K), xi_sum (B,K,K), logZ (B,)."""
+    log_evidence (T,B,K).  Returns gammas (T,B,K), xi_sum (B,K,K), logZ (B,);
+    with ``per_step_xi=True`` also xi_steps (T-1,B,K,K)."""
     b_n, k = log_prior.shape
     b_pad = batch_pad(b_n)
     lp = _fold_batch(log_prior.astype(jnp.float32), b_pad)
@@ -227,8 +250,15 @@ def fused_fb_batched(log_prior, log_trans, log_evidence, *, chunk=32,
     le = jnp.moveaxis(
         _fold_batch(jnp.moveaxis(log_evidence.astype(jnp.float32), 0, -1),
                     b_pad), 1, 0)
-    gammas, xi_sum, logz = fused_fb_soa(lp, lt, le, chunk=chunk,
-                                        interpret=interpret)
+    outs = fused_fb_soa(lp, lt, le, chunk=chunk, interpret=interpret,
+                        per_step_xi=per_step_xi)
+    gammas, xi_sum, logz = outs[:3]
     g = jnp.moveaxis(_unfold_batch(jnp.moveaxis(gammas, 0, 1), b_n), -1, 0)
     xi = _unfold_batch(xi_sum, b_n).reshape(b_n, k, k)
-    return g, xi, _unfold_batch(logz[None], b_n)[:, 0]
+    lz = _unfold_batch(logz[None], b_n)[:, 0]
+    if per_step_xi:
+        t_total = log_evidence.shape[0]
+        xs = _unfold_batch(jnp.moveaxis(outs[3], 0, 1), b_n)  # (B, K*K, T)
+        xs = jnp.moveaxis(xs, -1, 0).reshape(t_total, b_n, k, k)
+        return g, xi, lz, xs[: t_total - 1] if t_total > 1 else xs[:0]
+    return g, xi, lz

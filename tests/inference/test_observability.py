@@ -236,7 +236,10 @@ def test_infer_batched_over_datasets():
     mus = np.asarray(posts["mu"].mean())
     assert mus.shape == (B,)
     np.testing.assert_allclose(mus, true_mu, atol=0.15)
-    assert fe.shape[0] == B and np.isfinite(np.asarray(fe)).all()
+    # per-iteration FE history: (iterations, B), non-increasing per dataset
+    assert fe.shape == (15, B) and np.isfinite(np.asarray(fe)).all()
+    assert (np.diff(np.asarray(fe), axis=0)
+            <= 1e-4 * np.abs(np.asarray(fe[0]))).all()
 
 
 def test_unknown_inference_option_raises():
