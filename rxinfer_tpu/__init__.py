@@ -38,6 +38,9 @@ from .graph import (  # noqa: F401
     ComposedFormConstraint,
     UnspecifiedFormConstraint,
     SampleListFormConstraint,
+    LeftProposal,
+    RightProposal,
+    AutoProposal,
     constraints,
     AND,
     AR,

@@ -394,8 +394,12 @@ class PlainGroup:
             self.form_constraint, "project_product"
         ):
             # non-conjugate product: project the message product onto the
-            # target family (reference ProjectedTo / ProjectionExt)
-            return self.form_constraint.project_product(msgs)
+            # target family (reference ProjectedTo / ProjectionExt); the
+            # previous sweep's marginal warm-starts the natural-gradient
+            # descent (the reference's ProjectionContext)
+            return self.form_constraint.project_product(
+                msgs, prev=state.get(self.var.name)
+            )
         if any(isinstance(m, LogPdfMessage) for m in msgs):
             from ..dists.base import ProductError
 

@@ -229,17 +229,109 @@ def as_form_constraint(spec):
 
 class PointMassFormConstraint(AbstractFormConstraint):
     """MAP collapse (reference PointMassFormConstraint,
-    src/constraints/form/form_point_mass.jl:53-205).  For the conjugate carrier
-    families the mode is closed-form — no inner optimizer needed; an optimizer
-    hook is accepted for custom densities."""
+    src/constraints/form/form_point_mass.jl:53-205).
 
-    def __init__(self, optimizer=None):
+    For conjugate carrier families the mode is closed-form (this covers the
+    reference's discrete argmax path too — Categorical.mode()).  For custom
+    densities, non-analytic modes, or when ``optimizer=`` / ``boundaries=`` /
+    ``starting_point=`` are given, the MAP point is found by LBFGS on
+    −log q(x) inside the compiled program (the reference runs Optim
+    LBFGS/Fminbox with the same three hooks):
+
+    - ``optimizer``: None (optax.lbfgs), an optax GradientTransformation, or
+      a callable ``(neg_logpdf, x0) -> x_opt`` for full custom control.
+    - ``starting_point``: array or callable ``() -> array``; defaults to the
+      previous marginal's mean (warm start), else the first proper message's
+      mean.
+    - ``boundaries``: (lo, hi) box — iterates are projected into the box
+      (the Fminbox equivalent)."""
+
+    def __init__(self, optimizer=None, starting_point=None, boundaries=None,
+                 n_iters: int = 60):
         self.optimizer = optimizer
+        self.starting_point = starting_point
+        self.boundaries = boundaries
+        self.n_iters = n_iters
+
+    @property
+    def _wants_optimizer(self) -> bool:
+        return (self.optimizer is not None or self.boundaries is not None
+                or self.starting_point is not None)
+
+    def _x0(self, msgs, prev):
+        if self.starting_point is not None:
+            x0 = (self.starting_point() if callable(self.starting_point)
+                  else self.starting_point)
+            return jnp.asarray(x0, jnp.float32)
+        for cand in ([prev] if prev is not None else []) + list(msgs):
+            try:
+                return jnp.asarray(cand.mean(), jnp.float32)
+            except Exception:  # noqa: BLE001
+                continue
+        raise ValueError(
+            "PointMassFormConstraint: no starting point derivable from the "
+            "messages; pass starting_point=."
+        )
+
+    def _clip(self, x):
+        if self.boundaries is None:
+            return x
+        lo, hi = self.boundaries
+        return jnp.clip(x, lo, hi)
+
+    def _optimize(self, msgs, prev=None):
+        import optax
+
+        from ..dists import PointMass
+
+        def neg_logpdf(x):
+            return -sum(m.logpdf(x) for m in msgs)
+
+        x0 = self._clip(self._x0(msgs, prev))
+        if callable(self.optimizer) and not isinstance(
+                self.optimizer, optax.GradientTransformation):
+            return PointMass(jnp.asarray(self.optimizer(neg_logpdf, x0)))
+        opt = (self.optimizer if self.optimizer is not None
+               else optax.lbfgs())
+        value_and_grad = optax.value_and_grad_from_state(neg_logpdf)
+        state0 = opt.init(x0)
+
+        def step(carry, _):
+            params, state = carry
+            value, grad = value_and_grad(params, state=state)
+            updates, state = opt.update(
+                grad, state, params, value=value, grad=grad,
+                value_fn=neg_logpdf,
+            )
+            params = self._clip(optax.apply_updates(params, updates))
+            return (params, state), None
+
+        (x_opt, _), _ = jax.lax.scan(step, (x0, state0), None,
+                                     length=self.n_iters)
+        return PointMass(x_opt)
 
     def constrain(self, dist):
         from ..dists import PointMass
 
-        return PointMass(jnp.asarray(dist.mode()))
+        if not self._wants_optimizer:
+            try:
+                return PointMass(jnp.asarray(dist.mode()))
+            except Exception:  # noqa: BLE001 — no analytic mode: optimize
+                pass
+        return self._optimize([dist])
+
+    # engine hook: called with the raw message list when the product has no
+    # closed form (NodeFunctionRuleFallback carriers) — non-conjugate MAP
+    def project_product(self, msgs, prev=None):
+        from ..dists import PointMass
+        from ..dists.natural import prod_all
+
+        if not self._wants_optimizer:
+            try:
+                return PointMass(jnp.asarray(prod_all(msgs).mode()))
+            except Exception:  # noqa: BLE001
+                pass
+        return self._optimize(msgs, prev=prev)
 
 
 class FixedMarginalFormConstraint(AbstractFormConstraint):
@@ -253,20 +345,75 @@ class FixedMarginalFormConstraint(AbstractFormConstraint):
         return self.dist
 
 
-class SampleListFormConstraint(AbstractFormConstraint):
-    """Sample-list approximation (reference SampleListFormConstraint,
-    src/constraints/form/form_sample_list.jl)."""
+class LeftProposal:
+    """Use the FIRST message as the SampleList proposal (reference
+    LeftProposal)."""
 
-    def __init__(self, n_samples: int = 256, seed: int = 0):
+
+class RightProposal:
+    """Use the LAST message as the SampleList proposal (reference
+    RightProposal)."""
+
+
+class AutoProposal:
+    """Pick the first proper (sampleable, non-logpdf-carrier) message as the
+    proposal (reference AutoProposal: proper distributions take priority over
+    GenericLogPdf/LinearizedProductOf candidates)."""
+
+
+class SampleListFormConstraint(AbstractFormConstraint):
+    """Importance-sampled approximation of the MESSAGE PRODUCT (reference
+    SampleListFormConstraint, src/constraints/form/form_sample_list.jl:29-104):
+    samples are drawn from a proposal chosen among the product's factors
+    (Left/Right/Auto strategies) and weighted by the remaining factors —
+    bootstrap importance sampling of Π_i m_i(x).
+
+    Closed-form marginals pass through UNCHANGED (the reference's
+    ``constrain_form(::SampleListFormConstraint, something) = something``) —
+    the approximation only engages on products without a closed form."""
+
+    def __init__(self, n_samples: int = 256, seed: int = 0, strategy=None):
         self.n_samples = n_samples
         self.seed = seed
+        self.strategy = strategy if strategy is not None else AutoProposal()
+
+    def _pick_proposal(self, msgs):
+        if isinstance(self.strategy, LeftProposal):
+            return 0
+        if isinstance(self.strategy, RightProposal):
+            return len(msgs) - 1
+        for i, m in enumerate(msgs):
+            if hasattr(m, "sample") and not hasattr(m, "log_fn"):
+                return i
+        raise ValueError(
+            "Cannot approximate the product as a sample list: the "
+            "AutoProposal strategy cannot choose a proposal distribution "
+            "(no factor is a proper distribution). Use LeftProposal or "
+            "RightProposal (reference: form_sample_list.jl:88-96)."
+        )
+
+    def project_product(self, msgs, prev=None):
+        from ..dists import SampleList
+        from ..dists.natural import prod_all
+
+        try:
+            # closed-form product exists: pass through unchanged
+            return prod_all(msgs)
+        except Exception:  # noqa: BLE001 — genuine non-conjugate product
+            pass
+        idx = self._pick_proposal(msgs)
+        proposal = msgs[idx]
+        key = jax.random.PRNGKey(self.seed)
+        z = proposal.sample(key, (self.n_samples,))
+        logw = sum(
+            (m.logpdf(z) for i, m in enumerate(msgs) if i != idx),
+            start=jnp.zeros((self.n_samples,)),
+        )
+        return SampleList(z, logw)
 
     def constrain(self, dist):
-        from ..dists import SampleList
-
-        key = jax.random.PRNGKey(self.seed)
-        samples = dist.sample(key, (self.n_samples,))  # (N, event...)
-        return SampleList(samples, jnp.zeros((self.n_samples,)))
+        # proper distribution: pass through (reference form_sample_list.jl:98)
+        return dist
 
 
 class InitMessage:

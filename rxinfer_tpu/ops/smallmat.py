@@ -168,13 +168,20 @@ def small_inv_and_logdet(m):
 
 
 def small_solve(m, x):
-    """solve(m, x) via closed-form inverse for d ≤ 8 (x vector or matrix)."""
+    """solve(m, x) via closed-form inverse for d ≤ 8.
+
+    ``x`` is a matrix RHS only when its ndim matches ``m`` and its second-to-
+    last axis is d; any other shape is batched VECTORS (broadcast against
+    ``m``'s batch — e.g. logpdf of (S, d) points under one (d, d) cov)."""
+    is_matrix = x.ndim == m.ndim and x.shape[-2] == m.shape[-1]
     if m.shape[-1] > 8:
-        return jnp.linalg.solve(m, x)
+        if is_matrix:
+            return jnp.linalg.solve(m, x)
+        return jnp.linalg.solve(m, x[..., None])[..., 0]
     inv = small_inv(m)
-    if x.ndim == m.ndim - 1:
-        return jnp.einsum("...ij,...j->...i", inv, x)
-    return inv @ x
+    if is_matrix:
+        return inv @ x
+    return jnp.einsum("...ij,...j->...i", inv, x)
 
 
 # ---------------------------------------------------------------------------------

@@ -53,10 +53,16 @@ class CVIProjection:
     the non-deterministic approximation tier).  Draws ``n_samples`` joint-input
     samples, pushes them through fn, and moment-matches the (inputs, out)
     joint — the Gaussian-family instance of an exponential-family projection,
-    done in one batched pass instead of a natural-gradient descent loop."""
+    done in one batched pass instead of a natural-gradient descent loop.
+
+    ``out_family`` projects the pushed-forward OUT message onto a non-Gaussian
+    exponential family instead (exact M-projection of the sample cloud via
+    engine/projection.fit_weighted_samples — the machinery shared with
+    ProjectedTo; reference: CVIProjection's out-projection parameters)."""
 
     n_samples: int = 1024
     seed: int = 0
+    out_family: Optional[str] = None
 
 
 # deprecated reference alias (CHANGELOG: CVI superseded by CVIProjection)
@@ -279,6 +285,25 @@ class DeltaNode:
         if isinstance(method, Unscented):
             mean, cov, _ = _push_unscented(fn_flat, m, v, method)
         elif isinstance(method, CVIProjection):
+            if method.out_family is not None:
+                # project the pushed sample cloud onto the requested family
+                # (shared M-projection machinery, engine/projection.py)
+                from ..engine.projection import fit_weighted_samples
+
+                n = m.shape[-1]
+                key = jax.random.PRNGKey(method.seed)
+                ridge = 1e-9 * (jnp.trace(v) / n + 1e-30)
+                chol = jnp.linalg.cholesky(
+                    _symmetrize(v) + ridge * jnp.eye(n, dtype=v.dtype))
+                eps = jax.random.normal(key, (method.n_samples, n),
+                                        dtype=m.dtype)
+                ys = jax.vmap(fn_flat)(m + eps @ chol.T)
+                samples = ys[..., 0] if (
+                    method.out_family in ("gaussian", "beta", "gamma")
+                    and ys.shape[-1] == 1) else ys
+                return fit_weighted_samples(
+                    method.out_family, samples,
+                    jnp.ones((method.n_samples,)))
             mean, cov, _ = _push_sampled(fn_flat, m, v, method)
         else:
             mean, cov, _ = _push_linearized(fn_flat, m, v)
