@@ -1,0 +1,214 @@
+"""Per-message log-scale accumulation (reference LogScaleAnnotations /
+AddonLogScale, src/inference/inference.jl:557-558, CHANGELOG v5).
+
+The reference flows a log-scale constant with every message: rules emit
+NORMALIZED distributions, and the scale records log(true unnormalized factor
+message / emitted density).  Marginal products then accumulate scales plus a
+log-partition correction, so ``getlogscale(posterior)`` is the model
+log-evidence — and mixture components carry their individual Bayes factors.
+
+TPU-native formulation.  Under the static schedule, messages at the fixed
+point are recomputable, so scales are accumulated in a POST-PASS instead of
+being threaded through every rule:
+
+- each inbound message to a variable contributes the pair
+  (η_i, c_i = s_i − A(η_i)) where A is the family log-partition and the
+  per-message scale is computed GENERICALLY from the node's average energy:
+      s_i = −AE(all-PointMass values at x₀) − d_i.logpdf(x₀)
+  (AE with point values is exactly −log f, so s_i = log(f/d_i) at x₀ — a
+  constant in x for conjugate messages, evaluated at the posterior mean);
+- the evidence of the full product is  log ∫ Π_i true_i = A(Σ η_i) + Σ c_i;
+- for a Mixture(switch, comps) factor, the per-component evidences are
+      log Z_k = A(η_k + η_lik) + c_k + c_lik,
+  the switch responsibilities are softmax(log w + log Z), and
+      logscale(comp_k) = log w_k + log Z_k,
+      logscale(out) = logscale(switch) = logsumexp(log w + log Z)
+  — matching the reference mixture semantics exactly
+  (test/models/mixtures/mixture_tests.jl:93-109).
+
+Valid for exponential families with unit base measure (gaussian, beta,
+gamma, dirichlet) and discrete likelihoods; on tree models the non-mixture
+per-variable scale equals −Bethe FE (both are log Z), which remains the fast
+path for variables not adjacent to a mixture.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, logsumexp
+
+from ..dists import PointMass
+from ..dists.natural import family_key, to_natural
+from ..graph.ir import Const, Ref
+
+
+def log_partition(family: str, nat: tuple):
+    """A(η) for unit-base-measure families (broadcasts over leading axes)."""
+    if family == "gaussian":
+        xi, w = nat
+        return 0.5 * xi * xi / w + 0.5 * jnp.log(2.0 * jnp.pi / w)
+    if family == "mv_gaussian":
+        xi, w = nat
+        d = xi.shape[-1]
+        sol = jnp.linalg.solve(w, xi[..., None])[..., 0]
+        _, logdet = jnp.linalg.slogdet(w)
+        return (0.5 * jnp.einsum("...i,...i->...", xi, sol)
+                + 0.5 * (d * jnp.log(2.0 * jnp.pi) - logdet))
+    if family == "beta":
+        a, b = nat[0] + 1.0, nat[1] + 1.0
+        return gammaln(a) + gammaln(b) - gammaln(a + b)
+    if family == "gamma":
+        return gammaln(nat[0] + 1.0) - (nat[0] + 1.0) * jnp.log(nat[1])
+    if family == "dirichlet":
+        alpha = nat[0] + 1.0
+        return jnp.sum(gammaln(alpha), axis=-1) - gammaln(
+            jnp.sum(alpha, axis=-1))
+    if family == "bernoulli":
+        return jax.nn.softplus(nat[0])
+    if family == "categorical":
+        return logsumexp(nat[0], axis=-1)
+    raise NotImplementedError(
+        f"log_partition for family {family!r} is not available."
+    )
+
+
+def _point_values(f, iface: str, x0, state, data):
+    """All-PointMass rule input: the target interface at x₀, the rest at
+    their resolved point/mean values."""
+    from .blocks import resolve_iface
+
+    q = {}
+    for name, v in f.all_interfaces().items():
+        if name == iface:
+            q[name] = PointMass(jnp.asarray(x0))
+            continue
+        r = resolve_iface(v, f, state, data)
+        q[name] = r if isinstance(r, PointMass) else PointMass(r.mean())
+    if f.meta is not None:
+        q["_meta"] = {**f.meta, "_plated": f.plate is not None}
+    return q
+
+
+def _message_scale(f, iface: str, msg, x0, state, data):
+    """s = log(true factor message / emitted density) at x₀, via the node's
+    average energy (AE over point values == −log f)."""
+    from ..rules.registry import get_node
+
+    node = get_node(f.fform)
+    ae = node.average_energy(_point_values(f, iface, x0, state, data))
+    return -ae - msg.logpdf(jnp.asarray(x0))
+
+
+def inbound_evidence(compiled, state: dict, data: dict, varname: str,
+                     exclude_factor=None):
+    """(Σ η_i, Σ c_i) over the true inbound messages of a plain variable,
+    optionally excluding one factor (the mixture cavity).  The pair defines
+    the variable-local evidence  A(Ση) + Σc  =  log ∫ Π_i true_i(x)."""
+    from ..rules.registry import get_message_rule, get_node
+    from .blocks import (
+        _coverage,
+        build_q,
+        factor_data_mask,
+        mask_message,
+    )
+
+    var = next(v for v in compiled.graph.random_variables()
+               if v.name == varname)
+    x0 = state[varname].mean()
+    nat_sum = None
+    c_total = jnp.zeros(())
+    fam = None
+    for f in compiled.graph.factors:
+        if f is exclude_factor:
+            continue
+        iface = None
+        for name, v in f.all_interfaces().items():
+            if isinstance(v, Ref) and v.var is var:
+                iface = name
+                break
+        if iface is None:
+            continue
+        mean_field = f.id in compiled.mf_factor_ids
+        rule = get_message_rule(f.fform, iface, vmp=mean_field)
+        needs_self = getattr(get_node(f.fform), "needs_self_marginal", False)
+        q = build_q(f, state, data, exclude=None if needs_self else iface)
+        raw = rule(q)
+        mask = factor_data_mask(f, data)
+        msg = mask_message(raw, mask)
+        fam = family_key(msg)
+        nat = to_natural(msg)
+        s = _message_scale(f, iface, raw, x0, state, data)
+        a = log_partition(fam, to_natural(raw))
+        c = s - a
+        if mask is not None and jnp.ndim(mask) > 0:
+            c = c * mask
+        # plate-reduce: one (η, c) pair per factor copy
+        ref = f.out if iface == "out" else f.interfaces[iface]
+        cov = _coverage(f, ref)
+        if isinstance(cov, tuple) or (cov is None and f.plate is not None):
+            nat = tuple(jnp.sum(n, axis=0) for n in nat)
+            c = jnp.sum(c)
+        c_total = c_total + jnp.sum(c)
+        nat_sum = nat if nat_sum is None else tuple(
+            a_ + b_ for a_, b_ in zip(nat_sum, nat)
+        )
+    return fam, nat_sum, c_total
+
+
+def _switch_log_weights(compiled, state, data, f, k: int):
+    """Normalized prior log-weights of the mixture switch (its inbound
+    message excluding the mixture factor)."""
+    sw_ref = f.interfaces["switch"]
+    fam, nat, _ = inbound_evidence(
+        compiled, state, data, sw_ref.var.name, exclude_factor=f)
+    if fam == "categorical":
+        return jax.nn.log_softmax(nat[0])
+    if fam == "bernoulli":
+        lw1 = -jax.nn.softplus(-nat[0])
+        return jnp.stack([-jax.nn.softplus(nat[0]), lw1])
+    raise NotImplementedError(
+        f"mixture switch prior family {fam!r} unsupported for log-scale."
+    )
+
+
+def compute_logscales(compiled, state: dict, data: dict, fe_last) -> dict:
+    """Per-variable log-scale map.  Non-mixture variables carry −FE (== log Z
+    on trees — the fast path); variables adjacent to a Mixture factor carry
+    their exact per-component evidences / mixture evidence."""
+    scales: dict = {}
+    default = -fe_last
+    for v in compiled.graph.random_variables():
+        if not v.name.startswith("_"):
+            scales[v.name] = default
+    for f in compiled.graph.factors:
+        if f.fform != "Mixture":
+            continue
+        try:
+            comp_refs = []
+            i = 0
+            while f"comp{i}" in f.interfaces:
+                comp_refs.append(f.interfaces[f"comp{i}"])
+                i += 1
+            out_name = f.out.var.name
+            fam_lik, eta_lik, c_lik = inbound_evidence(
+                compiled, state, data, out_name, exclude_factor=f)
+            log_z = []
+            for ref in comp_refs:
+                fam_k, eta_k, c_k = inbound_evidence(
+                    compiled, state, data, ref.var.name, exclude_factor=f)
+                eta_sum = tuple(a + b for a, b in zip(eta_k, eta_lik))
+                log_z.append(
+                    log_partition(fam_k, eta_sum) + c_k + c_lik)
+            log_z = jnp.stack(log_z)
+            log_w = _switch_log_weights(compiled, state, data, f, len(log_z))
+            log_joint = log_w + log_z
+            logz_mix = logsumexp(log_joint)
+            for k, ref in enumerate(comp_refs):
+                scales[ref.var.name] = log_joint[k]
+            scales[out_name] = logz_mix
+            scales[f.interfaces["switch"].var.name] = logz_mix
+        except (NotImplementedError, KeyError, ValueError, TypeError):
+            # unsupported mixture structure: keep the −FE fast path
+            continue
+    return scales

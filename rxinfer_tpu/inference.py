@@ -326,8 +326,6 @@ def infer(
     posteriors = _extract_posteriors(compiled, state)
     predictions = {}
     if predictvars:
-        import jax.numpy as jnp
-
         data_j = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
         for name in predictvars:
             predictions[name] = compiled.predict(
@@ -359,17 +357,30 @@ def infer(
 
     strategy = postprocess if postprocess is not None else default_postprocess(annotations)
     if annotations is not None:
-        def _wrap(d, it):
+        # Per-variable log-scales (reference LogScaleAnnotations): −FE for
+        # tree variables (== log Z), exact per-component Bayes factors on
+        # mixture-adjacent variables (engine/logscale.py post-pass).
+        from .engine.logscale import compute_logscales
+
+        import numpy as _np
+
+        data_j = {k: jnp.asarray(_np.asarray(v), jnp.float32)
+                  for k, v in data.items()}
+        scales = compute_logscales(compiled, state, data_j, fe[-1])
+
+        def _wrap(d, it, name):
+            if it == -1 or it == iterations - 1:
+                return Marginal(d, {"log_scale": scales.get(name, -fe[it])})
             return Marginal(d, {"log_scale": -fe[it]})
     else:
-        def _wrap(d, it):  # noqa: ARG001
+        def _wrap(d, it, name):  # noqa: ARG001
             return d
     posteriors = {
         name: (
-            [inference_postprocess(strategy, _wrap(d, i))
+            [inference_postprocess(strategy, _wrap(d, i, name))
              for i, d in enumerate(p)]
             if isinstance(p, list)
-            else inference_postprocess(strategy, _wrap(p, -1))
+            else inference_postprocess(strategy, _wrap(p, -1, name))
         )
         for name, p in posteriors.items()
     }
