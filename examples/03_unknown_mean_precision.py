@@ -19,7 +19,7 @@ def gauss(y):
     return {"mu": mu, "tau": tau}
 
 
-res = rx.infer(model=gauss, data={"y": y}, iterations=20,
+res = rx.infer(returnvars=rx.KeepLast(), model=gauss, data={"y": y}, iterations=20,
                initialization={"tau": GammaShapeRate(0.01, 0.01)},
                free_energy=True)
 fe = np.asarray(res.free_energy)

@@ -26,7 +26,7 @@ def gmm(y):
     return {"pi": pi, "m0": m0, "m1": m1}
 
 
-res = rx.infer(
+res = rx.infer(returnvars=rx.KeepLast(), 
     model=gmm, data={"y": y}, iterations=25,
     initialization={"m0": NormalMeanVariance(-2.0, 10.0),
                     "m1": NormalMeanVariance(2.0, 10.0),

@@ -18,7 +18,7 @@ y1 = np.eye(K, dtype=np.float32)[obs]
 
 from rxinfer_tpu.models import zoo
 model = zoo.hmm(K, K)
-res = rx.infer(
+res = rx.infer(returnvars=rx.KeepLast(), 
     model=model, data={"y": y1}, iterations=25,
     initialization={"A": DirichletCollection(np.full((K, K), 1.0, np.float32)),
                     "B": DirichletCollection(np.float32(np.eye(K) * 5.0 + 1.0))},

@@ -32,7 +32,7 @@ def m(y):
     return {"p": p}
 
 
-res = rx.infer(model=m, data={"y": y}, iterations=8,
+res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=8,
                constraints=rx.constraints(forms={"p": ProjectedTo("beta")}),
                initialization={"p": BetaDist(1.0, 1.0)},
                options={"rulefallback": rx.NodeFunctionRuleFallback()})

@@ -96,6 +96,11 @@ from .inference import (  # noqa: F401
     infer,
     infer_batched,
 )
+from .diagnostics import (  # noqa: F401
+    DefaultObjectiveDiagnosticChecks,
+    ObjectiveDiagnosticCheckInfs,
+    ObjectiveDiagnosticCheckNaNs,
+)
 from .postprocess import (  # noqa: F401
     LogScaleAnnotations,
     Marginal,

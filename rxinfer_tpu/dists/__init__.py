@@ -63,6 +63,7 @@ from .discrete import (
     Multinomial,
 )
 from .matrix import InverseWishart, Wishart, WishartInverseScale
+from .mixture import MixtureDist
 from .pointmass import LogPdfMessage, PointMass, SampleList, register_pointmass_products
 
 # PointMass absorbs products with every registered family.

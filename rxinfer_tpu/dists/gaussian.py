@@ -241,7 +241,7 @@ class AbstractMvNormal(Distribution):
         if d <= 8:
             from ..ops.smallmat import small_logdet, small_solve
 
-            maha = jnp.sum(diff * small_solve(_symmetrize(c), diff), axis=-1)
+            maha = jnp.sum(diff * small_solve(_symmetrize(c), diff, matrix=False), axis=-1)
             logdet = small_logdet(c)
         else:
             cl = cholesky(c)

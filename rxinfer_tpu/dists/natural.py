@@ -220,12 +220,82 @@ def prod_reduce_axes(d: Distribution, axes) -> Distribution:
     return from_natural(key, tuple(jnp.sum(n, axis=axes) for n in nat))
 
 
+def log_partition(family: str, nat: tuple):
+    """A(η) for unit-base-measure families (broadcasts over leading axes).
+
+    Used by the log-scale machinery (engine/logscale.py) and by mixture
+    message products: the evidence of a product of normalized densities is
+    ``A(Ση) − ΣA(η_i)`` — one closed-form expression per family."""
+    from jax.scipy.special import gammaln, logsumexp
+
+    if family == "gaussian":
+        xi, w = nat
+        return 0.5 * xi * xi / w + 0.5 * jnp.log(2.0 * jnp.pi / w)
+    if family == "mv_gaussian":
+        xi, w = nat
+        d = xi.shape[-1]
+        sol = jnp.linalg.solve(w, xi[..., None])[..., 0]
+        _, logdet = jnp.linalg.slogdet(w)
+        return (0.5 * jnp.einsum("...i,...i->...", xi, sol)
+                + 0.5 * (d * jnp.log(2.0 * jnp.pi) - logdet))
+    if family == "beta":
+        a, b = nat[0] + 1.0, nat[1] + 1.0
+        return gammaln(a) + gammaln(b) - gammaln(a + b)
+    if family == "gamma":
+        return gammaln(nat[0] + 1.0) - (nat[0] + 1.0) * jnp.log(nat[1])
+    if family == "dirichlet":
+        alpha = nat[0] + 1.0
+        return jnp.sum(gammaln(alpha), axis=-1) - gammaln(
+            jnp.sum(alpha, axis=-1))
+    if family == "bernoulli":
+        return jax.nn.softplus(nat[0])
+    if family == "categorical":
+        return logsumexp(nat[0], axis=-1)
+    raise NotImplementedError(
+        f"log_partition for family {family!r} is not available."
+    )
+
+
+def _prod_mixture(mix, rest: list[Distribution]) -> Distribution:
+    """Product of one MixtureDist message with same-family conjugate messages:
+    distribute the natural-parameter sum over components and re-weight by the
+    per-component evidences  log w'_k = log w_k + A(η_k + η_rest) − A(η_k)
+    (the shared −A(η_rest) constant cancels under normalization).  This is
+    what makes the mixture posterior's weights equal the switch posterior's
+    responsibilities exactly (reference mixture_tests.jl:85-89)."""
+    from .mixture import MixtureDist
+
+    fam = family_key(mix.components[0])
+    if not rest:
+        return mix
+    plain = prod_all(rest)
+    if family_key(plain) != fam:
+        from .base import ProductError
+
+        raise ProductError(
+            f"Mixture message with {fam!r} components meets a "
+            f"{family_key(plain)!r} message on one variable."
+        )
+    eta_rest = to_natural(plain)
+    lw0 = jax.nn.log_softmax(jnp.asarray(mix.log_weights), axis=-1)
+    comps, lws = [], []
+    for i, c in enumerate(mix.components):
+        eta_k = to_natural(c)
+        eta = tuple(a + b for a, b in zip(eta_k, eta_rest))
+        comps.append(from_natural(fam, eta))
+        lws.append(lw0[..., i] + log_partition(fam, eta)
+                   - log_partition(fam, eta_k))
+    lw = jax.nn.log_softmax(jnp.stack(lws, axis=-1), axis=-1)
+    return MixtureDist(lw, tuple(comps))
+
+
 def prod_all(dists: list[Distribution]) -> Distribution:
     """Product of a list of same-support messages via natural addition.
 
     Mixed families raise — the compile/runtime analogue of the reference's
     EnsureSupportedFunctionalForm error on unresolved non-conjugate products
     (src/constraints/form/form_ensure_supported.jl:15-54)."""
+    from .mixture import MixtureDist
     from .pointmass import PointMass
 
     points = [d for d in dists if isinstance(d, PointMass)]
@@ -234,6 +304,19 @@ def prod_all(dists: list[Distribution]) -> Distribution:
         # with PointMass / the ForcePointMass pattern,
         # test/models/statespace/collision_tests.jl:33-35)
         return points[0]
+    mixtures = [d for d in dists if isinstance(d, MixtureDist)]
+    if mixtures:
+        if len(mixtures) > 1:
+            from .base import ProductError
+
+            raise ProductError(
+                "Product of two mixture messages on one variable is not "
+                "supported (K² component blow-up); restructure the model so "
+                "at most one Mixture node feeds each variable."
+            )
+        return _prod_mixture(
+            mixtures[0], [d for d in dists if not isinstance(d, MixtureDist)]
+        )
     keys = [family_key(d) for d in dists]
     key = keys[0]
     if any(k != key for k in keys):
@@ -251,9 +334,48 @@ def prod_all(dists: list[Distribution]) -> Distribution:
     return from_natural(key, total)
 
 
+def coerce_message_family(d, family: str | None):
+    """Convert between equivalent discrete carriers so family-generic nodes
+    can meet either switch prior: a 2-class Categorical message becomes a
+    Bernoulli (log-odds) when the target group is Bernoulli, and vice versa
+    (the reference's Mixture accepts both — mixture_tests.jl uses a Bernoulli
+    selector).  A no-op for matching or non-coercible families."""
+    try:
+        key = family_key(d)
+    except TypeError:
+        return d
+    if family is None or key == family:
+        return d
+    if key == "categorical" and family == "bernoulli":
+        logits = d.logits
+        if logits.shape[-1] == 2:
+            return BernoulliLogits(logits[..., 1] - logits[..., 0])
+    if key == "bernoulli" and family == "categorical":
+        logit = to_natural(d)[0]
+        return Categorical(jnp.stack([jnp.zeros_like(logit), logit], axis=-1))
+    return d
+
+
 def nat_div(a: Distribution, b: Distribution) -> Distribution:
     """Divide distribution a by b (natural-parameter subtraction) — the cavity
     operation of EP-style message updates."""
+    from .mixture import MixtureDist
+
+    if isinstance(a, MixtureDist) and isinstance(b, MixtureDist):
+        # Cavity of a mixture marginal w.r.t. the mixture message that formed
+        # it: the marginal's components are exactly (message component η_k +
+        # shared likelihood η), so component-wise subtraction recovers the
+        # same plain likelihood cavity from every pair — component 0 suffices.
+        fam = family_key(a.components[0])
+        na = to_natural(a.components[0])
+        nb = to_natural(b.components[0])
+        return from_natural(fam, tuple(x - y for x, y in zip(na, nb)))
+    if isinstance(a, MixtureDist) or isinstance(b, MixtureDist):
+        raise TypeError(
+            "Cavity division between a mixture and a plain distribution is "
+            "undefined; initialize mixture-output variables with a plain "
+            "(single-family) distribution so messages stay paired."
+        )
     key = family_key(a)
     na, nb = to_natural(a), to_natural(b)
     return from_natural(key, tuple(x - y for x, y in zip(na, nb)))

@@ -62,14 +62,19 @@ class FusedGaussianPlan:
 
 
 def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict):
-    """Return a FusedGaussianPlan if the chain's parameters are compile-time
-    constants (transition A/b/noise Const, prior Const, evidence factors with
-    only Const/data neighbors), else None.
+    """Return ``(FusedGaussianPlan, None)`` if the chain's parameters are
+    compile-time constants (transition A/b/noise Const, prior Const, evidence
+    factors whose only non-Const input is the observed VALUE), else
+    ``(None, reason)`` explaining the fallback to the vmapped XLA path.
 
-    The evidence precision W is evaluated once on the example dataset and
-    verified numerically time-invariant — unary slot evidence, partial
-    coverage, or missing-data masks all fail the check and fall back to the
-    vmapped XLA scan path.
+    Eligibility is structural first: data-valued refs are admitted ONLY at an
+    evidence factor's ``out`` slot, where they feed the streamed information
+    vector xi but never the evidence precision W — a data-valued noise/
+    coefficient interface would make W batch-dependent, and the kernel bakes
+    ONE W as a closure constant (a per-dataset W baked from batch element 0
+    would silently corrupt every other element).  The surviving W is then
+    evaluated on the example dataset and verified numerically time-invariant —
+    unary slot evidence or partial coverage fail that check.
     """
     from ..rules.registry import get_node
 
@@ -78,20 +83,38 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict):
         if name == "in":
             continue
         if not isinstance(v, Const):
-            return None
-    for v in block.prior.interfaces.values():
+            return None, (
+                f"transition interface {name!r} is not a compile-time "
+                "constant (random/data-valued transition parameters)"
+            )
+    for name, v in block.prior.interfaces.items():
         if not isinstance(v, Const):
-            return None
+            return None, (
+                f"prior interface {name!r} is not a compile-time constant"
+            )
     for ef, iface in block.evidence:
         if getattr(get_node(ef.fform), "needs_self_marginal", False):
-            return None  # rule reads the chain's own marginal: state-dependent
+            return None, (
+                f"evidence factor {ef.fform} reads the chain's own marginal "
+                "(state-dependent message)"
+            )
         chain_ref = ef.out if iface == "out" else ef.interfaces[iface]
-        for v in ef.all_interfaces().values():
+        for name, v in ef.all_interfaces().items():
             if v is chain_ref or isinstance(v, Const):
                 continue
             if isinstance(v, Ref) and v.var.kind == "data":
-                continue
-            return None
+                if v is ef.out and chain_ref is not ef.out:
+                    continue  # observed value: enters xi only, never W
+                return None, (
+                    f"evidence factor {ef.fform} has data-valued interface "
+                    f"{name!r}: per-dataset parameters make the evidence "
+                    "precision W batch-dependent, which the constant-W "
+                    "kernel cannot express"
+                )
+            return None, (
+                f"evidence factor {ef.fform} interface {name!r} is bound to "
+                "a random variable (state-dependent evidence precision)"
+            )
 
     length = block.var.length
 
@@ -105,16 +128,23 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict):
         d0 = {k: jnp.asarray(np.asarray(v), jnp.float32)
               for k, v in data0.items()}
         a, bb, q, m0, p0, w = jax.jit(nume)(d0)
-    except Exception:  # noqa: BLE001 — any assembly failure: XLA fallback
-        return None
+    except Exception as exc:  # noqa: BLE001 — any assembly failure: fallback
+        return None, (
+            f"constant-parameter assembly failed ({type(exc).__name__}: "
+            f"{exc})"
+        )
     w = np.asarray(w)
     if w.shape[0] < 1 or not np.allclose(w, w[:1], rtol=1e-5, atol=1e-6):
-        return None
-    return FusedGaussianPlan(
+        return None, (
+            "evidence precision W varies across time slots (unary slot "
+            "evidence or partial coverage); the kernel requires one shared W"
+        )
+    plan = FusedGaussianPlan(
         A=np.asarray(a, np.float32), b=np.asarray(bb, np.float32),
         Q=np.asarray(q, np.float32), W=np.asarray(w[0], np.float32),
         m0=np.asarray(m0, np.float32), p0=np.asarray(p0, np.float32),
     )
+    return plan, None
 
 
 def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
@@ -171,19 +201,66 @@ def build_plans(compiled, data0: dict, all_finite: bool = True) -> dict:
     ``all_finite=False`` (the batch contains missing observations) disables
     the Gaussian kernel path: its evidence precision is a closure constant and
     cannot express per-slot masking.  The discrete path streams its masked
-    evidence and stays fused."""
+    evidence and stays fused.
+
+    Side effect: records ``compiled._plan_report`` — per chain block, whether
+    it lowered to the fused kernel tier and WHY NOT otherwise (surfaced by
+    ``CompiledModel.plan_report()``); fallbacks warn once when
+    ``options={"warn": True}`` (the default)."""
     plans: dict[str, Any] = {}
-    if not getattr(compiled, "use_fused", True):
-        return plans
+    report: dict[str, dict] = {}
+    compiled._plan_report = report
+    use_fused = getattr(compiled, "use_fused", True)
     for kind, block in compiled.blocks:
         if kind != "chain":
             continue
-        if type(block) is GaussianChainBlock and all_finite:
-            plan = _plan_fused_gaussian(block, data0)
-            if plan is not None:
-                plans[block.var.name] = plan
-        elif isinstance(block, DiscreteChainBlock):
-            plans[block.var.name] = "discrete"
+        name = block.var.name
+        if not use_fused:
+            report[name] = {
+                "fused": False,
+                "reason": 'disabled via options={"fused_kernels": False}',
+            }
+            continue
+        if isinstance(block, DiscreteChainBlock):
+            plans[name] = "discrete"
+            report[name] = {"fused": True, "kernel": "pallas_discrete"}
+            continue
+        if type(block) is not GaussianChainBlock:
+            report[name] = {
+                "fused": False,
+                "reason": (
+                    f"{type(block).__name__} has state-dependent transition "
+                    "parameters (re-assembled every sweep); XLA scan path"
+                ),
+            }
+            continue
+        if not all_finite:
+            report[name] = {
+                "fused": False,
+                "reason": (
+                    "batch contains missing observations (NaN): the "
+                    "constant-W kernel cannot express per-slot masks"
+                ),
+            }
+            continue
+        plan, reason = _plan_fused_gaussian(block, data0)
+        if plan is not None:
+            plans[name] = plan
+            report[name] = {"fused": True, "kernel": "pallas_smoother"}
+        else:
+            report[name] = {"fused": False, "reason": reason}
+    fallbacks = {n: r["reason"] for n, r in report.items() if not r["fused"]}
+    if fallbacks and getattr(compiled, "warn", True) and use_fused:
+        import warnings
+
+        details = "; ".join(f"{n}: {r}" for n, r in fallbacks.items())
+        warnings.warn(
+            "batched program: chain block(s) fell back from the fused Pallas "
+            f"kernel tier to the vmapped XLA path — {details}. Inspect "
+            "compiled.plan_report() for the full plan; silence with "
+            'options={"warn": False}.',
+            stacklevel=2,
+        )
     return plans
 
 
@@ -241,6 +318,9 @@ def make_batched_program(compiled, data0: dict, iterations: int,
             lambda st, cc, d: compiled._free_energy(st, cc, d)
         )(state, chain_cross, data)
 
+    def snapshot(st: dict) -> dict:
+        return {k: v for k, v in st.items() if not k.startswith("_msg:")}
+
     def program(data: dict):
         batch = jax.tree_util.tree_leaves(data)[0].shape[0]
         state0 = compiled._init_state()
@@ -255,32 +335,29 @@ def make_batched_program(compiled, data0: dict, iterations: int,
             if free_energy else jnp.zeros((batch,))
         )
         if keep_each:
-            history.append(dict(state))
-            fes = [fe0]
-            for _ in range(iterations - 1):
-                state, chain_cross = sweep(state, chain_cross, data, batch)
-                if free_energy:
-                    fes.append(batched_fe(state, chain_cross, data))
-                history.append(dict(state))
-            fe_arr = (jnp.stack(fes) if free_energy
-                      else jnp.zeros((0, batch)))
-            return state, fe_arr, history
-
+            history.append(snapshot(state))
         if iterations > 1:
             def body(carry, _):
                 st, cr = carry
                 st, cr = sweep(dict(st), dict(cr), data, batch)
                 f = (batched_fe(st, cr, data) if free_energy
                      else jnp.zeros((batch,)))
-                return (st, cr), f
+                ys = (snapshot(st), f) if keep_each else f
+                return (st, cr), ys
 
-            (state, chain_cross), fes_rest = jax.lax.scan(
+            (state, chain_cross), ys = jax.lax.scan(
                 body, (state, chain_cross), None, length=iterations - 1
             )
+            stacked, fes_rest = ys if keep_each else (None, ys)
             fe_arr = (
                 jnp.concatenate([fe0[None], fes_rest])
                 if free_energy else jnp.zeros((0, batch))
             )
+            if keep_each:
+                history.extend(
+                    jax.tree_util.tree_map(lambda a, _i=i: a[_i], stacked)
+                    for i in range(iterations - 1)
+                )
         else:
             fe_arr = fe0[None] if free_energy else jnp.zeros((0, batch))
         return state, fe_arr, history

@@ -314,6 +314,32 @@ class FactorFE:
         if self.bethe_fn is not None:
             return self._call_bethe_term(state, data, chain_cross)
         f = self.factor
+        if (
+            f.fform == "GCV"
+            and not self.is_chain_transition
+            and not self.mean_field
+            and f.plate is None
+            and f"_msg:{f.id}:out" in state
+            and f"_msg:{f.id}:in" in state
+        ):
+            # structured single-step GCV: AE over the joint q(out, in)
+            # (build_q attaches the cavity-reconstructed cross) and the PAIR
+            # entropy replaces the two individual entropies — the reference
+            # HGF constraint q(xt, zt, xt_min) = q(xt, xt_min)q(zt)
+            q = build_q(f, state, data, chain_cross=None)
+            ae = jnp.sum(self.energy_fn(q))
+            h = jnp.sum(gaussian_pair_entropy(
+                q["out"].var(), q["in"].var(), q["joint"]
+            ))
+            for name in ("z", "kappa", "omega"):
+                qv = q.get(name)
+                v = f.interfaces.get(name)
+                if (
+                    qv is not None and not isinstance(qv, PointMass)
+                    and isinstance(v, Ref) and v.var.kind == "random"
+                ):
+                    h = h + jnp.sum(qv.entropy())
+            return ae - h
         if self.pair is not None:
             in_key, noise_key = self.pair
             if (

@@ -197,7 +197,38 @@ def build_q(f: Factor, state: dict, data: dict, exclude: Optional[str] = None,
             and out_ref.var.name in chain_cross
         ):
             q["joint"] = chain_cross[out_ref.var.name]
+    if "joint" not in q:
+        attach_gcv_pair_cross(q, f, state)
     return q
+
+
+def attach_gcv_pair_cross(q: dict, f: Factor, state: dict) -> None:
+    """Structured single-step GCV: reconstruct Cov(out, in) of the joint
+    cluster q(out, in) from the stored cavity messages and the expected
+    volatility precision, and attach it as ``q["joint"]``.
+
+    This realizes the reference HGF constraint ``q(xt, zt, xt_min) =
+    q(xt, xt_min)q(zt)`` (test/models/statespace/hgf_tests.jl:34-36) for
+    non-chain GCV factors: the local pair joint has precision
+    J = [[w_out_cav + w̄, −w̄], [−w̄, w_in_cav + w̄]], so
+    Cov(out, in) = w̄ / det(J).  Chain GCV factors carry their exact cross
+    through ``chain_cross`` instead; mean-field-constrained factors store no
+    cavity messages, so this is a no-op for them."""
+    if f.fform != "GCV" or "out" not in q or "in" not in q:
+        return
+    ko, ki = f"_msg:{f.id}:out", f"_msg:{f.id}:in"
+    if ko not in state or ki not in state:
+        return
+    from ..dists.gaussian import as_weighted_mean_precision
+    from ..rules.gcv import expected_precision
+
+    cav_o = nat_div(q["out"], state[ko])
+    cav_i = nat_div(q["in"], state[ki])
+    w_o = as_weighted_mean_precision(cav_o).w
+    w_i = as_weighted_mean_precision(cav_i).w
+    wbar = expected_precision(q)
+    det = (w_o + wbar) * (w_i + wbar) - wbar * wbar
+    q["joint"] = wbar / det
 
 
 def in_cavity_cluster(node_cls, iface: str) -> bool:
@@ -259,7 +290,14 @@ class PlainGroup:
             from ..rules.registry import get_node
 
             node_cls = get_node(f.fform)
-            needs_self = getattr(node_cls, "needs_self_marginal", False)
+            # needs_self: the rule reads its own marginal — available only
+            # once this variable has state (init or a previous sweep); on the
+            # very first update of an uninitialized variable the rule sees no
+            # self entry (rules treat it as absent).
+            needs_self = (
+                getattr(node_cls, "needs_self_marginal", False)
+                and self.var.name in state
+            )
             # Nested-plate factors use plain VMP semantics (no per-copy cavity
             # store): their outputs are observations, where the cavity
             # refinement is a no-op on tree models anyway.
@@ -306,7 +344,9 @@ class PlainGroup:
 
             trace_messages.record(node=f.fform, interface=iface,
                                   mean_field=mean_field)
-            raw = rule(q)
+            from ..dists.natural import coerce_message_family
+
+            raw = coerce_message_family(rule(q), self.family)
             if isinstance(raw, LogPdfMessage):
                 # function-form fallback message: the plate product is already
                 # folded into the log-density; a form constraint must project
@@ -497,35 +537,44 @@ class GaussianChainBlock:
         Q = jnp.broadcast_to(q_cov, (tm1, self.dim, self.dim))
         return A, B, Q
 
+    def _evidence_msg(self, f, iface, state, data, chain_cross):
+        """One evidence factor's (masked) Gaussian message to the chain as
+        lifted precision-form arrays ``(mxi, mw, cov)``."""
+        rule = get_message_rule(f.fform, iface)
+        from ..rules.registry import get_node
+
+        needs_self = (
+            getattr(get_node(f.fform), "needs_self_marginal", False)
+            and self.var.name in state
+        )
+        q = build_q(f, state, data,
+                    exclude=None if needs_self else iface,
+                    chain_cross=chain_cross)
+        msg = rule(q)
+        from ..dists.gaussian import (
+            as_mv_weighted_mean_precision,
+            as_weighted_mean_precision,
+        )
+
+        if self.scalar:
+            m = as_weighted_mean_precision(msg)
+            mxi, mw = self._lift_vec(m.xi), self._lift_mat(m.w)
+        else:
+            m = as_mv_weighted_mean_precision(msg)
+            mxi, mw = m.xi, m.w
+        mask = factor_data_mask(f, data)
+        if mask is not None:
+            mxi = mxi * mask.reshape(mask.shape + (1,) * (mxi.ndim - mask.ndim))
+            mw = mw * mask.reshape(mask.shape + (1,) * (mw.ndim - mask.ndim))
+        ref = f.out if iface == "out" else f.interfaces[iface]
+        return mxi, mw, _coverage(f, ref)
+
     def _evidence(self, state, data, chain_cross, length):
         xi = jnp.zeros((length, self.dim), jnp.float32)
         w = jnp.zeros((length, self.dim, self.dim), jnp.float32)
         for f, iface in self.evidence:
-            rule = get_message_rule(f.fform, iface)
-            from ..rules.registry import get_node
-
-            needs_self = getattr(get_node(f.fform), "needs_self_marginal", False)
-            q = build_q(f, state, data,
-                        exclude=None if needs_self else iface,
-                        chain_cross=chain_cross)
-            msg = rule(q)
-            from ..dists.gaussian import (
-                as_mv_weighted_mean_precision,
-                as_weighted_mean_precision,
-            )
-
-            if self.scalar:
-                m = as_weighted_mean_precision(msg)
-                mxi, mw = self._lift_vec(m.xi), self._lift_mat(m.w)
-            else:
-                m = as_mv_weighted_mean_precision(msg)
-                mxi, mw = m.xi, m.w
-            mask = factor_data_mask(f, data)
-            if mask is not None:
-                mxi = mxi * mask.reshape(mask.shape + (1,) * (mxi.ndim - mask.ndim))
-                mw = mw * mask.reshape(mask.shape + (1,) * (mw.ndim - mask.ndim))
-            ref = f.out if iface == "out" else f.interfaces[iface]
-            cov = _coverage(f, ref)
+            mxi, mw, cov = self._evidence_msg(f, iface, state, data,
+                                              chain_cross)
             if isinstance(cov, tuple):
                 lo, hi = cov
                 xi = xi.at[lo:hi].add(mxi)

@@ -420,14 +420,36 @@ def _mean_field_factor_ids(graph: ModelGraph, constraints) -> set[int]:
                 f"factorization constraint names unknown variables {sorted(unknown)}"
             )
         groups.append(set(names))
+    from ..rules.registry import get_node
+    from .blocks import in_cavity_cluster
+
     for f in graph.factors:
         rvars = {
             v.var.name
             for v in f.all_interfaces().values()
             if isinstance(v, Ref) and v.var.kind == "random"
         }
+        # Variables on the node's structured (cavity) cluster: a split that
+        # cuts INSIDE the cluster forces the factor fully mean-field; a split
+        # across the default mean-field boundary (e.g. the reference HGF's
+        # q(xt, zt, xt_min) = q(xt, xt_min)q(zt) — zt is already across the
+        # GCV cluster boundary) is the engine default and a no-op, KEEPING
+        # the joint pair intact.
+        try:
+            node_cls = get_node(f.fform)
+        except Exception:  # noqa: BLE001 — unregistered fform: conservative
+            node_cls = None
+        cluster = set()
+        if node_cls is not None:
+            cluster = {
+                v.var.name
+                for name, v in f.all_interfaces().items()
+                if isinstance(v, Ref) and v.var.kind == "random"
+                and in_cavity_cluster(node_cls, name)
+            }
+        relevant = cluster if cluster else rvars
         for g in groups:
-            if len(rvars & g) >= 2:
+            if len(relevant & g) >= 2:
                 ids.add(f.id)
                 break
     return ids
@@ -661,6 +683,21 @@ class CompiledModel:
         }
 
         self._jitted: dict = {}
+        self._plan_report: Optional[dict] = None
+
+    def plan_report(self) -> dict:
+        """Per-chain-block kernel-lowering report of the last batched program:
+        ``{var: {"fused": bool, "kernel": ... | "reason": ...}}``.  Populated
+        by ``make_batched_program``/``rx.batched_program``/``infer_batched``
+        (engine/batched.py build_plans); raises before any batched lowering
+        ran — the single-dataset program has no kernel tier to report."""
+        if self._plan_report is None:
+            raise ValueError(
+                "plan_report() is available after a batched program was "
+                "built (rx.batched_program / rx.infer_batched); the "
+                "single-dataset path does not lower to the fused kernel tier."
+            )
+        return dict(self._plan_report)
 
     # -- execution -----------------------------------------------------------------
     def _init_state(self) -> dict:
@@ -692,12 +729,21 @@ class CompiledModel:
         """μ(x): the outbound message from variable x along its LAST edge —
         marginal ÷ message from the last-attached factor (reference
         ``get_stream_of_outbound_messages(var, degree(var))``,
-        src/inference/autoupdates.jl:605-607; used by μ() autoupdate args)."""
+        src/inference/autoupdates.jl:605-607; used by μ() autoupdate args).
+
+        Chain-block variables (Kalman/forward-backward chains) return the
+        per-slot outbound array: marginal ÷ the last evidence factor's
+        message at every slot (the plate DSL folds a loop into one factor
+        object, so "last edge" is the last factor in graph order — for the
+        canonical SSM form this is the observation likelihood, making μ(x)
+        the leave-own-evidence-out smoothed state)."""
         from ..dists.natural import nat_div
         from .blocks import build_q, factor_data_mask, mask_message
 
         for kind, block in self.blocks:
-            if kind == "plain" and block.var.name == varname:
+            if block.var.name != varname:
+                continue
+            if kind == "plain":
                 f, iface = block.adjacency[-1]
                 rule = block.rule_overrides.get((f.id, iface)) or \
                     get_message_rule(f.fform, iface, vmp=f.id in block.mf_ids)
@@ -709,10 +755,78 @@ class CompiledModel:
                             exclude=None if needs_self else iface)
                 msg = mask_message(rule(q), factor_data_mask(f, data))
                 return nat_div(state[varname], msg)
+            return self._chain_outbound_message(block, state, data)
         raise ValueError(
-            f"mu({varname}): no plain variable group named {varname!r} "
-            "(chain-block variables do not expose per-edge messages)."
+            f"mu({varname}): the model has no random variable named "
+            f"{varname!r}."
         )
+
+    def _chain_outbound_message(self, block, state: dict, data: dict):
+        """Per-slot μ for a chain block: marginal ÷ last evidence message."""
+        from .blocks import DiscreteChainBlock, GaussianChainBlock
+
+        spec = self.chains[block.var.name]
+        order = {id(f): i for i, f in enumerate(self.graph.factors)}
+        if not spec.evidence:
+            raise NotImplementedError(
+                f"mu({block.var.name}): the chain has no evidence factors; "
+                "its last edge is the transition, whose outbound is the "
+                "filtered forward message — use the filtering model form "
+                "instead (reference performance-tips.md:36-38)."
+            )
+        f, iface = max(spec.evidence, key=lambda fi: order[id(fi[0])])
+        if order[id(spec.transition)] > order[id(f)] or (
+            order[id(spec.prior)] > order[id(f)]
+        ):
+            raise NotImplementedError(
+                f"mu({block.var.name}): the chain's last-created factor is "
+                "its prior/transition; per-edge messages toward transitions "
+                "are not exposed (write the observation plate last, or use "
+                "q() arguments)."
+            )
+        ref = f.out if iface == "out" else f.interfaces[iface]
+        cov = _coverage(f, ref)
+        length = block.var.length
+        if cov != (0, length):
+            raise NotImplementedError(
+                f"mu({block.var.name}): the last evidence factor covers "
+                f"slots {cov}, not the full chain; partial-coverage μ is "
+                "not supported."
+            )
+        marg = state[block.var.name]
+        if isinstance(block, DiscreteChainBlock):
+            from ..dists import Categorical
+
+            rule = get_message_rule(f.fform, iface)
+            q = build_q(f, state, data, exclude=iface, chain_cross=None)
+            msg = rule(q)
+            logits = msg.logits
+            from .blocks import factor_data_mask
+
+            mask = factor_data_mask(f, data)
+            if mask is not None:
+                logits = logits * mask.reshape(
+                    mask.shape + (1,) * (logits.ndim - mask.ndim)
+                )
+            return Categorical(marg.logits - logits)
+        assert isinstance(block, GaussianChainBlock)
+        mxi, mw, _ = block._evidence_msg(f, iface, state, data, None)
+        from ..dists import (
+            MvNormalWeightedMeanPrecision,
+            NormalWeightedMeanPrecision,
+        )
+        from ..dists.gaussian import (
+            as_mv_weighted_mean_precision,
+            as_weighted_mean_precision,
+        )
+
+        if block.scalar:
+            nat = as_weighted_mean_precision(marg)
+            return NormalWeightedMeanPrecision(
+                nat.xi - mxi[..., 0], nat.w - mw[..., 0, 0]
+            )
+        nat = as_mv_weighted_mean_precision(marg)
+        return MvNormalWeightedMeanPrecision(nat.xi - mxi, nat.w - mw)
 
     def _sweep_once(self, state: dict, chain_cross: dict, data: dict):
         from ..rules.registry import trace_messages
@@ -765,8 +879,12 @@ class CompiledModel:
 
         The first sweep runs eagerly in the trace (it establishes the state
         structure); remaining iterations are a ``lax.scan`` so compile time is
-        O(1) in the iteration count.  keep_each falls back to the unrolled form
-        (it must materialize every iteration's state anyway)."""
+        O(1) in the iteration count — including keep_each, whose per-iteration
+        marginals ride the scan's stacked outputs (message caches are dropped
+        from the history to bound its footprint)."""
+
+        def snapshot(st: dict) -> dict:
+            return {k: v for k, v in st.items() if not k.startswith("_msg:")}
 
         def program(data: dict):
             state = self._init_state()
@@ -779,16 +897,7 @@ class CompiledModel:
                 else jnp.zeros(())
             )
             if keep_each:
-                history.append(dict(state))
-                fes = [fe0]
-                for _ in range(iterations - 1):
-                    state, chain_cross = self._sweep_once(state, chain_cross, data)
-                    if free_energy:
-                        fes.append(self._free_energy(state, chain_cross, data))
-                    history.append(dict(state))
-                fe_arr = jnp.stack(fes) if free_energy else jnp.zeros((0,))
-                return state, fe_arr, history
-
+                history.append(snapshot(state))
             if iterations > 1:
                 def body(carry, _):
                     st, cr = carry
@@ -798,16 +907,23 @@ class CompiledModel:
                         if free_energy
                         else jnp.zeros(())
                     )
-                    return (st, cr), f
+                    ys = (snapshot(st), f) if keep_each else f
+                    return (st, cr), ys
 
-                (state, chain_cross), fes_rest = jax.lax.scan(
+                (state, chain_cross), ys = jax.lax.scan(
                     body, (state, chain_cross), None, length=iterations - 1
                 )
+                stacked, fes_rest = ys if keep_each else (None, ys)
                 fe_arr = (
                     jnp.concatenate([fe0[None], fes_rest])
                     if free_energy
                     else jnp.zeros((0,))
                 )
+                if keep_each:
+                    history.extend(
+                        jax.tree_util.tree_map(lambda a, _i=i: a[_i], stacked)
+                        for i in range(iterations - 1)
+                    )
             else:
                 fe_arr = fe0[None] if free_energy else jnp.zeros((0,))
             return state, fe_arr, history
@@ -856,6 +972,97 @@ class CompiledModel:
             self, data0, iterations, free_energy,
             keep_each=keep_each, all_finite=all_finite,
         )
+
+    def make_tick_program(self, iterations: int, free_energy: bool,
+                          keep_each: bool, cold: bool):
+        """Streaming-tick program with PERSISTENT marginals (reference: the
+        engine's marginal streams keep their latest values across
+        observations — only the autoupdated priors change per tick,
+        src/inference/streaming.jl:311-436).
+
+        ``cold=True``: start from the initialization (first tick; the eager
+        first sweep establishes the state structure) and return the carry.
+        ``cold=False``: (data, state, chain_cross) → all iterations under one
+        ``lax.scan``, warm-starting from the previous tick's carry."""
+
+        def snapshot(st: dict) -> dict:
+            return {k: v for k, v in st.items() if not k.startswith("_msg:")}
+
+        def scan_sweeps(state, chain_cross, data, n, fe_head):
+            def body(carry, _):
+                st, cr = carry
+                st, cr = self._sweep_once(dict(st), dict(cr), data)
+                f = (
+                    self._free_energy(st, cr, data)
+                    if free_energy else jnp.zeros(())
+                )
+                ys = (snapshot(st), f) if keep_each else f
+                return (st, cr), ys
+
+            history: list = []
+            if n > 0:
+                (state, chain_cross), ys = jax.lax.scan(
+                    body, (state, chain_cross), None, length=n
+                )
+                stacked, fes = ys if keep_each else (None, ys)
+                if keep_each:
+                    history = [
+                        jax.tree_util.tree_map(lambda a, _i=i: a[_i], stacked)
+                        for i in range(n)
+                    ]
+            else:
+                fes = jnp.zeros((0,))
+            fe_arr = (
+                jnp.concatenate([fe_head, fes]) if free_energy
+                else jnp.zeros((0,))
+            )
+            return state, chain_cross, fe_arr, history
+
+        if cold:
+            def program(data: dict):
+                state = self._init_state()
+                chain_cross: dict = {}
+                state, chain_cross = self._sweep_once(state, chain_cross, data)
+                fe0 = (
+                    self._free_energy(state, chain_cross, data)[None]
+                    if free_energy else jnp.zeros((0,))
+                )
+                head_hist = [snapshot(state)] if keep_each else []
+                state, chain_cross, fe_arr, history = scan_sweeps(
+                    state, chain_cross, data, iterations - 1, fe0
+                )
+                return state, fe_arr, head_hist + history, chain_cross
+        else:
+            def program(data: dict, state: dict, chain_cross: dict):
+                return_state, chain_cross, fe_arr, history = scan_sweeps(
+                    dict(state), dict(chain_cross), data, iterations,
+                    jnp.zeros((0,)),
+                )
+                return return_state, fe_arr, history, chain_cross
+
+        return program
+
+    def run_tick(self, data: dict, iterations: int, free_energy: bool,
+                 keep_each: bool = False, carry=None):
+        """Execute one streaming tick; ``carry`` is the previous tick's
+        ``(state, chain_cross)`` or None for a cold start.  Returns
+        ``(state, fe, history, carry')``."""
+        data = {k: jnp.asarray(np.asarray(v), jnp.float32)
+                for k, v in data.items()}
+        cold = carry is None
+        key = ("tick", cold, iterations, free_energy, keep_each)
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                self.make_tick_program(iterations, free_energy, keep_each,
+                                       cold)
+            )
+        if cold:
+            state, fe, history, cross = self._jitted[key](data)
+        else:
+            state, fe, history, cross = self._jitted[key](
+                data, carry[0], carry[1]
+            )
+        return state, fe, history, (state, cross)
 
     def make_sweep_fn(self, free_energy: bool):
         """One jitted VMP sweep as a pure carry function (host-loop mode for

@@ -36,41 +36,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import gammaln, logsumexp
+from jax.scipy.special import logsumexp
 
 from ..dists import PointMass
-from ..dists.natural import family_key, to_natural
+from ..dists.natural import family_key, log_partition, to_natural
 from ..graph.ir import Const, Ref
 
-
-def log_partition(family: str, nat: tuple):
-    """A(η) for unit-base-measure families (broadcasts over leading axes)."""
-    if family == "gaussian":
-        xi, w = nat
-        return 0.5 * xi * xi / w + 0.5 * jnp.log(2.0 * jnp.pi / w)
-    if family == "mv_gaussian":
-        xi, w = nat
-        d = xi.shape[-1]
-        sol = jnp.linalg.solve(w, xi[..., None])[..., 0]
-        _, logdet = jnp.linalg.slogdet(w)
-        return (0.5 * jnp.einsum("...i,...i->...", xi, sol)
-                + 0.5 * (d * jnp.log(2.0 * jnp.pi) - logdet))
-    if family == "beta":
-        a, b = nat[0] + 1.0, nat[1] + 1.0
-        return gammaln(a) + gammaln(b) - gammaln(a + b)
-    if family == "gamma":
-        return gammaln(nat[0] + 1.0) - (nat[0] + 1.0) * jnp.log(nat[1])
-    if family == "dirichlet":
-        alpha = nat[0] + 1.0
-        return jnp.sum(gammaln(alpha), axis=-1) - gammaln(
-            jnp.sum(alpha, axis=-1))
-    if family == "bernoulli":
-        return jax.nn.softplus(nat[0])
-    if family == "categorical":
-        return logsumexp(nat[0], axis=-1)
-    raise NotImplementedError(
-        f"log_partition for family {family!r} is not available."
-    )
+__all__ = ["log_partition", "inbound_evidence", "compute_logscales"]
 
 
 def _point_values(f, iface: str, x0, state, data):
@@ -156,7 +128,7 @@ def inbound_evidence(compiled, state: dict, data: dict, varname: str,
     return fam, nat_sum, c_total
 
 
-def _switch_log_weights(compiled, state, data, f, k: int):
+def _switch_log_weights(compiled, state, data, f):
     """Normalized prior log-weights of the mixture switch (its inbound
     message excluding the mixture factor)."""
     sw_ref = f.interfaces["switch"]
@@ -172,12 +144,14 @@ def _switch_log_weights(compiled, state, data, f, k: int):
     )
 
 
-def compute_logscales(compiled, state: dict, data: dict, fe_last) -> dict:
+def compute_logscales(compiled, state: dict, data: dict, fe_last=None) -> dict:
     """Per-variable log-scale map.  Non-mixture variables carry −FE (== log Z
-    on trees — the fast path); variables adjacent to a Mixture factor carry
-    their exact per-component evidences / mixture evidence."""
+    on trees — the fast path; ``None`` when FE is unavailable, e.g. mixture
+    models where the selection factor has no average energy); variables
+    adjacent to a Mixture factor carry their exact per-component evidences /
+    mixture evidence."""
     scales: dict = {}
-    default = -fe_last
+    default = None if fe_last is None else -fe_last
     for v in compiled.graph.random_variables():
         if not v.name.startswith("_"):
             scales[v.name] = default
@@ -201,14 +175,25 @@ def compute_logscales(compiled, state: dict, data: dict, fe_last) -> dict:
                 log_z.append(
                     log_partition(fam_k, eta_sum) + c_k + c_lik)
             log_z = jnp.stack(log_z)
-            log_w = _switch_log_weights(compiled, state, data, f, len(log_z))
+            log_w = _switch_log_weights(compiled, state, data, f)
             log_joint = log_w + log_z
             logz_mix = logsumexp(log_joint)
             for k, ref in enumerate(comp_refs):
                 scales[ref.var.name] = log_joint[k]
             scales[out_name] = logz_mix
             scales[f.interfaces["switch"].var.name] = logz_mix
-        except (NotImplementedError, KeyError, ValueError, TypeError):
-            # unsupported mixture structure: keep the −FE fast path
+        except (NotImplementedError, KeyError, ValueError, TypeError) as exc:
+            # Unsupported mixture structure: keep the −FE fast path, but SAY
+            # so — the user asked for per-component Bayes factors and would
+            # otherwise silently get a global evidence (round-2 verdict §7).
+            import warnings
+
+            warnings.warn(
+                "LogScaleAnnotations: per-component evidence analysis of the "
+                f"Mixture factor on {f.out.var.name!r} failed "
+                f"({type(exc).__name__}: {exc}); its variables fall back to "
+                "the global −FE evidence estimate.",
+                stacklevel=2,
+            )
             continue
     return scales

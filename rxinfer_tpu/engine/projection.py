@@ -128,7 +128,7 @@ def project_logpdf(family: str, logpdf_fn, initial, *, n_iters: int = 40,
     vec0, shapes = _flatten(eta0)
     p = vec0.shape[0]
     key = jax.random.PRNGKey(seed)
-    half = n_iters // 2
+    half = max(1, n_iters // 2)  # n_iters=1 must not divide the average by 0
 
     def body(i, carry):
         vec, avg = carry

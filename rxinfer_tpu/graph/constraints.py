@@ -1,12 +1,16 @@
 """Constraints specification (reference: GraphPPL @constraints DSL +
 src/constraints/form/*.jl form constraints).
 
-Factorization: the engine's default factorization is already the reference's
-common operating point — structured pairwise on chains, mean-field between
-variable groups (what @constraints MeanField() / q(x,y)=q(x)q(y) select in the
-reference test-suite).  ``MeanField()`` / ``factorize()`` specs are accepted and
-validated; requesting a *joint* (non-factorized) q across distinct groups is not
-supported yet and raises.
+Factorization: the engine's default factorization is the reference's common
+operating point — structured pairwise clusters on each node's BP cluster
+(chains exactly via scans; single-step Gaussian/GCV pairs via cavity
+messages, e.g. the HGF's joint q(xt, xt_min)), mean-field across parameter
+links.  ``factorize()`` pairs that cut INSIDE a node's structured cluster
+degrade that factor to mean-field (rule variants + FE accounting); pairs
+across the default mean-field boundary — e.g. the reference HGF constraint
+``q(xt, zt, xt_min) = q(xt, xt_min)q(zt)``, which only splits zt off the GCV
+cluster — validate as no-ops, KEEPING the joint pair.  ``MeanField()``
+splits everything.
 
 Functional-form constraints (reference src/constraints/form/):
   PointMassFormConstraint  — collapse a marginal to its MAP point

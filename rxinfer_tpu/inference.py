@@ -110,6 +110,23 @@ def _value_equal(a, b) -> bool:
             _value_equal(getattr(a, f.name), getattr(b, f.name))
             for f in dataclasses.fields(a)
         )
+    import types
+
+    if isinstance(a, (types.FunctionType, types.MethodType)):
+        # two fresh lambdas share type and an empty __dict__, so the vars()
+        # fallback would call them equal — compare code identity + closure
+        # VALUES instead: a user loop re-creating the same lambda still hits
+        # the cache, a changed callable misses it.
+        if isinstance(a, types.MethodType):
+            return (a.__func__.__code__ is b.__func__.__code__
+                    and _value_equal(a.__self__, b.__self__))
+        if a.__code__ is not b.__code__:
+            return False
+        ca, cb = a.__closure__ or (), b.__closure__ or ()
+        return len(ca) == len(cb) and all(
+            _value_equal(x.cell_contents, y.cell_contents)
+            for x, y in zip(ca, cb)
+        )
     if callable(a) and not hasattr(a, "__dict__"):
         return a is b
     if hasattr(a, "__dict__"):
@@ -153,6 +170,7 @@ def infer(
     options: Optional[dict] = None,
     iterations: Optional[int] = None,
     free_energy: bool = False,
+    free_energy_diagnostics: Any = "default",
     predictvars: Any = None,
     returnvars: Any = None,
     keephistory: int = 0,
@@ -179,6 +197,7 @@ def infer(
             initialization=initialization,
             iterations=iterations or 1,
             free_energy=free_energy,
+            free_energy_diagnostics=free_energy_diagnostics,
             keephistory=keephistory,
             options=options,
             uselock=uselock,
@@ -218,6 +237,7 @@ def infer(
                 model=model, data=data, initialization=initialization,
                 constraints=constraints, meta=meta, options=options,
                 iterations=iterations, free_energy=free_energy,
+                free_energy_diagnostics=free_energy_diagnostics,
                 predictvars=predictvars, returnvars=returnvars,
                 keephistory=keephistory, historyvars=historyvars,
                 showprogress=showprogress, callbacks=callbacks,
@@ -241,7 +261,49 @@ def infer(
             k: (v.data if isinstance(v, UnfactorizedData) else v)
             for k, v in data.items()
         }
+    # Reference defaults (src/inference/batch.jl:204-269): when `iterations`
+    # is a NUMBER the default keep-option is KeepEach (per-iteration
+    # posteriors/predictions); with iterations omitted it is KeepLast.
+    iterations_given = iterations is not None
     iterations = iterations or 1
+    default_keep = KeepEach() if iterations_given else KeepLast()
+
+    import numpy as _np
+
+    def _has_missing(v):
+        arr = _np.asarray(v)
+        return (_np.issubdtype(arr.dtype, _np.floating)
+                and bool(_np.isnan(arr).any()))
+
+    # predictvars derivation (batch.jl:202-245): a global KeepEach/KeepLast
+    # applies to every data variable; None derives predictions for every data
+    # entry containing missing (NaN) values; a list keeps final-state
+    # predictions; a dict is taken as-is — and data entries with missing
+    # values absent from it are injected with the default option.
+    derived_pv: set = set()
+    if isinstance(predictvars, (KeepEach, KeepLast)):
+        predictvars = {k: predictvars for k in data}
+    elif predictvars is None:
+        predictvars = {k: default_keep for k, v in data.items()
+                       if _has_missing(v)}
+        derived_pv = set(predictvars)
+    elif isinstance(predictvars, dict):
+        predictvars = dict(predictvars)
+    else:
+        predictvars = {k: KeepLast() for k in predictvars}
+    absent_pv = [k for k in predictvars if k not in data]
+    if absent_pv:
+        raise ValueError(
+            f"predictvars name data variables absent from data=: {absent_pv}. "
+            "This engine traces the model from the data SHAPES, so predict-"
+            "only variables must be passed as all-NaN arrays of the desired "
+            "shape (the reference injects `missing` scalars instead, "
+            "src/inference/batch.jl:231-235)."
+        )
+    for k, v in data.items():
+        if k not in predictvars and _has_missing(v):
+            predictvars[k] = default_keep
+            derived_pv.add(k)
     t0 = time.perf_counter()
 
     from .utils.callbacks import (
@@ -297,19 +359,31 @@ def infer(
         _COMPILE_CACHE[sig] = (compiled, constraints, meta, init_dists, options)
         registry.invoke("after_model_creation")
 
-    # returnvars: None (KeepLast all), a global KeepEach()/KeepLast(), or a
-    # per-variable dict {"x": KeepLast(), "tau": KeepEach()} (reference
-    # src/inference/batch.jl:259-276 — a dict also SELECTS which posteriors
+    # returnvars: None (the reference default — KeepEach when `iterations` is
+    # a number, KeepLast otherwise, src/inference/batch.jl:259-269), a global
+    # KeepEach()/KeepLast(), or a per-variable dict {"x": KeepLast(), "tau":
+    # KeepEach()} (batch.jl:259-276 — a dict also SELECTS which posteriors
     # are returned; unknown names warn and are ignored).
+    if returnvars is None:
+        returnvars = default_keep
     rv_dict = returnvars if isinstance(returnvars, dict) else None
-    keep_each = isinstance(returnvars, KeepEach) or (
+    rv_keep_each = isinstance(returnvars, KeepEach) or (
         rv_dict is not None
         and any(isinstance(v, KeepEach) for v in rv_dict.values())
     )
+    pv_keep_each = any(
+        isinstance(v, KeepEach) for v in predictvars.values()
+    )
+    # history is collected when either posteriors or predictions need it
+    keep_each = rv_keep_each or pv_keep_each
     # Log-scale annotations need the evidence estimate even when the user did
     # not ask for the FE trace (reference: annotations flow through rules; here
-    # the per-posterior log-scale IS −FE — exact log Z on trees).
-    need_fe = free_energy or annotations is not None
+    # the per-posterior log-scale IS −FE — exact log Z on trees).  Models with
+    # a generic Mixture factor are the exception: the selection factor has no
+    # average energy (BP-only, reference parity), so annotations compute exact
+    # per-component evidences WITHOUT the FE pass (engine/logscale.py).
+    has_mixture = any(f.fform == "Mixture" for f in compiled.graph.factors)
+    need_fe = free_energy or (annotations is not None and not has_mixture)
     registry.invoke("before_inference")
     if registry.empty:
         state, fe, history = compiled.run(
@@ -323,15 +397,51 @@ def infer(
         )
     registry.invoke("after_inference")
 
+    if need_fe:
+        # reference free_energy_diagnostics kwarg (inference.jl:553):
+        # default = NaN+Inf checks; None disables
+        from .diagnostics import (
+            DefaultObjectiveDiagnosticChecks,
+            apply_fe_diagnostics,
+        )
+
+        checks = (DefaultObjectiveDiagnosticChecks
+                  if free_energy_diagnostics == "default"
+                  else free_energy_diagnostics)
+        apply_fe_diagnostics(checks, fe)
+
     posteriors = _extract_posteriors(compiled, state)
     predictions = {}
     if predictvars:
         data_j = {k: jnp.asarray(v, jnp.float32) for k, v in data.items()}
-        for name in predictvars:
-            predictions[name] = compiled.predict(
-                state, data_j, name, structured=name in unfactorized
-            )
-    if keep_each:
+        for name, opt in predictvars.items():
+            struct = name in unfactorized
+            try:
+                if isinstance(opt, KeepEach) and history:
+                    predictions[name] = [
+                        compiled.predict(h, data_j, name, structured=struct)
+                        for h in history
+                    ]
+                else:
+                    predictions[name] = compiled.predict(
+                        state, data_j, name, structured=struct
+                    )
+            except (ValueError, NotImplementedError):
+                # auto-derived predictvars (missing-data entries) must not
+                # fail inference when the node has no prediction rule;
+                # explicitly requested ones propagate the error
+                if name not in derived_pv:
+                    raise
+                if warn_opt:
+                    import warnings
+
+                    warnings.warn(
+                        f"prediction for missing-data variable {name!r} is "
+                        "unavailable (no single defining factor / prediction "
+                        "rule); skipped.",
+                        stacklevel=2,
+                    )
+    if rv_keep_each:
         posteriors = {
             name: [_extract_posteriors(compiled, h)[name] for h in history]
             for name in posteriors
@@ -366,12 +476,33 @@ def infer(
 
         data_j = {k: jnp.asarray(_np.asarray(v), jnp.float32)
                   for k, v in data.items()}
-        scales = compute_logscales(compiled, state, data_j, fe[-1])
+        fe_last = fe[-1] if need_fe and int(jnp.size(fe)) else None
+        # One jitted program for the whole post-pass: its per-factor rule
+        # re-evaluations would otherwise dispatch op-by-op through the device
+        # tunnel (minutes on a remote TPU for a 20-factor model).
+        key = ("logscale", fe_last is not None)
+        if key not in compiled._jitted:
+            if fe_last is None:
+                compiled._jitted[key] = jax.jit(
+                    lambda st, d: compute_logscales(compiled, st, d, None)
+                )
+            else:
+                compiled._jitted[key] = jax.jit(
+                    lambda st, d, f: compute_logscales(compiled, st, d, f)
+                )
+        scales = (compiled._jitted[key](state, data_j)
+                  if fe_last is None
+                  else compiled._jitted[key](state, data_j, fe_last))
 
         def _wrap(d, it, name):
             if it == -1 or it == iterations - 1:
-                return Marginal(d, {"log_scale": scales.get(name, -fe[it])})
-            return Marginal(d, {"log_scale": -fe[it]})
+                s = scales.get(name)
+            else:
+                s = (-fe[it]) if need_fe else None
+            # a missing scale (no FE available and the variable is not
+            # mixture-adjacent) yields an annotation-free Marginal so
+            # getlogscale raises its pointed error instead of returning None
+            return Marginal(d, {"log_scale": s} if s is not None else {})
     else:
         def _wrap(d, it, name):  # noqa: ARG001
             return d
@@ -472,7 +603,7 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
                   free_energy: bool = False, initialization: Optional[dict] = None,
                   constraints: Any = None, meta: Any = None,
                   options: Optional[dict] = None, returnvars: Any = None,
-                  predictvars: Any = None):
+                  predictvars: Any = None, annotations: Any = None):
     """Batched inference over B independent datasets in one XLA program.
 
     Every value in ``data`` carries a leading batch axis; the model is traced
@@ -484,12 +615,22 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
     BASELINE "batched over 1k datasets" deployment shape at kernel-tier
     throughput.
 
-    Returns ``(posteriors, free_energy)``: every posterior's parameters carry
-    the leading batch axis (lists per iteration under
-    ``returnvars=KeepEach()``) and free_energy is the per-iteration trace of
-    shape ``(iterations, B)`` (or None)."""
+    Returns a ``BatchedInferenceResult`` — unpacks as ``(posteriors,
+    free_energy)``: every posterior's parameters carry the leading batch axis
+    (lists per iteration under ``returnvars=KeepEach()``), free_energy is the
+    per-iteration trace of shape ``(iterations, B)`` (or None), and
+    ``result.predictions`` carries the predictvars forward messages (always
+    present; the unpacking arity never changes)."""
     import numpy as np
 
+    if annotations is not None:
+        raise NotImplementedError(
+            "annotations=LogScaleAnnotations() is not supported by "
+            "infer_batched: the per-component evidence post-pass "
+            "(engine/logscale.py) runs host-side per dataset. Use "
+            "infer(..., annotations=...) per dataset, or free_energy=True "
+            "here for the batched (iterations, B) evidence trace (−FE)."
+        )
     keep_each = isinstance(returnvars, KeepEach)
     compiled, prog = batched_program(
         model, data, iterations=iterations, free_energy=free_energy,
@@ -511,6 +652,29 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
             predictions[name] = jax.vmap(
                 lambda st, d, _n=name: compiled.predict(st, d, _n)
             )(state, data_dev)
-    if predictvars:
-        return posteriors, (fe if free_energy else None), predictions
-    return posteriors, (fe if free_energy else None)
+    return BatchedInferenceResult(
+        posteriors, fe if free_energy else None, predictions
+    )
+
+
+class BatchedInferenceResult(tuple):
+    """``(posteriors, free_energy)`` pair that ALWAYS unpacks 2-ary —
+    predictions (and the attribute forms) ride along instead of changing the
+    tuple arity when ``predictvars`` is given."""
+
+    def __new__(cls, posteriors, free_energy, predictions):
+        obj = super().__new__(cls, (posteriors, free_energy))
+        obj._predictions = predictions
+        return obj
+
+    @property
+    def posteriors(self):
+        return self[0]
+
+    @property
+    def free_energy(self):
+        return self[1]
+
+    @property
+    def predictions(self):
+        return self._predictions

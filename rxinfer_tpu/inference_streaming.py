@@ -132,6 +132,7 @@ class RxInferenceEngine:
 
     def __init__(self, model, autoupdates_spec: autoupdates,
                  iterations: int = 1, free_energy: bool = False,
+                 free_energy_diagnostics="default",
                  keephistory: int = 0, options: Optional[dict] = None,
                  event_callbacks: Optional[dict] = None,
                  initialization: Optional[dict] = None,
@@ -144,6 +145,7 @@ class RxInferenceEngine:
         self.args = dict(autoupdates_spec.initial)
         self.iterations = iterations
         self.free_energy = free_energy
+        self.free_energy_diagnostics = free_energy_diagnostics
         self.keephistory = keephistory
         self.options = options
         self.initialization = initialization
@@ -156,6 +158,11 @@ class RxInferenceEngine:
         self.fe_history: list = []
         self.posteriors: Optional[dict] = None
         self._compiled: Optional[CompiledModel] = None
+        # persistent per-engine marginal carry (state, chain_cross):
+        # reference parity — marginal streams keep their latest values across
+        # observations; only autoupdated priors change per tick
+        # (src/inference/streaming.jl:311-436)
+        self._carry = None
         self._jitted: dict = {}
         self.events: list[RxInferenceEvent] = []
         # name -> list of handlers; plus recorders receiving EVERY event
@@ -223,6 +230,7 @@ class RxInferenceEngine:
                 graph, init=self.initialization, options=self.options,
                 constraints=self.constraints, meta=self.meta,
             )
+            self._carry = None
             self._fire("after_model_creation")
 
     def _extract(self, state: dict) -> dict:
@@ -272,9 +280,9 @@ class RxInferenceEngine:
         self._fire("before_auto_update")
         self._fire("after_auto_update")
         self._fire("before_data_update", obs)
-        state, fe, history_states = self._compiled.run(
+        state, fe, history_states, self._carry = self._compiled.run_tick(
             data, iterations=self.iterations, free_energy=self.free_energy,
-            keep_each=self._need_keep_each,
+            keep_each=self._need_keep_each, carry=self._carry,
         )
         raw = self._extract(state)
         self.posteriors = self._postprocess(raw, fe if self.free_energy
@@ -296,7 +304,8 @@ class RxInferenceEngine:
         fn = self._jitted[key]
         data_j = {k: jnp.asarray(np.asarray(v), jnp.float32)
                   for k, v in data.items()}
-        carry = (compiled._init_state(), {})
+        carry = self._carry if self._carry is not None else (
+            compiled._init_state(), {})
         fes, history_states = [], []
         for i in range(self.iterations):
             self._fire("before_iteration", {"iteration": i})
@@ -317,6 +326,7 @@ class RxInferenceEngine:
             if ev.stop_iteration:
                 break
         fe_arr = jnp.stack(fes) if fes else jnp.zeros((0,))
+        self._carry = carry  # persistent marginals across ticks
         state = carry[0]
         raw = self._extract(state)
         self.posteriors = self._postprocess(
@@ -342,6 +352,15 @@ class RxInferenceEngine:
                           {k: jnp.asarray(v) for k, v in data.items()}),
         )
         if self.free_energy:
+            from .diagnostics import (
+                DefaultObjectiveDiagnosticChecks,
+                apply_fe_diagnostics,
+            )
+
+            checks = (DefaultObjectiveDiagnosticChecks
+                      if self.free_energy_diagnostics == "default"
+                      else self.free_energy_diagnostics)
+            apply_fe_diagnostics(checks, fe)
             self.fe_history.append(fe)
         if self.keephistory:
             self._fire("before_history_save")
@@ -379,21 +398,48 @@ class RxInferenceEngine:
         first = {k: jnp.asarray(v[0], jnp.float32) for k, v in observations.items()}
         self._ensure_compiled(first)
         compiled = self._compiled
-        program = compiled.make_program(self.iterations, self.free_energy, False)
+        cold = compiled.make_tick_program(
+            self.iterations, self.free_energy, False, cold=True)
+        warm = compiled.make_tick_program(
+            self.iterations, self.free_energy, False, cold=False)
         au = self.autoupdates
 
         from .inference import _extract_posteriors
 
-        def step(args, obs_t):
-            data_t = {**obs_t, **args}
-            state, fe, _ = program(data_t)
-            post = _extract_posteriors(compiled, state)
-            return au(post, _MessageFetch(compiled, state, data_t)), (post, fe)
-
         obs_arrays = {
             k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in observations.items()
         }
-        final_args, (posts, fes) = jax.lax.scan(step, dict(self.args), obs_arrays)
+        # tick 0: cold start from the initialization; later ticks warm-start
+        # from the previous tick's marginals (persistent streams, reference
+        # src/inference/streaming.jl:311-436)
+        obs0 = {k: v[0] for k, v in obs_arrays.items()}
+        data0 = {**obs0, **dict(self.args)}
+        state, fe0, _, cross = cold(data0)
+        post0 = _extract_posteriors(compiled, state)
+        args1 = au(post0, _MessageFetch(compiled, state, data0))
+
+        def step(carry, obs_t):
+            args, st, cr = carry
+            data_t = {**obs_t, **args}
+            st, fe, _, cr = warm(data_t, st, cr)
+            post = _extract_posteriors(compiled, st)
+            nxt = au(post, _MessageFetch(compiled, st, data_t))
+            return (nxt, st, cr), (post, fe)
+
+        t_total = next(iter(obs_arrays.values())).shape[0]
+        if t_total > 1:
+            rest = {k: v[1:] for k, v in obs_arrays.items()}
+            (final_args, _, _), (posts, fes) = jax.lax.scan(
+                step, (args1, state, cross), rest
+            )
+            posts = jax.tree_util.tree_map(
+                lambda h, r: jnp.concatenate([h[None], r]), post0, posts
+            )
+            fes = jnp.concatenate([fe0[None], fes])
+        else:
+            final_args = args1
+            posts = jax.tree_util.tree_map(lambda h: h[None], post0)
+            fes = fe0[None]
         self.args = {k: v for k, v in final_args.items()}
         return posts, fes
 
@@ -427,7 +473,8 @@ class RxInferenceEngine:
 
 
 def streaming_infer(model, datastream, autoupdates, initialization=None,
-                    iterations=1, free_energy=False, keephistory=0,
+                    iterations=1, free_energy=False,
+                    free_energy_diagnostics="default", keephistory=0,
                     options=None, uselock=False, constraints=None, meta=None,
                     callbacks=None, returnvars=None, historyvars=None,
                     annotations=None, postprocess=None, benchmark=False,
@@ -445,7 +492,9 @@ def streaming_infer(model, datastream, autoupdates, initialization=None,
     warn = True if options is None else options.get("warn", True)
     engine = RxInferenceEngine(
         model, autoupdates, iterations=iterations,
-        free_energy=free_energy, keephistory=keephistory, options=options,
+        free_energy=free_energy,
+        free_energy_diagnostics=free_energy_diagnostics,
+        keephistory=keephistory, options=options,
         initialization=initialization, uselock=uselock,
         constraints=constraints, meta=meta, event_callbacks=callbacks,
         returnvars=returnvars, historyvars=historyvars,

@@ -66,7 +66,7 @@ def _solve(a, b):
     vs <1 ms closed-form.  (An earlier measurement claiming the opposite used
     jax.block_until_ready, which does NOT actually block through the remote
     tunnel.)  d > 4 falls back to LU inside small_solve."""
-    return small_solve(a, b)
+    return small_solve(a, b, matrix=True)
 
 
 # ---------------------------------------------------------------------------------
@@ -220,7 +220,7 @@ def _make_filter_elements_soa(p: ChainParams):
     # on a single (..., d, d) matrix, then appended as a length-1 time slice.
     w_post0 = pd_inverse(p.P0) + p.W[..., 0, :, :]
     c0 = pd_inverse(w_post0)
-    rhs0 = small_solve(p.P0, p.m0) + p.xi[..., 0, :]
+    rhs0 = small_solve(p.P0, p.m0, matrix=False) + p.xi[..., 0, :]
     m0f = jnp.einsum("...ij,...j->...i", c0, rhs0)
     z_m = jnp.zeros_like(c0)
 
@@ -499,7 +499,7 @@ def chain_log_evidence(
     diff = y - mu_y
     s = _symmetrize(s)
     if s.shape[-1] <= 4:
-        maha = jnp.sum(diff * small_solve(s, diff), axis=-1)
+        maha = jnp.sum(diff * small_solve(s, diff, matrix=False), axis=-1)
         logdet = small_logdet(s)
     else:
         chol = jnp.linalg.cholesky(s)

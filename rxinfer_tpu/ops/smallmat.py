@@ -167,13 +167,19 @@ def small_inv_and_logdet(m):
     return small_inv(m), small_logdet(m)
 
 
-def small_solve(m, x):
+def small_solve(m, x, *, matrix=None):
     """solve(m, x) via closed-form inverse for d ≤ 8.
 
-    ``x`` is a matrix RHS only when its ndim matches ``m`` and its second-to-
-    last axis is d; any other shape is batched VECTORS (broadcast against
-    ``m``'s batch — e.g. logpdf of (S, d) points under one (d, d) cov)."""
-    is_matrix = x.ndim == m.ndim and x.shape[-2] == m.shape[-1]
+    ``matrix=True``: x is a matrix RHS (..., d, k); ``matrix=False``: x is
+    batched VECTORS (..., d) broadcast against ``m``'s batch.  ``None`` keeps
+    the legacy shape heuristic (matrix iff ndim matches and x.shape[-2] == d)
+    — ambiguous when a batch of exactly d vectors of dimension d is passed
+    (e.g. d samples under one (d, d) cov), so call sites that can hit that
+    shape MUST pass the flag explicitly."""
+    is_matrix = (
+        matrix if matrix is not None
+        else x.ndim == m.ndim and x.shape[-2] == m.shape[-1]
+    )
     if m.shape[-1] > 8:
         if is_matrix:
             return jnp.linalg.solve(m, x)

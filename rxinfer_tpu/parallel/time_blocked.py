@@ -97,7 +97,7 @@ def _block_smoother(m0, p0, f_full, b_full, q_full, f_shift, b_shift, q_shift,
     # shard 0, slot 0: exact filtered prior element
     w_post0 = pd_inverse(p0) + w[0]
     c0 = pd_inverse(w_post0)
-    m0f = c0 @ (small_solve(p0, m0) + xi[0])
+    m0f = c0 @ (small_solve(p0, m0, matrix=False) + xi[0])
     prior_elem = (jnp.zeros((d, d)), m0f, c0, jnp.zeros((d,)), jnp.zeros((d, d)))
     slot0 = _tree_where(p_idx == 0,
                         prior_elem,
@@ -117,7 +117,7 @@ def _block_smoother(m0, p0, f_full, b_full, q_full, f_shift, b_shift, q_shift,
     # ---- backward (smoothing) ----
     def make_s(mf, cf, f, b, q):
         p_pred = _symmetrize(f @ cf @ f.T + q)
-        e = small_solve(p_pred, f @ cf).T
+        e = small_solve(p_pred, f @ cf, matrix=True).T
         g = mf - e @ (f @ mf + b)
         l = _symmetrize(cf - e @ p_pred @ e.T)
         return e, g, l

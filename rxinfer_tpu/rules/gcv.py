@@ -34,12 +34,21 @@ def _const(q, name, default=None):
 
 
 def _delta2(q):
-    """E[(out - in)^2] under the structured pairwise marginal."""
+    """E[(out - in)^2] under the structured pairwise marginal.
+
+    The cross term is clamped to the Cauchy-Schwarz bound of the MARGINAL
+    variances: mid-iteration the cavity-reconstructed cross can transiently
+    exceed it (improper cavities under fast volatility), which would make the
+    expected squared step negative and blow up the z-message quadrature."""
     m_out, v_out = e_mean(q["out"]), e_var(q["out"])
     m_in, v_in = e_mean(q["in"]), e_var(q["in"])
     cross = q.get("joint")
-    c = cross if cross is not None else 0.0
-    return v_out + v_in - 2.0 * c + (m_out - m_in) ** 2
+    if cross is None:
+        c = 0.0
+    else:
+        bound = 0.999 * jnp.sqrt(jnp.clip(v_out * v_in, 0.0))
+        c = jnp.clip(cross, -bound, bound)
+    return jnp.clip(v_out + v_in - 2.0 * c + (m_out - m_in) ** 2, 1e-10)
 
 
 def expected_precision(q):
@@ -54,41 +63,73 @@ def expected_precision(q):
 class GCVNode:
     interfaces = ("out", "in", "z", "kappa", "omega")
     needs_self_marginal = True  # message_to_z divides out q(z)
+    # Structured default: q(out, in) stays a joint cluster with q(z) across
+    # the mean-field split — the reference HGF constraint
+    # ``q(xt, zt, xt_min) = q(xt, xt_min)q(zt)``
+    # (test/models/statespace/hgf_tests.jl:34-36) is this engine's default
+    # for single-step GCV factors; the engine reconstructs the pair joint
+    # from cavity messages (engine/blocks.py attach_gcv_pair_cross).
+    cavity_cluster = ("out", "in")
 
     @staticmethod
     def message_to_out(q):
+        """Structured-BP message: convolve the in-edge cavity with the
+        expected-precision noise (exact for the joint (out,in) cluster).
+        A transiently negative cavity variance (EP-style improper cavity)
+        is floored so the outgoing message stays a proper density."""
+        from ..dists import NormalMeanVariance
+
+        v = e_var(q["in"]) + 1.0 / expected_precision(q)
+        return NormalMeanVariance(e_mean(q["in"]), jnp.clip(v, 1e-8))
+
+    @staticmethod
+    def message_to_in(q):
+        from ..dists import NormalMeanVariance
+
+        v = e_var(q["out"]) + 1.0 / expected_precision(q)
+        return NormalMeanVariance(e_mean(q["out"]), jnp.clip(v, 1e-8))
+
+    @staticmethod
+    def vmp_message_to_out(q):
+        """Mean-field variant (factorized q(out)q(in) by constraint)."""
         return NormalWeightedMeanPrecision(
             e_mean(q["in"]) * expected_precision(q), expected_precision(q)
         )
 
     @staticmethod
-    def message_to_in(q):
+    def vmp_message_to_in(q):
         p = expected_precision(q)
         return NormalWeightedMeanPrecision(e_mean(q["out"]) * p, p)
 
     @staticmethod
     def message_to_z(q):
         """Tilted moment matching: q*(z) ∝ q(z) exp(-(kz+w)/2 - d2/2 e^{-kz-w});
-        message = q*/q via natural subtraction (GH quadrature per copy)."""
+        message = q*/q via natural subtraction (GH quadrature per copy).
+
+        Stabilized by the MAX of the log-likelihood over the quadrature grid
+        (not its value at the mean): when d2 is large the tilted density
+        peaks many natural-widths away from the current mean and a mean-point
+        stabilizer overflows float32 (exp(>88))."""
+        import numpy as np
+
         k = _const(q, "kappa", 1.0)
         w = _const(q, "omega", 0.0)
         d2 = _delta2(q)
-        mz, vz = e_mean(q["z"]), e_var(q["z"])
+        mz, vz = jnp.asarray(e_mean(q["z"])), jnp.asarray(e_var(q["z"]))
 
-        def logl(z):  # z has a trailing quadrature axis
-            return -0.5 * (k * z + w) - 0.5 * d2[..., None] * jnp.exp(-k * z - w)
-
-        # stabilizer: log-likelihood at the current mean (no quadrature axis)
-        logl0 = -0.5 * (k * mz + w) - 0.5 * d2 * jnp.exp(-k * mz - w)
-
-        # normalized tilted moments by quadrature under q(z)
-        w0 = _gauss_hermite(lambda z: jnp.exp(logl(z) - logl0[..., None]), mz, vz)
-        m1 = _gauss_hermite(
-            lambda z: z * jnp.exp(logl(z) - logl0[..., None]), mz, vz
-        ) / w0
-        m2 = _gauss_hermite(
-            lambda z: z * z * jnp.exp(logl(z) - logl0[..., None]), mz, vz
-        ) / w0
+        xg, wg = np.polynomial.hermite_e.hermegauss(31)
+        xg = jnp.asarray(xg, jnp.float32)
+        wg = jnp.asarray(wg, jnp.float32)
+        wg = wg / jnp.sum(wg)
+        pts = mz[..., None] + jnp.sqrt(vz)[..., None] * xg   # (..., Q)
+        logl = -0.5 * (k * pts + w) - 0.5 * d2[..., None] * jnp.exp(
+            -k * pts - w
+        )
+        logl = logl - jnp.max(logl, axis=-1, keepdims=True)
+        tw = wg * jnp.exp(logl)
+        w0 = jnp.sum(tw, axis=-1)
+        m1 = jnp.sum(tw * pts, axis=-1) / w0
+        m2 = jnp.sum(tw * pts * pts, axis=-1) / w0
         vt = jnp.clip(m2 - m1 * m1, 1e-8)
         w_msg = 1.0 / vt - 1.0 / vz
         xi_msg = m1 / vt - mz / vz

@@ -33,6 +33,7 @@ def _gauss_hermite(fn, m, v, n=_GH_POINTS):
     x = jnp.asarray(x, jnp.float32)
     w = jnp.asarray(w / np.sqrt(2 * np.pi) * np.sqrt(2 * np.pi), jnp.float32)
     w = w / jnp.sum(w)
+    m, v = jnp.asarray(m), jnp.asarray(v)
     pts = m[..., None] + jnp.sqrt(v)[..., None] * x
     return jnp.sum(w * fn(pts), axis=-1)
 
@@ -233,44 +234,109 @@ class SoftDotNode:
 
 @node("Mixture")
 class MixtureNode:
-    """Generic mixture: out = comp_{switch} (reference Mixture(switch=...)).
+    """Generic family-agnostic mixture: out = comp_{switch} (reference
+    ``Mixture(switch=...)``, exercised by
+    test/models/mixtures/mixture_tests.jl:60-109).
 
-    Gaussian moment-matched messages; components are Gaussian-family marginals."""
+    Belief-propagation node (``uses_cavity``: the engine hands every rule the
+    inbound MESSAGES on the other edges — marginal ÷ this node's previous
+    outbound, exact at the fixed point):
+
+      to out    — ``MixtureDist(switch-message weights, [m_comp_k ...])``;
+                  its product with the conjugate likelihood distributes over
+                  components, so the out posterior is a true mixture whose
+                  ``component(k)`` equals the standalone model's posterior and
+                  whose ``weights`` equal the switch responsibilities.
+      to comp_k — pass-through of ``m_out`` (the out-edge cavity message):
+                  q(comp_k) = prior_k × m_out, the reference semantics.
+      to switch — per-component log-evidences ``log Z_k = A(η_k + η_out) −
+                  A(η_k)`` (the shared −A(η_out) cancels in normalization).
+
+    BP-only, like the reference: there is no average energy for the selection
+    factor — evidence/Bayes factors flow through LogScaleAnnotations instead
+    of Bethe FE."""
+
+    uses_cavity = True
 
     @staticmethod
     def _k(q):
         return sum(1 for key in q if key.startswith("comp"))
 
+    @staticmethod
+    def _switch_logw(d):
+        """Normalized (K,) log-weights from a Categorical or Bernoulli switch
+        message (reference uses both; Bernoulli maps to [log(1-p), log p])."""
+        from ..dists import BernoulliLogits
+        from ..dists.natural import to_natural
+
+        if isinstance(d, (Bernoulli, BernoulliLogits)):
+            logit = to_natural(d)[0]
+            return jnp.stack(
+                [-jax.nn.softplus(logit), -jax.nn.softplus(-logit)], axis=-1
+            )
+        return jax.nn.log_softmax(d.logits, axis=-1)
+
+    @staticmethod
+    def _require_plain(d, edge):
+        from ..dists.mixture import MixtureDist
+        from ..dists.natural import family_key, from_natural, to_natural
+
+        if isinstance(d, MixtureDist):
+            raise TypeError(
+                f"Mixture node: the {edge} edge carries a mixture-valued "
+                "message where a plain conjugate message is required; "
+                "initialize the mixture output with a plain (single-family) "
+                "distribution."
+            )
+        # canonicalize to the natural carrier class: the scan-carried message
+        # store needs a STABLE pytree type across sweeps (a Gaussian arrives
+        # as mean-variance on the init sweep but weighted-mean-precision from
+        # cavity division afterwards)
+        return from_natural(family_key(d), to_natural(d))
+
     @classmethod
     def message_to_out(cls, q):
-        from ..dists import NormalMeanVariance
+        from ..dists.mixture import MixtureDist
 
         k = cls._k(q)
-        r = q["switch"].mean()
-        m = sum(r[..., i] * e_mean(q[f"comp{i}"]) for i in range(k))
-        second = sum(
-            r[..., i] * (e_var(q[f"comp{i}"]) + e_mean(q[f"comp{i}"]) ** 2)
-            for i in range(k)
-        )
-        return NormalMeanVariance(m, jnp.clip(second - m * m, 1e-10))
+        comps = tuple(
+            cls._require_plain(q[f"comp{i}"], f"comp{i}") for i in range(k)
+        )  # canonical carriers: the stored MixtureDist must be scan-stable
+        return MixtureDist(cls._switch_logw(q["switch"]), comps)
 
     @classmethod
     def message_to_switch(cls, q):
+        from ..dists.natural import family_key, log_partition, to_natural
+
         k = cls._k(q)
-        m_out, v_out = e_mean(q["out"]), e_var(q["out"])
+        out = cls._require_plain(q["out"], "out")
+        fam = family_key(out)
+        eta_out = to_natural(out)
         logits = []
         for i in range(k):
-            mi, vi = e_mean(q[f"comp{i}"]), e_var(q[f"comp{i}"])
-            s = v_out + vi
-            logits.append(-0.5 * (jnp.log(s) + (m_out - mi) ** 2 / s))
+            eta_k = to_natural(q[f"comp{i}"])
+            eta = tuple(a + b for a, b in zip(eta_k, eta_out))
+            logits.append(log_partition(fam, eta) - log_partition(fam, eta_k))
+        # always a Categorical carrier; the engine coerces it to a Bernoulli
+        # for 2-component mixtures with a Bernoulli switch prior
+        # (dists/natural.py coerce_message_family)
         return Categorical(jnp.stack(logits, axis=-1))
 
     @classmethod
     def _message_to_comp_i(cls, q, i):
-        r = q["switch"].mean()[..., i]
-        m_out, v_out = e_mean(q["out"]), e_var(q["out"])
-        w = r / jnp.clip(v_out, 1e-10)
-        return NormalWeightedMeanPrecision(w * m_out, w)
+        del i  # every component receives the same out-edge cavity message
+        return cls._require_plain(q["out"], "out")
+
+    @staticmethod
+    def average_energy(q):
+        raise NotImplementedError(
+            "free_energy=True is not supported with the generic Mixture node "
+            "— it is a belief-propagation selection factor with no average "
+            "energy (reference parity: mixture models use "
+            "annotations=LogScaleAnnotations() for evidence / Bayes factors, "
+            "test/models/mixtures/mixture_tests.jl:60-109; VMP mixtures use "
+            "NormalMixture/GammaMixture instead)."
+        )
 
 
 def _mixture_getattr(name):

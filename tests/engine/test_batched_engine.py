@@ -40,7 +40,7 @@ def test_lgssm_batched_uses_fused_kernel_and_matches_infer():
                                  free_energy=True)
     assert fe.shape == (1, B)
     for i in (0, B - 1):
-        ref = rx.infer(model=gen, data={"y": y[i]}, iterations=1,
+        ref = rx.infer(returnvars=rx.KeepLast(), model=gen, data={"y": y[i]}, iterations=1,
                        free_energy=True)
         np.testing.assert_allclose(
             np.asarray(posts["x"].mean())[i],
@@ -61,7 +61,7 @@ def test_lgssm_batched_missing_data_falls_back_and_stays_correct():
     y[1, 7] = np.nan
 
     posts, _ = rx.infer_batched(gen, {"y": y}, iterations=1)
-    ref = rx.infer(model=gen, data={"y": y[1]}, iterations=1)
+    ref = rx.infer(returnvars=rx.KeepLast(), model=gen, data={"y": y[1]}, iterations=1)
     np.testing.assert_allclose(
         np.asarray(posts["x"].mean())[1],
         np.asarray(ref.posteriors["x"].mean()), atol=2e-5)
@@ -76,7 +76,7 @@ def test_lgssm_batched_fused_kernels_option_off():
     assert build_plans(compiled, {"y": y[0]}) == {}
     posts, _ = rx.infer_batched(gen, {"y": y}, iterations=1,
                                 options={"fused_kernels": False})
-    ref = rx.infer(model=gen, data={"y": y[0]}, iterations=1)
+    ref = rx.infer(returnvars=rx.KeepLast(), model=gen, data={"y": y[0]}, iterations=1)
     np.testing.assert_allclose(
         np.asarray(posts["x"].mean())[0],
         np.asarray(ref.posteriors["x"].mean()), atol=2e-5)
@@ -110,7 +110,7 @@ def test_hmm_batched_fused_forward_backward_matches_infer():
                                  free_energy=True, initialization=init)
     assert fe.shape == (8, B)
     for i in (0, B - 1):
-        ref = rx.infer(model=gen, data={"y": y1[i]}, iterations=8,
+        ref = rx.infer(returnvars=rx.KeepLast(), model=gen, data={"y": y1[i]}, iterations=8,
                        free_energy=True, initialization=init)
         np.testing.assert_allclose(
             np.asarray(posts["s"].logits)[i]
@@ -180,7 +180,7 @@ def test_batched_chain_with_random_noise_falls_back_to_vmap():
     posts, fe = rx.infer_batched(rw, {"y": y}, iterations=5,
                                  free_energy=True, initialization=init)
     for i in (0, 2):
-        ref = rx.infer(model=rw, data={"y": y[i]}, iterations=5,
+        ref = rx.infer(returnvars=rx.KeepLast(), model=rw, data={"y": y[i]}, iterations=5,
                        free_energy=True, initialization=init)
         np.testing.assert_allclose(
             np.asarray(posts["x"].mean())[i],
@@ -197,10 +197,13 @@ def test_batched_predictvars():
     rng = np.random.default_rng(4)
     B, T = 3, 25
     y = rng.standard_normal((B, T, 2)).astype(np.float32)
-    posts, fe, preds = rx.infer_batched(gen, {"y": y}, iterations=1,
-                                        predictvars=["y"])
+    result = rx.infer_batched(gen, {"y": y}, iterations=1,
+                              predictvars=["y"])
+    posts, fe = result  # arity stays 2 with predictvars (no 3-tuple trap)
+    preds = result.predictions
+    assert result.posteriors is posts and result.free_energy is fe
     assert np.asarray(preds["y"].mean()).shape == (B, T, 2)
-    ref = rx.infer(model=gen, data={"y": y[0]}, iterations=1,
+    ref = rx.infer(returnvars=rx.KeepLast(), model=gen, data={"y": y[0]}, iterations=1,
                    predictvars=["y"])
     np.testing.assert_allclose(np.asarray(preds["y"].mean())[0],
                                np.asarray(ref.predictions["y"].mean()),
@@ -228,3 +231,103 @@ def test_per_step_xi_kernel_matches_xla_forward_backward():
                                    atol=2e-5)
         np.testing.assert_allclose(np.asarray(g)[:, b], np.asarray(res.gammas),
                                    atol=2e-5)
+
+
+def _noisy_obs_model(T):
+    @rx.model
+    def m(y, v):
+        x = rx.latent(T, name="x")
+        x[0] = rx.Normal(mean=0.0, var=10.0)
+        for t in rx.plate(1, T):
+            x[t] = rx.Normal(mean=x[t - 1], var=1.0)
+        for t in rx.plate(T):
+            y[t] = rx.Normal(mean=x[t], var=v[t])
+        return {"x": x}
+
+    return m
+
+
+def test_batched_data_valued_noise_falls_back_and_stays_correct():
+    """Per-dataset observation noise passed as DATA makes the evidence
+    precision W batch-dependent: the constant-W kernel must refuse the plan
+    (baking W from batch element 0 silently corrupts every other element —
+    round-2 advisor finding) and the vmapped path must match per-dataset
+    infer for every element."""
+    rng = np.random.default_rng(7)
+    B, T = 3, 30
+    m = _noisy_obs_model(T)
+    # time-constant per dataset (so W IS time-invariant within element 0 —
+    # the exact shape that fooled the old numeric check), batch-varying
+    v = np.stack([np.full(T, s, np.float32) for s in (0.1, 1.0, 10.0)])
+    y = np.cumsum(rng.standard_normal((B, T)), axis=1).astype(np.float32)
+
+    compiled, _ = batched_program(m, {"y": y, "v": v}, iterations=1)
+    plans = build_plans(compiled, {"y": y[0], "v": v[0]})
+    assert plans == {}
+    report = compiled.plan_report()
+    assert report["x"]["fused"] is False
+    assert "data-valued" in report["x"]["reason"]
+
+    posts, _ = rx.infer_batched(m, {"y": y, "v": v}, iterations=1)
+    for i in range(B):
+        ref = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y[i], "v": v[i]}, iterations=1)
+        np.testing.assert_allclose(
+            np.asarray(posts["x"].mean())[i],
+            np.asarray(ref.posteriors["x"].mean()), atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(posts["x"].var())[i],
+            np.asarray(ref.posteriors["x"].var()), atol=3e-5)
+
+
+def test_plan_report_eligible_ineligible_and_warning():
+    """compiled.plan_report() names every chain block with fused/kernel or a
+    fallback reason; falling off the kernel tier warns (round-2 verdict #6)."""
+    gen = _lgssm_gen()
+    rng = np.random.default_rng(8)
+    y = rng.standard_normal((2, 31, 2)).astype(np.float32)
+    compiled, _ = batched_program(gen, {"y": y}, iterations=1)
+    rep = compiled.plan_report()
+    assert rep == {"x": {"fused": True, "kernel": "pallas_smoother"}}
+
+    # ineligible: random transition precision → reasoned fallback + warning
+    @rx.model
+    def rw(y):
+        T = len(y)
+        w = rx.Gamma(shape=1.0, rate=1.0)
+        x = rx.latent(T, name="x")
+        x[0] = rx.Normal(mean=0.0, var=10.0)
+        for t in rx.plate(1, T):
+            x[t] = rx.Normal(mean=x[t - 1], precision=w)
+        for t in rx.plate(T):
+            y[t] = rx.Normal(mean=x[t], var=0.5)
+        return {"x": x, "w": w}
+
+    y1 = np.cumsum(rng.standard_normal((2, 23)), axis=1).astype(np.float32)
+    init = {"w": GammaShapeRate(1.0, 1.0)}
+    with pytest.warns(UserWarning, match="fused Pallas"):
+        compiled2, _ = batched_program(rw, {"y": y1}, iterations=2,
+                                       initialization=init)
+    rep2 = compiled2.plan_report()
+    assert rep2["x"]["fused"] is False
+    assert "transition" in rep2["x"]["reason"]
+
+    # warn=False silences the fallback warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        y2 = np.cumsum(rng.standard_normal((2, 24)), axis=1).astype(np.float32)
+        batched_program(rw, {"y": y2}, iterations=2, initialization=init,
+                        options={"warn": False})
+
+    # the single-dataset path has no kernel tier to report
+    ref = rx.infer(returnvars=rx.KeepLast(), model=gen, data={"y": y[0]}, iterations=1)
+    with pytest.raises(ValueError, match="batched"):
+        ref.model.plan_report()
+
+
+def test_infer_batched_annotations_raise():
+    gen = _lgssm_gen()
+    y = np.zeros((2, 10, 2), np.float32)
+    with pytest.raises(NotImplementedError, match="annotations"):
+        rx.infer_batched(gen, {"y": y}, annotations=rx.LogScaleAnnotations())

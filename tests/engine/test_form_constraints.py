@@ -80,7 +80,7 @@ def test_pointmass_nonconjugate_map_through_infer():
 
     cs = rx.constraints(forms={"p": rx.PointMassFormConstraint(
         starting_point=np.float32(0.5), boundaries=(1e-3, 1 - 1e-3))})
-    res = rx.infer(model=coin, data={"y": y}, iterations=4, constraints=cs)
+    res = rx.infer(returnvars=rx.KeepLast(), model=coin, data={"y": y}, iterations=4, constraints=cs)
     q = res.posteriors["p"]
     assert isinstance(q, PointMass)
     k = float(y.sum())
@@ -144,7 +144,7 @@ def test_samplelist_nonconjugate_inference():
 
     cs = rx.constraints(forms={"theta": rx.SampleListFormConstraint(
         n_samples=20000, seed=2)})
-    res = rx.infer(model=m, data={"y": y}, iterations=4, constraints=cs,
+    res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=4, constraints=cs,
                    initialization={"theta": GammaShapeRate(2.0, 1.0)})
     q = res.posteriors["theta"]
 

@@ -134,7 +134,7 @@ def test_nonconjugate_inference_gamma_target():
 
     cs = rx.constraints(forms={"theta": rx.ProjectedTo("gamma",
                                                        n_samples=2048)})
-    res = rx.infer(model=m, data={"y": y}, iterations=6, constraints=cs,
+    res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=6, constraints=cs,
                    initialization={"theta": GammaShapeRate(2.0, 1.0)})
     q = res.posteriors["theta"]
 

@@ -28,7 +28,7 @@ def _coin_logZ(a, b, y):
 
 def test_logscale_equals_log_evidence_on_tree():
     y = np.array([1, 0, 1, 1, 0, 1, 1, 1, 0, 1], np.float32)
-    res = rx.infer(model=_coin_model(), data={"y": y}, iterations=2,
+    res = rx.infer(returnvars=rx.KeepLast(), model=_coin_model(), data={"y": y}, iterations=2,
                    annotations=rx.LogScaleAnnotations())
     post = res.posteriors["theta"]
     assert isinstance(post, rx.Marginal)
@@ -55,7 +55,7 @@ def test_logscale_bayes_factor():
 
     ls = []
     for (a, b) in ((8.0, 2.0), (2.0, 8.0)):
-        r = rx.infer(model=coin_with(a, b), data={"yy": y}, iterations=1,
+        r = rx.infer(returnvars=rx.KeepLast(), model=coin_with(a, b), data={"yy": y}, iterations=1,
                      annotations=rx.LogScaleAnnotations())
         ls.append(float(rx.getlogscale(r.posteriors["theta"])))
     exact = _coin_logZ(8.0, 2.0, y) - _coin_logZ(2.0, 8.0, y)

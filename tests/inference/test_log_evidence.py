@@ -19,7 +19,7 @@ def _model(prior_var):
 
 def test_log_evidence_exact_on_tree():
     y = np.asarray(0.7, np.float32)
-    res = rx.infer(model=_model(2.0), data={"y": y}, iterations=4,
+    res = rx.infer(returnvars=rx.KeepLast(), model=_model(2.0), data={"y": y}, iterations=4,
                    free_energy=True)
     v = 3.0
     exact = -0.5 * np.log(2 * np.pi * v) - 0.7**2 / (2 * v)
@@ -32,7 +32,7 @@ def test_bayes_factor_model_comparison():
     y = np.asarray(0.2, np.float32)
     le = []
     for pv in (0.5, 50.0):
-        res = rx.infer(model=_model(pv), data={"y": y}, iterations=4,
+        res = rx.infer(returnvars=rx.KeepLast(), model=_model(pv), data={"y": y}, iterations=4,
                        free_energy=True)
         le.append(float(res.log_evidence))
     exact_bf = (
@@ -45,7 +45,7 @@ def test_bayes_factor_model_comparison():
 
 
 def test_log_evidence_requires_fe():
-    res = rx.infer(model=_model(1.0), data={"y": np.asarray(0.0, np.float32)},
+    res = rx.infer(returnvars=rx.KeepLast(), model=_model(1.0), data={"y": np.asarray(0.0, np.float32)},
                    iterations=2)
     try:
         res.log_evidence
@@ -65,9 +65,9 @@ def test_init_message_parity():
         return {"mu": mu, "tau": tau}
 
     y = (1.0 + np.random.default_rng(0).standard_normal(50)).astype(np.float32)
-    r1 = rx.infer(model=gauss, data={"y": y}, iterations=10,
+    r1 = rx.infer(returnvars=rx.KeepLast(), model=gauss, data={"y": y}, iterations=10,
                   initialization={"tau": rx.InitMessage(GammaShapeRate(0.01, 0.01))})
-    r2 = rx.infer(model=gauss, data={"y": y}, iterations=10,
+    r2 = rx.infer(returnvars=rx.KeepLast(), model=gauss, data={"y": y}, iterations=10,
                   initialization={"tau": GammaShapeRate(0.01, 0.01)})
     assert np.isclose(float(r1.posteriors["mu"].mean()),
                       float(r2.posteriors["mu"].mean()), rtol=1e-6)

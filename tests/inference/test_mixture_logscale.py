@@ -56,7 +56,7 @@ def test_mixture_component_bayes_factors():
 
     from rxinfer_tpu.dists import Beta as BD, NormalMeanVariance
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=mix, data={"y": y}, iterations=10,
         annotations=rx.LogScaleAnnotations(),
         initialization={"in1": BD(4.0, 8.0), "in2": BD(8.0, 4.0),

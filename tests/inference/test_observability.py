@@ -28,7 +28,7 @@ def _model_and_data():
 def test_iteration_callbacks_fire():
     gauss, y = _model_and_data()
     seen = []
-    rx.infer(
+    rx.infer(returnvars=rx.KeepLast(), 
         model=gauss, data={"y": y}, iterations=4,
         initialization={"tau": GammaShapeRate(1.0, 1.0)},
         callbacks={"after_iteration": lambda ev: seen.append(ev.payload["iteration"])},
@@ -40,7 +40,7 @@ def test_early_stopping():
     gauss, y = _model_and_data()
     stopper = StopEarlyIterationStrategy(atol=1e-4)
     count = []
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=gauss, data={"y": y}, iterations=50, free_energy=True,
         initialization={"tau": GammaShapeRate(1.0, 1.0)},
         callbacks={
@@ -54,7 +54,7 @@ def test_early_stopping():
 
 def test_benchmark_and_trace():
     gauss, y = _model_and_data()
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=gauss, data={"y": y}, iterations=3, free_energy=True,
         initialization={"tau": GammaShapeRate(1.0, 1.0)},
         benchmark=True, trace=True,
@@ -87,7 +87,7 @@ def test_session_logging():
     from rxinfer_tpu.utils.session import get_default_session
 
     before = get_default_session().get_session_stats("inference").total
-    rx.infer(model=gauss, data={"y": y}, iterations=1,
+    rx.infer(returnvars=rx.KeepLast(), model=gauss, data={"y": y}, iterations=1,
              initialization={"tau": GammaShapeRate(1.0, 1.0)})
     stats = get_default_session().get_session_stats("inference")
     assert stats.total == before + 1
@@ -97,7 +97,7 @@ def test_session_logging():
 
 def test_checkpoint_roundtrip(tmp_path):
     gauss, y = _model_and_data()
-    res = rx.infer(model=gauss, data={"y": y}, iterations=5,
+    res = rx.infer(returnvars=rx.KeepLast(), model=gauss, data={"y": y}, iterations=5,
                    initialization={"tau": GammaShapeRate(1.0, 1.0)})
     path = str(tmp_path / "ckpt.pkl")
     save_checkpoint(path, res.posteriors)
@@ -123,7 +123,7 @@ def test_convert_to_tensorboard(tmp_path):
         return {"theta": theta}
 
     y = np.array([1.0, 0.0, 1.0], np.float32)
-    res = rx.infer(model=coin, data={"y": y}, iterations=3, trace=True,
+    res = rx.infer(returnvars=rx.KeepLast(), model=coin, data={"y": y}, iterations=3, trace=True,
                    free_energy=True)
     logdir = str(tmp_path / "tb")
     rx.convert_to_tensorboard(res.trace, logdir)
@@ -144,7 +144,7 @@ def test_benchmark_table_and_session_table():
         return {"theta": theta}
 
     y = np.array([1.0, 0.0, 1.0], np.float32)
-    res = rx.infer(model=coin, data={"y": y}, iterations=3, benchmark=True)
+    res = rx.infer(returnvars=rx.KeepLast(), model=coin, data={"y": y}, iterations=3, benchmark=True)
     table = rx.benchmark_table(res.benchmark)
     assert "stage" in table and "median ms" in table and "inference" in table
     assert rx.summarize_session_table()  # non-empty string
@@ -201,7 +201,7 @@ def test_trace_messages_records_schedule():
 
     y = np.array([1.0, 0.0, 1.0], np.float32)
     with rx.trace_messages() as mt:
-        rx.infer(model=coin, data={"y": y}, iterations=2)
+        rx.infer(returnvars=rx.KeepLast(), model=coin, data={"y": y}, iterations=2)
     nodes = {r["node"] for r in mt.records}
     assert "Bernoulli" in nodes or "Beta" in nodes, nodes
     assert all("interface" in r for r in mt.records)

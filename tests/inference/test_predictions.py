@@ -35,7 +35,7 @@ def test_lgssm_with_missing_observations():
         for t in rx.plate(T):
             y[t] = rx.MvNormal(mean=xs[t], cov=np.eye(d, dtype=np.float32))
 
-    res = rx.infer(model=lgssm, data={"y": y_obs}, iterations=1,
+    res = rx.infer(returnvars=rx.KeepLast(), model=lgssm, data={"y": y_obs}, iterations=1,
                    free_energy=True, predictvars=["y"])
     qx = res.posteriors["x"]
 
@@ -88,7 +88,7 @@ def test_fe_missing_equals_observed_subset_evidence():
         for t in rx.plate(T):
             y[t] = rx.Normal(mean=xs[t], var=0.5)
 
-    res = rx.infer(model=rw, data={"y": y_obs}, iterations=1, free_energy=True)
+    res = rx.infer(returnvars=rx.KeepLast(), model=rw, data={"y": y_obs}, iterations=1, free_energy=True)
     fe = float(res.free_energy[-1])
 
     # oracle: scalar Kalman filter marginal likelihood over observed slots

@@ -209,3 +209,60 @@ def test_streaming_event_set_matches_reference():
     }
     assert expected <= names, expected - names
     assert sum(1 for e in engine.events if e.name == "on_complete") == 1
+
+
+def test_mu_autoupdate_on_chain_block_variable():
+    """μ(x) on a CHAIN-BLOCK variable (round-1/2 verdict item: previously
+    raised): the per-slot outbound message along the chain's last edge — the
+    observation likelihood — so μ(x)[t] must equal the smoothed marginal of
+    the SAME model with y[t] missing (leave-own-evidence-out oracle);
+    reference semantics: get_stream_of_outbound_messages(var, degree(var)),
+    src/inference/autoupdates.jl:588-610."""
+    import jax.numpy as jnp
+
+    import rxinfer_tpu as rx
+
+    T = 8
+
+    @rx.model
+    def ssm(y, pm):
+        x = rx.latent(T, name="x")
+        x[0] = rx.Normal(mean=pm, var=5.0)
+        for t in rx.plate(1, T):
+            x[t] = rx.Normal(mean=x[t - 1], var=1.0)
+        for t in rx.plate(T):
+            y[t] = rx.Normal(mean=x[t], var=0.5)
+        return {"x": x}
+
+    rng = np.random.default_rng(0)
+    y = np.cumsum(rng.standard_normal(T)).astype(np.float32)
+    data = {"y": y, "pm": np.float32(0.0)}
+
+    res = rx.infer(returnvars=rx.KeepLast(), model=ssm, data=data, iterations=1)
+    state = {"x": rx.getdata(res.posteriors["x"])}
+    data_j = {"y": jnp.asarray(y), "pm": jnp.asarray(0.0, jnp.float32)}
+    mu_x = res.model.variable_outbound_message(state, data_j, "x")
+
+    for t in range(T):
+        y_miss = y.copy()
+        y_miss[t] = np.nan
+        oracle = rx.infer(returnvars=rx.KeepLast(), model=ssm, data={"y": y_miss, "pm": np.float32(0.0)},
+                          iterations=1).posteriors["x"]
+        v_t = 1.0 / float(np.asarray(mu_x.w)[t])
+        m_t = float(np.asarray(mu_x.xi)[t]) * v_t
+        assert abs(m_t - float(np.asarray(oracle.mean())[t])) < 2e-3, t
+        assert abs(v_t - float(np.asarray(oracle.var())[t])) < 2e-3, t
+
+    # streaming engine: μ(x) drives an autoupdate on the LGSSM state
+    au = rx.autoupdates(
+        initial={"pm": 0.0},
+        pm=lambda q, mu: mu["x"].mean()[-1],
+    )
+    engine = rx.infer(model=ssm, datastream=None, autoupdates=au)
+    engine.on_next({"y": y})
+    y_last_miss = y.copy()
+    y_last_miss[-1] = np.nan
+    om = rx.infer(returnvars=rx.KeepLast(), model=ssm, data={"y": y_last_miss, "pm": np.float32(0.0)},
+                  iterations=1).posteriors["x"]
+    assert abs(float(engine.args["pm"])
+               - float(np.asarray(om.mean())[-1])) < 2e-3

@@ -51,7 +51,7 @@ INIT = {"B": rx.dists.DirichletCollection(np.ones((4, 4), dtype=np.float32))}
 def test_unfactorized_data_structured_prediction():
     """Reference conformance: probvec of the middle prediction after 10 VMP
     iterations (inference_tests.jl:1709-1723) and entropy(pred) == entropy(q_s)."""
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=make_pred_model([0.0, 0.0, 1.0, 0.0]),
         data={"y": rx.UnfactorizedData(_data())},
         initialization=INIT,
@@ -75,7 +75,7 @@ def test_default_prediction_is_meanfield_overconfident():
     """Without UnfactorizedData the prediction is the mean-field (geometric
     average) out-message — strictly lower entropy than the state posterior
     (the reference's 'underestimates variance' case)."""
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=make_pred_model([0.0, 1.0, 0.0, 0.0]),
         data={"y": _data()},
         initialization=INIT,

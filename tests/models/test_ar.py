@@ -39,7 +39,7 @@ def test_latent_ar_learns_coefficients():
             y[t] = rx.Normal(mean=rx.dot(e1, s[t]), var=0.09)
         return {"theta": theta, "gamma": gamma, "s": s}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=latent_ar, data={"y": y}, iterations=30,
         initialization={
             "theta": MvNormalMeanCovariance(np.zeros(k, np.float32),

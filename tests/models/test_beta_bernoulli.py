@@ -23,7 +23,7 @@ def test_exact_posterior():
     rng = np.random.default_rng(42)
     n = 200
     y = (rng.uniform(size=n) < 0.7).astype(np.float32)
-    res = rx.infer(model=make_model(), data={"y": y}, iterations=1)
+    res = rx.infer(returnvars=rx.KeepLast(), model=make_model(), data={"y": y}, iterations=1)
     q = res.posteriors["_v1"] if "_v1" in res.posteriors else None
     # theta is anonymous-free: it's returned under its auto name; find the Beta
     assert len(res.posteriors) == 1
@@ -38,7 +38,7 @@ def test_free_energy_equals_neg_log_evidence():
     rng = np.random.default_rng(0)
     n = 50
     y = (rng.uniform(size=n) < 0.3).astype(np.float32)
-    res = rx.infer(model=make_model(), data={"y": y}, iterations=3, free_energy=True)
+    res = rx.infer(returnvars=rx.KeepLast(), model=make_model(), data={"y": y}, iterations=3, free_energy=True)
     s = y.sum()
     # log evidence of Beta-Bernoulli: B(a+s, b+n-s) / B(a,b)
     log_z = betaln(4.0 + s, 8.0 + n - s) - betaln(4.0, 8.0)

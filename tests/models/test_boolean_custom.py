@@ -20,7 +20,7 @@ def test_noisy_or_inference():
         return {"a": a, "b": b}
 
     y = np.float32(1.0)  # observed effect present
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=hard_or, data={"y": np.asarray(y)}, iterations=10,
         initialization={"a": BernoulliDist(0.3), "b": BernoulliDist(0.1)},
     )
@@ -89,7 +89,7 @@ def test_custom_node_extension():
     true_p = 0.8
     eff = 0.1 * (1 - true_p) + 0.9 * true_p
     y = (rng.uniform(size=300) < eff).astype(np.float32)
-    res = rx.infer(model=coin2, data={"y": y}, iterations=10,
+    res = rx.infer(returnvars=rx.KeepLast(), model=coin2, data={"y": y}, iterations=10,
                    initialization={"theta": BetaDist(2.0, 2.0)},
                    free_energy=True)
     q = res.posteriors["theta"]

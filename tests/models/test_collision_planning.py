@@ -115,7 +115,7 @@ def test_collision_avoidance_planning():
         init[f"s2_{t}"] = PointMass(np.float32(1.0))
         init[f"d_{t}"] = NormalMeanVariance(1.0, 1.0)
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=planning,
         data={"g1s": g1s, "g1e": g1e, "g2s": g2s, "g2e": g2e},
         iterations=40, initialization=init,

@@ -40,7 +40,7 @@ def test_unknown_mean_precision_vmp():
     rng = np.random.default_rng(11)
     y = (3.0 + 0.5 * rng.standard_normal(500)).astype(np.float32)
     init = {"tau": GammaShapeRate(0.01, 0.01)}
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=make_model(), data={"y": y}, iterations=20,
         initialization=init, free_energy=True,
     )
@@ -71,10 +71,10 @@ def test_auto_vague_initialization():
     must match explicit vague init."""
     rng = np.random.default_rng(0)
     y = (1.0 + rng.standard_normal(50)).astype(np.float32)
-    res = rx.infer(model=make_model(), data={"y": y}, iterations=20)
+    res = rx.infer(returnvars=rx.KeepLast(), model=make_model(), data={"y": y}, iterations=20)
     init = {"tau": GammaShapeRate(0.01, 0.01),
             "mu": NormalMeanVariance(0.0, 1.0e6)}
-    ref = rx.infer(model=make_model(), data={"y": y}, iterations=20,
+    ref = rx.infer(returnvars=rx.KeepLast(), model=make_model(), data={"y": y}, iterations=20,
                    initialization=init)
     assert np.isclose(float(res.posteriors["mu"].mean()),
                       float(ref.posteriors["mu"].mean()), rtol=1e-4)
@@ -95,7 +95,7 @@ def test_loopy_requires_initialization():
         return {"a": a, "b": b, "c": c}
 
     try:
-        rx.infer(model=loopy, data={"y": np.asarray(1.0, np.float32)},
+        rx.infer(returnvars=rx.KeepLast(), model=loopy, data={"y": np.asarray(1.0, np.float32)},
                  iterations=2)
         raise AssertionError("expected initialization error")
     except ValueError as e:

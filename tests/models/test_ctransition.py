@@ -24,7 +24,7 @@ def test_learn_emission_operator():
             y[i] = rx.ContinuousTransition(x[i], theta, w)
         return {"theta": theta}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"x": x, "y": y}, iterations=5,
         initialization={
             "theta": MvNormalMeanCovariance(

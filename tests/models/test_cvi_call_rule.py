@@ -31,9 +31,9 @@ def test_cvi_projection_matches_linearization_on_smooth_fn():
 
         return m
 
-    res_cvi = rx.infer(model=build(rx.CVIProjection(n_samples=4096, seed=1)),
+    res_cvi = rx.infer(returnvars=rx.KeepLast(), model=build(rx.CVIProjection(n_samples=4096, seed=1)),
                        data={"y": y}, iterations=10)
-    res_lin = rx.infer(model=build(rx.Linearization()),
+    res_lin = rx.infer(returnvars=rx.KeepLast(), model=build(rx.Linearization()),
                        data={"y": y}, iterations=10)
     m_cvi = float(res_cvi.posteriors["z"].mean())
     m_lin = float(res_lin.posteriors["z"].mean())

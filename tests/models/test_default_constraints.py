@@ -39,7 +39,7 @@ def two_blocks(y1, y2):
 
 def test_default_constraints_apply_to_every_instance():
     y1, y2 = _make_data()
-    res = rx.infer(model=two_blocks, data={"y1": y1, "y2": y2}, iterations=15,
+    res = rx.infer(returnvars=rx.KeepLast(), model=two_blocks, data={"y1": y1, "y2": y2}, iterations=15,
                    initialization=INIT)
     # the @submodel decorator names scopes after the function
     assert {"gauss_block/mu", "gauss_block:2/mu"} <= set(res.posteriors)
@@ -54,7 +54,7 @@ def test_user_submodel_block_overrides_default():
     for that instance only (reference: 'unless otherwise specified')."""
     y1, y2 = _make_data(1)
     cons = rx.constraints(submodel={"gauss_block:2": rx.constraints()})
-    res = rx.infer(model=two_blocks, data={"y1": y1, "y2": y2}, iterations=15,
+    res = rx.infer(returnvars=rx.KeepLast(), model=two_blocks, data={"y1": y1, "y2": y2}, iterations=15,
                    constraints=cons, initialization=INIT)
     assert isinstance(res.posteriors["gauss_block/tau"], PointMass)
     assert isinstance(res.posteriors["gauss_block:2/tau"], GammaShapeRate)

@@ -23,7 +23,7 @@ def test_linear_fn_is_exact():
             y[i] = rx.Normal(mean=rx.Delta(lambda t: 2.0 * t + 1.0, theta), var=0.25)
         return {"theta": theta}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=5,
         initialization={"theta": NormalMeanVariance(0.0, 10.0)},
     )
@@ -52,7 +52,7 @@ def test_nonlinear_linearization_converges():
             )
         return {"theta": theta}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=25,
         initialization={"theta": NormalMeanVariance(0.3, 1.0)},
     )
@@ -81,7 +81,7 @@ def test_unscented_multi_input():
             )
         return {"a": a, "b": b}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=30,
         initialization={"a": NormalMeanVariance(1.5, 1.0),
                         "b": NormalMeanVariance(0.3, 1.0)},
@@ -116,7 +116,7 @@ def test_mv_nonlinear():
 
     from rxinfer_tpu.dists import MvNormalMeanCovariance
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=30,
         initialization={
             "x": MvNormalMeanCovariance(np.zeros(2, np.float32),
@@ -168,7 +168,7 @@ def test_static_inputs_two_arg_delta():
             data = {"y": yv}
             if theta_as_data:
                 data["th"] = theta
-            res = rx.infer(model=gen, data=data, iterations=8,
+            res = rx.infer(returnvars=rx.KeepLast(), model=gen, data=data, iterations=8,
                            free_energy=True)
             q = res.posteriors["x"]
             # Linearization is exact; Unscented (alpha=1e-3 defaults) leaves

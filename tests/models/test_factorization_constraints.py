@@ -59,7 +59,7 @@ def _mean_field_fe(ma, va, mb, vb):
 def test_factorize_pair_matches_vmp_oracle():
     cons = rx.constraints(factorization=rx.factorize(("a", "b")))
     init = {"a": NormalMeanVariance(0.0, 1.0e6)}
-    res = rx.infer(model=_make_model(), data={"y": np.asarray(Y, np.float32)},
+    res = rx.infer(returnvars=rx.KeepLast(), model=_make_model(), data={"y": np.asarray(Y, np.float32)},
                    iterations=30, constraints=cons, initialization=init,
                    free_energy=True)
     ma, va, mb, vb = _mean_field_oracle(30)
@@ -80,9 +80,9 @@ def test_mean_field_global_matches_pairwise_here():
     cons_pair = rx.constraints(factorization=rx.factorize(("a", "b")))
     init = {"a": NormalMeanVariance(0.0, 1.0e6)}
     data = {"y": np.asarray(Y, np.float32)}
-    r1 = rx.infer(model=_make_model(), data=data, iterations=30,
+    r1 = rx.infer(returnvars=rx.KeepLast(), model=_make_model(), data=data, iterations=30,
                   constraints=cons_mf, initialization=init)
-    r2 = rx.infer(model=_make_model(), data=data, iterations=30,
+    r2 = rx.infer(returnvars=rx.KeepLast(), model=_make_model(), data=data, iterations=30,
                   constraints=cons_pair, initialization=init)
     for n in ("a", "b"):
         assert np.isclose(float(r1.posteriors[n].mean()),
@@ -90,7 +90,7 @@ def test_mean_field_global_matches_pairwise_here():
 
 
 def test_default_is_exact_bp_not_mean_field():
-    res = rx.infer(model=_make_model(), data={"y": np.asarray(Y, np.float32)},
+    res = rx.infer(returnvars=rx.KeepLast(), model=_make_model(), data={"y": np.asarray(Y, np.float32)},
                    iterations=10, free_energy=True)
     v_tot = V0 + V1 + V2
     neg_log_z = 0.5 * np.log(2 * np.pi * v_tot) + Y**2 / (2 * v_tot)
@@ -103,7 +103,7 @@ def test_default_is_exact_bp_not_mean_field():
 def test_unknown_variable_in_constraint_raises():
     cons = rx.constraints(factorization=rx.factorize(("a", "zz")))
     try:
-        rx.infer(model=_make_model(), data={"y": np.asarray(Y, np.float32)},
+        rx.infer(returnvars=rx.KeepLast(), model=_make_model(), data={"y": np.asarray(Y, np.float32)},
                  iterations=2, constraints=cons)
         raise AssertionError("expected ValueError")
     except ValueError as e:

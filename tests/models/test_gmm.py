@@ -38,7 +38,7 @@ def test_gmm_separates_clusters():
         "w1": GammaShapeRate(1.0, 1.0),
         "pi": Dirichlet(np.ones(2, dtype=np.float32)),
     }
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=make_model(), data={"y": y}, iterations=30,
         initialization=init, free_energy=True,
     )

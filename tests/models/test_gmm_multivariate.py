@@ -58,7 +58,7 @@ def test_mv_gmm_separates_clusters():
         "w1": Wishart(np.float32(3.0), np.eye(2, dtype=np.float32)),
         "pi": Dirichlet(np.ones(2, dtype=np.float32)),
     }
-    res = rx.infer(model=make_model(), data={"y": y}, iterations=30,
+    res = rx.infer(returnvars=rx.KeepLast(), model=make_model(), data={"y": y}, iterations=30,
                    initialization=init, free_energy=True)
     m_hat = sorted(
         [np.asarray(res.posteriors["m0"].mean()),

@@ -25,7 +25,7 @@ def test_grid_latent_exact_posterior_and_evidence():
                 y[i, j] = rx.Normal(mean=z[i, j], var=vy)
         return {"z": z}
 
-    res = rx.infer(model=m, data={"y": y}, iterations=4, free_energy=True)
+    res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=4, free_energy=True)
     zm = np.asarray(res.posteriors["z"].mean())
     zv = np.asarray(res.posteriors["z"].var())
     assert zm.shape == (N, M)
@@ -58,7 +58,7 @@ def test_grid_latent_hierarchical_row_means():
                 y[i, j] = rx.Normal(mean=z[i, j], precision=tau)
         return {"mu": mu, "z": z, "tau": tau}
 
-    res = rx.infer(model=m, data={"y": y}, iterations=30, free_energy=True,
+    res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=30, free_energy=True,
                    initialization={"tau": GammaShapeRate(1.0, 1.0)})
     mu_hat = np.asarray(res.posteriors["mu"].mean())
     np.testing.assert_allclose(mu_hat, mu_true, atol=0.35)
@@ -84,7 +84,7 @@ def test_grid_latent_requires_full_index():
 
     y = np.zeros(3, np.float32)
     try:
-        rx.infer(model=bad, data={"y": y}, iterations=1)
+        rx.infer(returnvars=rx.KeepLast(), model=bad, data={"y": y}, iterations=1)
         raise AssertionError("expected TypeError")
     except TypeError as e:
         assert "indexed" in str(e)
@@ -103,7 +103,7 @@ def test_grid_latent_lagged_reference_rejected():
 
     y = np.zeros((3, 4), np.float32)
     try:
-        rx.infer(model=bad, data={"y": y}, iterations=1)
+        rx.infer(returnvars=rx.KeepLast(), model=bad, data={"y": y}, iterations=1)
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError as e:
         assert "zero-offset" in str(e) or "full plates" in str(e)

@@ -37,7 +37,7 @@ def test_hgf_smoothing():
             y[t] = rx.Normal(mean=x[t], var=0.01)
         return {"z": z, "x": x}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=hgf, data={"y": y}, iterations=20,
         initialization={"z": NormalMeanVariance(0.0, 5.0)},
         free_energy=True,

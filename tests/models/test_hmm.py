@@ -56,7 +56,7 @@ def test_hmm_structured_vmp():
             np.float32(np.eye(3) * 5.0 + 1.0)
         ),  # break label symmetry towards identity emission
     }
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=make_model(), data={"y": y}, iterations=25,
         initialization=init, free_energy=True,
     )

@@ -69,7 +69,7 @@ def test_lgssm_smoothing_exact():
     A, Q, B, R, x_true, y = rotation_lgssm_data(T=200)
     m0 = np.zeros(2, dtype=np.float32)
     V0 = 25.0 * np.eye(2, dtype=np.float32)
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=make_model(A, Q, B, R, m0, V0),
         data={"y": y},
         iterations=1,
@@ -134,7 +134,7 @@ def test_scalar_lgssm():
         for t in rx.plate(T):
             y[t] = rx.Normal(mean=x[t], var=1.0)
 
-    res = rx.infer(model=rw, data={"y": y}, iterations=1, free_energy=True)
+    res = rx.infer(returnvars=rx.KeepLast(), model=rw, data={"y": y}, iterations=1, free_energy=True)
     qx = res.posteriors["x"]
     m = np.asarray(qx.mean())
     s = np.sqrt(np.asarray(qx.var()))

@@ -31,7 +31,7 @@ def test_sum_node_tree_exact():
             y[i] = rx.Normal(mean=a + b, var=0.25)
         return {"a": a, "b": b}
 
-    res = rx.infer(model=m, data={"y": np.array([y_obs], np.float32)},
+    res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": np.array([y_obs], np.float32)},
                    iterations=10,
                    initialization={"a": NormalMeanVariance(1.0, 1.0),
                                    "b": NormalMeanVariance(0.5, 2.0)})
@@ -62,7 +62,7 @@ def test_sum_node_shared_terms_loopy():
             y[i] = rx.Normal(mean=a + b, var=0.25)
         return {"a": a, "b": b}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=30,
         initialization={"a": NormalMeanVariance(0.0, 1.0),
                         "b": NormalMeanVariance(0.0, 1.0)},
@@ -93,7 +93,7 @@ def test_softdot_node_regression():
             y[i] = rx.SoftDot(theta, phi[i], g)
         return {"theta": theta, "g": g}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"phi": X, "y": y}, iterations=20,
         initialization={
             "theta": MvNormalMeanCovariance(np.zeros(d, np.float32),
@@ -131,7 +131,7 @@ def test_softdot_shared_latent_x():
             y[i] = rx.SoftDot(theta, x, g)
         return {"x": x, "g": g}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=20,
         initialization={
             "x": MvNormalMeanCovariance(np.zeros(d, np.float32),
@@ -160,7 +160,7 @@ def test_mixture_prior_selection():
             y[i] = rx.Normal(mean=theta, var=0.25)
         return {"z": z, "a": a, "b": b, "theta": theta}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=15,
         initialization={"a": NormalMeanVariance(-2.0, 0.5),
                         "b": NormalMeanVariance(2.0, 0.5),
@@ -184,7 +184,7 @@ def test_uninformative_prior():
             y[i] = rx.Normal(mean=mu, var=0.25)
         return {"mu": mu}
 
-    res = rx.infer(model=m, data={"y": y}, iterations=1)
+    res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=1)
     assert abs(float(res.posteriors["mu"].mean()) - y.mean()) < 1e-3
     assert abs(float(res.posteriors["mu"].var()) - 0.25 / n) < 1e-4
 
@@ -200,7 +200,7 @@ def test_catch_exception_partial_result():
 
     y = np.zeros(5, np.float32)
     # initialization for an unknown variable → validation error, caught
-    res = rx.infer(model=bad, data={"y": y}, iterations=2, catch_exception=True,
+    res = rx.infer(returnvars=rx.KeepLast(), model=bad, data={"y": y}, iterations=2, catch_exception=True,
                    initialization={"nonexistent": GammaShapeRate(1.0, 1.0)})
     assert res.error is not None
     assert "unknown" in str(res.error).lower()

@@ -42,7 +42,7 @@ def test_three_hmm_sequences_share_transition_matrix():
             out[name] = s
         return out
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=multi_hmm, data={"y1": y1, "y2": y2, "y3": y3}, iterations=15,
         initialization={"A": DirichletCollection(np.ones((K, K), np.float32))},
         free_energy=True,
@@ -53,7 +53,7 @@ def test_three_hmm_sequences_share_transition_matrix():
     # coordinate ascent: decreasing up to float32 noise at the fixed point
     assert (np.diff(fe) <= 0.1).all(), np.diff(fe)
     # pooling three sequences beats one sequence alone
-    res1 = rx.infer(
+    res1 = rx.infer(returnvars=rx.KeepLast(), 
         model=multi_hmm, data={"y1": y1, "y2": y1, "y3": y1}, iterations=15,
         initialization={"A": DirichletCollection(np.ones((K, K), np.float32))},
     )

@@ -33,7 +33,7 @@ def test_known_mean_unknown_precision_wishart():
             y[i] = rx.MvNormal(mean=mean_true.astype(np.float32), precision=w)
         return {"w": w}
 
-    res = rx.infer(model=m, data={"y": y}, iterations=5, free_energy=True)
+    res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=5, free_energy=True)
     q = res.posteriors["w"]
     # posterior Wishart: nu = nu0 + n; E[W] should approximate inv(cov_true)
     assert np.isclose(float(q.nu), D + 1.0 + n, atol=1e-2)
@@ -55,7 +55,7 @@ def test_known_mean_unknown_covariance_inverse_wishart():
             y[i] = rx.MvNormal(mean=mean_true.astype(np.float32), cov=v)
         return {"v": v}
 
-    res = rx.infer(model=m, data={"y": y}, iterations=5, free_energy=True)
+    res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=5, free_energy=True)
     q = res.posteriors["v"]
     assert np.isclose(float(q.nu), D + 3.0 + n, atol=1e-2)
     np.testing.assert_allclose(np.asarray(q.mean()), cov_true, rtol=0.25, atol=0.15)
@@ -74,7 +74,7 @@ def test_unknown_mean_known_precision():
             y[i] = rx.MvNormal(mean=mu, precision=w_known)
         return {"mu": mu}
 
-    res = rx.infer(model=m, data={"y": y}, iterations=1, free_energy=True)
+    res = rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=1, free_energy=True)
     q = res.posteriors["mu"]
     # exact conjugate posterior
     w_post = np.eye(D) / 100.0 + n * w_known
@@ -96,7 +96,7 @@ def test_unknown_mean_and_precision():
             y[i] = rx.MvNormal(mean=mu, precision=w)
         return {"mu": mu, "w": w}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=20,
         initialization={"w": Wishart(float(D) + 1.0, np.float32(np.eye(D)))},
         free_energy=True,

@@ -33,9 +33,9 @@ def test_grid_iid_matches_flat_model():
         return {"mu": mu, "tau": tau}
 
     init = {"tau": GammaShapeRate(1.0, 1.0)}
-    rg = rx.infer(model=grid, data={"y": y}, iterations=15, free_energy=True,
+    rg = rx.infer(returnvars=rx.KeepLast(), model=grid, data={"y": y}, iterations=15, free_energy=True,
                   initialization=init)
-    rf = rx.infer(model=flat, data={"y": y.reshape(-1)}, iterations=15,
+    rf = rx.infer(returnvars=rx.KeepLast(), model=flat, data={"y": y.reshape(-1)}, iterations=15,
                   free_energy=True, initialization=init)
     np.testing.assert_allclose(float(rg.posteriors["mu"].mean()),
                                float(rf.posteriors["mu"].mean()), rtol=1e-6)
@@ -64,7 +64,7 @@ def test_grid_row_means_shared_precision():
                 y[i, j] = rx.Normal(mean=mu[i], precision=tau)
         return {"mu": mu, "tau": tau}
 
-    res = rx.infer(model=rows, data={"y": y}, iterations=20, free_energy=True,
+    res = rx.infer(returnvars=rx.KeepLast(), model=rows, data={"y": y}, iterations=20, free_energy=True,
                    initialization={"tau": GammaShapeRate(1.0, 1.0)})
     mu_hat = np.asarray(res.posteriors["mu"].mean())
     np.testing.assert_allclose(mu_hat, y.mean(axis=1), atol=0.05)
@@ -92,7 +92,7 @@ def test_grid_column_effects():
                 y[i, j] = rx.Normal(mean=beta[j], precision=1.0)
         return {"beta": beta}
 
-    res = rx.infer(model=cols, data={"y": y}, iterations=5)
+    res = rx.infer(returnvars=rx.KeepLast(), model=cols, data={"y": y}, iterations=5)
     np.testing.assert_allclose(np.asarray(res.posteriors["beta"].mean()),
                                y.mean(axis=0), atol=0.01)
 
@@ -123,10 +123,10 @@ def test_grid_missing_data_mask():
             y[i] = rx.Normal(mean=mu, var=1.0)
         return {"mu": mu}
 
-    r1 = rx.infer(model=grid, data={"y": y_missing}, iterations=3,
+    r1 = rx.infer(returnvars=rx.KeepLast(), model=grid, data={"y": y_missing}, iterations=3,
                   free_energy=True)
     obs = y_missing[np.isfinite(y_missing)].astype(np.float32)
-    r2 = rx.infer(model=flat, data={"y": obs}, iterations=3, free_energy=True)
+    r2 = rx.infer(returnvars=rx.KeepLast(), model=flat, data={"y": obs}, iterations=3, free_energy=True)
     np.testing.assert_allclose(float(r1.posteriors["mu"].mean()),
                                float(r2.posteriors["mu"].mean()), rtol=1e-6)
     np.testing.assert_allclose(float(r1.posteriors["mu"].var()),
@@ -151,7 +151,7 @@ def test_grid_beta_bernoulli_three_axes():
                     y[a, b, c] = rx.Bernoulli(theta)
         return {"theta": theta}
 
-    res = rx.infer(model=cube, data={"y": y}, iterations=1)
+    res = rx.infer(returnvars=rx.KeepLast(), model=cube, data={"y": y}, iterations=1)
     h = float(y.sum())
     n = A * B * C
     exact = (1.0 + h) / (2.0 + n)
@@ -170,7 +170,7 @@ def test_grid_latent_not_supported_error():
 
     y = np.zeros((3, 4), np.float32)
     try:
-        rx.infer(model=bad, data={"y": y}, iterations=1)
+        rx.infer(returnvars=rx.KeepLast(), model=bad, data={"y": y}, iterations=1)
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError as e:
         assert "LATENT" in str(e) or "latent" in str(e)

@@ -25,7 +25,7 @@ def test_binomial_polya_logistic_regression():
             y[i] = rx.BinomialPolya(x[i], float(trials), beta)
         return {"beta": beta}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=logreg, data={"x": x, "y": y}, iterations=30,
         initialization={
             "beta": MvNormalMeanCovariance(np.zeros(d, np.float32),

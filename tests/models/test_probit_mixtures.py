@@ -21,7 +21,7 @@ def test_probit_regression():
             y[i] = rx.Probit(x)
         return {"x": x}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=probit, data={"y": y}, iterations=20,
         initialization={"x": NormalMeanVariance(0.0, 10.0)},
         free_energy=True,
@@ -54,7 +54,7 @@ def test_gamma_mixture_with_pointmass_constraint():
             y[i] = rx.GammaMixture(z[i], (9.0, 60.0), (b0, b1))
         return {"pi": pi, "b0": b0, "b1": b1}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=gmix, data={"y": y}, iterations=40,
         initialization={
             "b0": GammaShapeRate(10.0, 3.0),
@@ -76,7 +76,7 @@ def test_gamma_mixture_with_pointmass_constraint():
     # gamma_mixture_tests.jl:33-41 uses q(...) :: PointMass)
     cs = rx.constraints(forms={"b0": rx.PointMassFormConstraint(),
                                "b1": rx.PointMassFormConstraint()})
-    res2 = rx.infer(
+    res2 = rx.infer(returnvars=rx.KeepLast(), 
         model=gmix, data={"y": y}, iterations=40, constraints=cs,
         initialization={
             "b0": GammaShapeRate(10.0, 3.0),

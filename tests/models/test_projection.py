@@ -25,7 +25,7 @@ def test_beta_prior_gaussian_likelihood():
         return {"theta": theta}
 
     cs = rx.constraints(forms={"theta": rx.ProjectedTo("beta", n_samples=4096)})
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=8, constraints=cs,
         initialization={"theta": BetaDist(2.0, 2.0)},
     )

@@ -51,7 +51,7 @@ def test_beta_bernoulli_reference_fe_scalar():
             y[i] = rx.Bernoulli(theta)
         return {"theta": theta}
 
-    res = rx.infer(model=beta_bernoulli, data={"y": y}, iterations=10,
+    res = rx.infer(returnvars=rx.KeepLast(), model=beta_bernoulli, data={"y": y}, iterations=10,
                    free_energy=True)
     fe = np.asarray(res.free_energy, dtype=np.float64)
     assert fe.shape == (10,)
@@ -96,9 +96,12 @@ def test_aliases_gamma_reference_scalars():
         init[f"x{i}"] = NormalMeanVariance(0.0, 1e12)
         init[f"g{i}"] = GammaShapeRate(1.0, 1e-12)
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(),
         model=gamma_aliases, data={"y": np.asarray(10.0, dtype=np.float32)},
         iterations=100, initialization=init, free_energy=True,
+        # the vague float32 init makes the first few FE values Inf (documented
+        # transient below); the default NaN/Inf objective checks would error
+        free_energy_diagnostics=None,
     )
     fe = np.asarray(res.free_energy, dtype=np.float64)
     # reference: @test mean(results.posteriors[:s][end]) ≈ 9.468846338832027
@@ -136,7 +139,7 @@ def test_aliases_binary_reference_fe():
         return {"x1": x1, "x2": x2, "x3": x3, "x4": x4, "x": x}
 
     init = {k: BernoulliDist(0.5) for k in ("x1", "x2", "x3", "x4", "x")}
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=binary_aliases, data={"y": np.asarray(0.5, dtype=np.float32)},
         iterations=100, initialization=init, free_energy=True,
     )
@@ -190,7 +193,7 @@ def test_aliases_normal_tree_exact():
         d.observe(rx.Normal(mean=r, variance=1.0))
         return {"x1": x1}
 
-    res = rx.infer(model=normal_aliases,
+    res = rx.infer(returnvars=rx.KeepLast(), model=normal_aliases,
                    data={"d": np.asarray(1.0, dtype=np.float32)},
                    iterations=10, free_energy=True)
     V = 10 * 2.0 + 7 + 5 + 1  # total variance of d under the prior

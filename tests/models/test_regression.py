@@ -24,7 +24,7 @@ def test_linear_regression_exact_posterior():
             y[i] = rx.Normal(mean=rx.dot(phi[i], theta), var=noise_var)
         return {"theta": theta}
 
-    res = rx.infer(model=linreg, data={"phi": phi, "y": y}, iterations=1,
+    res = rx.infer(returnvars=rx.KeepLast(), model=linreg, data={"phi": phi, "y": y}, iterations=1,
                    free_energy=True)
     q = res.posteriors["theta"]
 
@@ -60,7 +60,7 @@ def test_regression_unknown_noise_precision():
             y[i] = rx.Normal(mean=rx.dot(phi[i], theta), precision=w)
         return {"theta": theta, "w": w}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=linreg, data={"phi": phi, "y": y}, iterations=20,
         initialization={"w": GammaShapeRate(1.0, 1.0)}, free_energy=True,
     )

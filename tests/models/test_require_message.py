@@ -72,7 +72,7 @@ def test_require_message_probit_regression():
                 y[i] = rx.factor_node("ProbitRM", **{"in": x})
         return {"x": x}
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=probit, data={"y": y}, iterations=25,
         initialization={"x": NormalMeanVariance(0.0, 10.0)},
         free_energy=True,
@@ -89,7 +89,7 @@ def test_require_message_probit_regression():
             y[i] = rx.Probit(x)
         return {"x": x}
 
-    res_b = rx.infer(
+    res_b = rx.infer(returnvars=rx.KeepLast(), 
         model=probit_builtin, data={"y": y}, iterations=25,
         initialization={"x": NormalMeanVariance(0.0, 10.0)},
     )

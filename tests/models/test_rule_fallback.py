@@ -44,7 +44,7 @@ def test_rule_fallback_with_projection():
         return {"p": p}
 
     cons = rx.constraints(forms={"p": ProjectedTo("beta")})
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=simple_model, data={"y": y}, iterations=8,
         constraints=cons, initialization={"p": BetaDist(1.0, 1.0)},
         options={"rulefallback": rx.NodeFunctionRuleFallback()},
@@ -66,7 +66,7 @@ def test_rule_fallback_requires_form_constraint():
         return {"p": p}
 
     try:
-        rx.infer(model=m, data={"y": y}, iterations=2,
+        rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=2,
                  initialization={"p": BetaDist(1.0, 1.0)},
                  options={"rulefallback": rx.NodeFunctionRuleFallback()})
         raise AssertionError("expected ProductError")
@@ -84,7 +84,7 @@ def test_missing_rule_without_fallback_raises():
         return {"p": p}
 
     try:
-        rx.infer(model=m, data={"y": y}, iterations=1,
+        rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=1,
                  initialization={"p": BetaDist(1.0, 1.0)})
         raise AssertionError("expected RuleNotFoundError")
     except Exception as e:
@@ -107,7 +107,7 @@ def test_message_form_constraint_projects_fallback_messages():
         return {"p": p}
 
     cons = rx.constraints(message_forms={"p": ProjectedTo("beta")})
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=8,
         constraints=cons, initialization={"p": BetaDist(1.0, 1.0)},
         options={"rulefallback": rx.NodeFunctionRuleFallback()},
@@ -136,7 +136,7 @@ def test_stacked_form_constraints():
         "p": (rx.FixedMarginalFormConstraint(BD(5.0, 5.0)),
               rx.PointMassFormConstraint()),
     })
-    res = rx.infer(model=coin, data={"y": y}, iterations=4, constraints=cons)
+    res = rx.infer(returnvars=rx.KeepLast(), model=coin, data={"y": y}, iterations=4, constraints=cons)
     q = res.posteriors["p"]
     assert isinstance(q, PointMass)
     # pinned Beta(5,5) then MAP-collapsed: mode = 0.5 regardless of data

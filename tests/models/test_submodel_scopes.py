@@ -27,7 +27,7 @@ def test_scope_prefixes_posterior_names():
     rng = np.random.default_rng(0)
     y1 = (2.0 + 0.5 * rng.standard_normal(60)).astype(np.float32)
     y2 = (-1.0 + 2.0 * rng.standard_normal(60)).astype(np.float32)
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y1": y1, "y2": y2}, iterations=15,
         initialization={"a/tau": GammaShapeRate(1.0, 1.0),
                         "b/tau": GammaShapeRate(1.0, 1.0)},
@@ -46,7 +46,7 @@ def test_repeated_scope_names_get_instance_suffixes():
     rng = np.random.default_rng(1)
     y1 = rng.standard_normal(30).astype(np.float32)
     y2 = rng.standard_normal(30).astype(np.float32)
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y1": y1, "y2": y2}, iterations=5,
         initialization={"blk/tau": GammaShapeRate(1.0, 1.0),
                         "blk:2/tau": GammaShapeRate(1.0, 1.0)},
@@ -69,7 +69,7 @@ def test_submodel_scoped_form_constraint():
         submodel={"blk": rx.constraints(
             forms={"tau": rx.PointMassFormConstraint()})}
     )
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y1": y1, "y2": y2}, iterations=15, constraints=cons,
         initialization={"blk/tau": GammaShapeRate(1.0, 1.0),
                         "blk:2/tau": GammaShapeRate(1.0, 1.0)},
@@ -92,7 +92,7 @@ def test_instance_specific_constraint_block():
         submodel={"blk:2": rx.constraints(
             forms={"tau": rx.PointMassFormConstraint()})}
     )
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y1": y1, "y2": y2}, iterations=10, constraints=cons,
         initialization={"blk/tau": GammaShapeRate(1.0, 1.0),
                         "blk:2/tau": GammaShapeRate(1.0, 1.0)},
@@ -111,7 +111,7 @@ def test_unknown_scope_key_raises():
         submodel={"nope": rx.constraints(factorization=rx.MeanField())}
     )
     try:
-        rx.infer(model=m, data={"y": y}, iterations=2, constraints=cons,
+        rx.infer(returnvars=rx.KeepLast(), model=m, data={"y": y}, iterations=2, constraints=cons,
                  initialization={"blk/tau": GammaShapeRate(1.0, 1.0)})
         raise AssertionError("expected ValueError")
     except ValueError as e:
@@ -128,13 +128,13 @@ def test_scoped_meanfield_matches_global_meanfield():
     rng = np.random.default_rng(4)
     y = (0.5 + rng.standard_normal(50)).astype(np.float32)
     init = {"blk/tau": GammaShapeRate(1.0, 1.0)}
-    r_scoped = rx.infer(
+    r_scoped = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=12, free_energy=True,
         constraints=rx.constraints(
             submodel={"blk": rx.constraints(factorization=rx.MeanField())}),
         initialization=init,
     )
-    r_global = rx.infer(
+    r_global = rx.infer(returnvars=rx.KeepLast(), 
         model=m, data={"y": y}, iterations=12, free_energy=True,
         constraints=rx.constraints(factorization=rx.MeanField()),
         initialization=init,
@@ -170,7 +170,7 @@ def test_submodel_type_scoped_initialization():
                 out[name] = mu
         return out
 
-    res = rx.infer(
+    res = rx.infer(returnvars=rx.KeepLast(), 
         model=two_blocks, data={"y1": y1, "y2": y2}, iterations=15,
         initialization={("blk", "tau"): GammaShapeRate(1.0, 1.0)},
     )

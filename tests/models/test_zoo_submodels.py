@@ -72,7 +72,7 @@ def test_fe_nan_diagnostic():
     from rxinfer_tpu.dists import GammaShapeRate
 
     # sane run with the diagnostic enabled: no error
-    res = rx.infer(model=gen, data={"y": y}, iterations=3, free_energy=True,
+    res = rx.infer(returnvars=rx.KeepLast(), model=gen, data={"y": y}, iterations=3, free_energy=True,
                    initialization={"tau": GammaShapeRate(1.0, 1.0)},
                    options={"check_objective": True},
                    callbacks={"after_iteration": lambda ev: None})
