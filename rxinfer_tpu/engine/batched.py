@@ -157,8 +157,11 @@ def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
         xi, _ = block._evidence({}, d, {}, length)
         return xi
 
-    xi_b = jax.vmap(xi_of)(data)                       # (B, T, dim)
-    xi_t = jnp.moveaxis(xi_b, 0, 1)                    # (T, B, dim)
+    # out_axes=1: the vmapped evidence einsums WRITE the payload directly in
+    # the kernel's time-major (T, B, dim) layout — a separate moveaxis would
+    # round-trip the full B×T payload through HBM once more (round-2 verdict
+    # item 10: the engine/ops gap was exactly this transpose)
+    xi_t = jax.vmap(xi_of, out_axes=1)(data)           # (T, B, dim)
     m0 = jnp.broadcast_to(jnp.asarray(plan.m0), (batch, block.dim))
     p0 = jnp.broadcast_to(jnp.asarray(plan.p0), (batch, block.dim, block.dim))
     means, covs, cross = fused_batched_smoother(
@@ -185,14 +188,62 @@ def _fused_discrete_update(block: DiscreteChainBlock, state: dict, data: dict,
                            chain_cross: dict):
     from ..ops.pallas_discrete import fused_fb_batched
 
-    lp, elog_a, log_ev = jax.vmap(block._inputs)(state, data, chain_cross)
-    le_t = jnp.moveaxis(log_ev, 0, 1)                  # (T, B, K)
+    lp, elog_a, le_t = jax.vmap(block._inputs, out_axes=(0, 0, 1))(
+        state, data, chain_cross
+    )                                                  # le_t: (T, B, K)
     g, _, _, xis = fused_fb_batched(
         lp, elog_a, le_t, chunk=32, per_step_xi=True,
         interpret=_interpret(),
     )
     marg = Categorical(jnp.log(jnp.clip(jnp.moveaxis(g, 0, 1), 1e-37)))
     return marg, jnp.moveaxis(xis, 0, 1)               # (B, T-1, K, K)
+
+
+def chain_hbm_bytes_per_element(compiled) -> int:
+    """Estimated HBM bytes ONE batch element's chain blocks stream through
+    the smoothing kernels (filtered + smoothed means/covs, cross-covs, xi
+    payload; fp32 with 2× working-set headroom).  This is the B×T wall: at
+    T=10k, d=4 the full-batch moments exceed a single chip's HBM near
+    B≈4-8k, so ``infer_batched`` splits oversized batches into sequential
+    chunks (see ``batch_chunk_size``)."""
+    per_elem = 0
+    for kind, block in compiled.blocks:
+        if kind != "chain":
+            continue
+        t = block.var.length
+        if isinstance(block, DiscreteChainBlock):
+            k = block.k
+            # log-evidence stream + gammas + per-step xis
+            per_elem += t * (2 * k + k * k) * 4 * 2
+        else:
+            d = block.dim
+            sym = d * (d + 1) // 2
+            per_elem += t * (2 * d + 2 * sym + d * d + d) * 4 * 2
+    return per_elem
+
+
+def batch_chunk_size(compiled, batch: int, budget_bytes: int):
+    """Largest batch-chunk that fits the HBM budget (None = no chunking
+    needed).  Raises when even ONE element exceeds the budget — the time
+    axis itself is too long for a single chip's smoothing pass."""
+    per_elem = chain_hbm_bytes_per_element(compiled)
+    if per_elem == 0 or per_elem * batch <= budget_bytes:
+        return None
+    c = int(budget_bytes // per_elem)
+    if c < 1:
+        t_max = max(
+            (b.var.length for k, b in compiled.blocks if k == "chain"),
+            default=0,
+        )
+        raise ValueError(
+            f"A single batch element's chain moments (~{per_elem / 1e9:.2f} "
+            f"GB at T={t_max}) exceed the HBM budget "
+            f"({budget_bytes / 1e9:.1f} GB): the sequence is too long for a "
+            "one-chip smoothing pass. Shard the time axis across devices "
+            "(parallel/time_blocked.py distributed associative scan) or "
+            "raise options={'hbm_budget_bytes': ...}."
+        )
+    return c
 
 
 def build_plans(compiled, data0: dict, all_finite: bool = True) -> dict:

@@ -585,7 +585,7 @@ class CompiledModel:
         # computed by the static schedule.
         known = {"parallel_scans", "rulefallback", "check_objective", "warn",
                  "limit_stack_depth", "force_marginal_computation",
-                 "fused_kernels"}
+                 "fused_kernels", "hbm_budget_bytes"}
         # reference-accepted options that are TOP-LEVEL infer kwargs here
         # (reactivemp_inference.jl:129-137): redirect with a pointed error
         # rather than silently accepting or claiming they're unknown.

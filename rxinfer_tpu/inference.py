@@ -639,7 +639,64 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
     )
     data_dev = {k: jnp.asarray(np.asarray(v), jnp.float32)
                 for k, v in data.items()}
-    state, fe, history = prog(data_dev)
+    batch = int(np.asarray(next(iter(data.values()))).shape[0])
+    budget = (options or {}).get("hbm_budget_bytes", 12_000_000_000)
+    from .engine.batched import batch_chunk_size
+
+    chunk = batch_chunk_size(compiled, batch, budget)
+    if chunk is None:
+        state, fe, history = prog(data_dev)
+    else:
+        # B×T chain moments exceed the HBM budget: process the batch as
+        # sequential device-sized chunks (one compiled program reused; the
+        # last chunk is edge-padded to keep the shape signature constant).
+        import math
+        import warnings
+
+        nch = math.ceil(batch / chunk)
+        warnings.warn(
+            f"infer_batched: batch {batch} exceeds the chain-moment HBM "
+            f"budget ({budget / 1e9:.1f} GB); processing {nch} sequential "
+            f"chunks of {chunk}. Raise options={{'hbm_budget_bytes': ...}} "
+            "on larger-memory chips.",
+            stacklevel=2,
+        )
+        chunk0 = {k: np.asarray(v)[:chunk] for k, v in data.items()}
+        compiled, prog = batched_program(
+            model, chunk0, iterations=iterations, free_energy=free_energy,
+            initialization=initialization, constraints=constraints,
+            meta=meta, options=options, keep_each=keep_each,
+        )
+        states, fes, hists = [], [], []
+        for i in range(nch):
+            sl = {k: np.asarray(v)[i * chunk:(i + 1) * chunk]
+                  for k, v in data.items()}
+            n = int(next(iter(sl.values())).shape[0])
+            if n < chunk:
+                sl = {
+                    k: np.concatenate(
+                        [v, np.repeat(v[-1:], chunk - n, axis=0)], axis=0
+                    )
+                    for k, v in sl.items()
+                }
+            st, f, h = prog({k: jnp.asarray(v, jnp.float32)
+                             for k, v in sl.items()})
+            states.append(jax.tree_util.tree_map(lambda a: a[:n], st))
+            fes.append(f[:, :n])
+            hists.append([
+                jax.tree_util.tree_map(lambda a: a[:n], hj) for hj in h
+            ])
+        state = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *states
+        )
+        fe = jnp.concatenate(fes, axis=1)
+        history = [
+            jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0),
+                *[hp[j] for hp in hists],
+            )
+            for j in range(len(hists[0]))
+        ]
     posteriors = _extract_posteriors(compiled, state)
     if keep_each:
         posteriors = {

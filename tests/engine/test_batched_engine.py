@@ -331,3 +331,49 @@ def test_infer_batched_annotations_raise():
     y = np.zeros((2, 10, 2), np.float32)
     with pytest.raises(NotImplementedError, match="annotations"):
         rx.infer_batched(gen, {"y": y}, annotations=rx.LogScaleAnnotations())
+
+
+def test_hbm_batch_chunking_matches_unchunked():
+    """B×T HBM wall (round-2 verdict #9): oversized batches are processed as
+    sequential chunks of one compiled program; results must match the
+    unchunked run exactly, including a padded final chunk."""
+    gen = _lgssm_gen()
+    rng = np.random.default_rng(11)
+    B, T = 7, 40
+    y = rng.standard_normal((B, T, 2)).astype(np.float32)
+
+    ref_posts, ref_fe = rx.infer_batched(gen, {"y": y}, iterations=2,
+                                         free_energy=True)
+    # tiny budget → forces chunking (chunk of 3 → chunks 3/3/1-padded)
+    from rxinfer_tpu.engine.batched import (
+        batch_chunk_size,
+        chain_hbm_bytes_per_element,
+    )
+
+    compiled, _ = batched_program(gen, {"y": y}, iterations=2,
+                                  free_energy=True)
+    per = chain_hbm_bytes_per_element(compiled)
+    assert per > 0
+    with pytest.warns(UserWarning, match="sequential chunks"):
+        posts, fe = rx.infer_batched(
+            gen, {"y": y}, iterations=2, free_energy=True,
+            options={"hbm_budget_bytes": per * 3},
+        )
+    np.testing.assert_allclose(np.asarray(posts["x"].mean()),
+                               np.asarray(ref_posts["x"].mean()), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fe), np.asarray(ref_fe), atol=1e-5)
+
+    # KeepEach history also chunks correctly
+    with pytest.warns(UserWarning, match="sequential chunks"):
+        posts_e, _ = rx.infer_batched(
+            gen, {"y": y}, iterations=2, free_energy=True,
+            returnvars=rx.KeepEach(),
+            options={"hbm_budget_bytes": per * 3},
+        )
+    assert isinstance(posts_e["x"], list) and len(posts_e["x"]) == 2
+    np.testing.assert_allclose(np.asarray(posts_e["x"][-1].mean()),
+                               np.asarray(ref_posts["x"].mean()), atol=1e-6)
+
+    # a single element over budget is a pointed error, not a silent OOM
+    with pytest.raises(ValueError, match="HBM budget"):
+        batch_chunk_size(compiled, B, per // 2)

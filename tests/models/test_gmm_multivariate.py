@@ -76,7 +76,7 @@ def test_mv_gmm_separates_clusters():
         assert np.all(np.linalg.eigvalsh(wm) > 0.3)
     # FE decreases
     fe = np.asarray(res.free_energy)
-    assert fe[-1] <= fe[0] + 1e-4
+    assert (np.diff(fe) <= 5e-5 * np.abs(fe[:-1]) + 1e-3).all(), fe  # monotone non-increase (f32 tolerance)
     # assignments match ground truth up to label swap
     z_hat = np.asarray(res.posteriors["z"].mean()).argmax(-1)
     acc = max((z_hat == comp).mean(), (z_hat == ~comp).mean())

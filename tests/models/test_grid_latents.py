@@ -69,7 +69,7 @@ def test_grid_latent_hierarchical_row_means():
     # precision of the observation noise ~ 1/0.09 ≈ 11; loose envelope
     assert 4.0 < float(res.posteriors["tau"].mean()) < 20.0
     fe = np.asarray(res.free_energy)
-    assert fe[-1] <= fe[0] + 1e-4
+    assert (np.diff(fe) <= 5e-5 * np.abs(fe[:-1]) + 1e-3).all(), fe  # monotone non-increase (f32 tolerance)
 
 
 def test_grid_latent_requires_full_index():

@@ -49,12 +49,30 @@ def test_hgf_smoothing():
     x_err = np.abs(np.asarray(qx.mean()) - x_true)
     assert np.median(x_err) < 0.15, np.median(x_err)
 
+    # reference-style credible envelopes (hgf_tests.jl:120-130): every state
+    # within 6σ, ≥95% within 3σ, strictly positive posterior variances
+    mx, sx = np.asarray(qx.mean()), np.sqrt(np.asarray(qx.var()))
+    mz, sz = np.asarray(qz.mean()), np.sqrt(np.asarray(qz.var()))
+    assert np.all(sx > 0) and np.all(sz > 0)
+    assert np.all(np.abs(x_true - mx) < 6.0 * sx)
+    assert np.all(np.abs(z_true - mz) < 6.0 * sz)
+    assert np.mean(np.abs(x_true - mx) < 3.0 * sx) > 0.95
+    assert np.mean(np.abs(z_true - mz) < 3.0 * sz) > 0.95
+
     # z (volatility) correlates with the true log-volatility path
-    z_mean = np.asarray(qz.mean())
-    corr = np.corrcoef(z_mean[10:], z_true[10:])[0, 1]
-    assert corr > 0.35, corr
+    corr = np.corrcoef(mz[10:], z_true[10:])[0, 1]
+    assert corr > 0.55, corr
 
     fe = np.asarray(res.free_energy)
     assert np.isfinite(fe).all()
-    # FE should improve substantially from the first iteration
-    assert fe[-1] < fe[0]
+    # FE discipline: the EP-style GCV chain coupling overshoots on the first
+    # sweep (iter-1 FE undershoots, then corrects upward), so unlike pure
+    # coordinate-ascent models the first few diffs may be positive; require
+    # a large net improvement AND a monotone non-increasing converged tail.
+    assert fe[-1] < fe[0] - 100.0, (fe[0], fe[-1])
+    # converged: per-iteration change decays to float32 noise and the last
+    # iterations are flat (the EP fixed point is approached from below, so
+    # strict monotonicity does not apply here)
+    diffs = np.diff(fe)
+    assert np.abs(diffs[-5:]).max() < 1e-2, fe
+    assert abs(fe[-1] - fe[-5]) < 1e-2, fe

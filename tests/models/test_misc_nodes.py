@@ -109,7 +109,7 @@ def test_softdot_node_regression():
     assert 50.0 < g_est < 200.0
     fe = np.asarray(res.free_energy)
     assert np.isfinite(fe).all()
-    assert fe[-1] <= fe[0] + 1e-3
+    assert (np.diff(fe) <= 5e-5 * np.abs(fe[:-1]) + 1e-3).all(), fe  # monotone non-increase (f32 tolerance)
 
 
 def test_softdot_shared_latent_x():

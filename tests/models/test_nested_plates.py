@@ -71,7 +71,7 @@ def test_grid_row_means_shared_precision():
     # pooled precision ≈ 1/0.25 = 4
     assert abs(float(res.posteriors["tau"].mean()) - 4.0) < 0.5
     fe = np.asarray(res.free_energy)
-    assert fe[-1] <= fe[0] + 1e-5
+    assert (np.diff(fe) <= 5e-5 * np.abs(fe[:-1]) + 1e-3).all(), fe  # monotone non-increase (f32 tolerance)
 
 
 def test_grid_column_effects():

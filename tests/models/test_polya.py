@@ -38,4 +38,4 @@ def test_binomial_polya_logistic_regression():
     fe = np.asarray(res.free_energy)
     assert np.isfinite(fe).all()
     # PG bound tightens monotonically (coordinate ascent on the augmented ELBO)
-    assert fe[-1] <= fe[0]
+    assert (np.diff(fe) <= 5e-5 * np.abs(fe[:-1]) + 1e-3).all(), fe  # monotone non-increase (f32 tolerance)
