@@ -828,9 +828,23 @@ class CompiledModel:
         nat = as_mv_weighted_mean_precision(marg)
         return MvNormalWeightedMeanPrecision(nat.xi - mxi, nat.w - mw)
 
+    def _with_derived(self, data: dict) -> dict:
+        """Extend the data dict with folded data expressions (`a + b` over
+        data variables, graph.derived_data).  Idempotent; evaluated in
+        insertion order so derived-of-derived chains resolve."""
+        dd = getattr(self.graph, "derived_data", None)
+        if not dd:
+            return data
+        out = dict(data)
+        for name, fn in dd.items():
+            if name not in out:
+                out[name] = fn(out)
+        return out
+
     def _sweep_once(self, state: dict, chain_cross: dict, data: dict):
         from ..rules.registry import trace_messages
 
+        data = self._with_derived(data)
         for kind, block in self.blocks:
             if kind == "chain":
                 trace_messages.record(
@@ -869,6 +883,7 @@ class CompiledModel:
         return self._fe_factors
 
     def _free_energy(self, state, chain_cross, data):
+        data = self._with_derived(data)
         total = variable_entropy_term(self.graph, state, self.degrees)
         for ffe in self.fe_factors:
             total = total + ffe(state, data, chain_cross)
@@ -942,6 +957,7 @@ class CompiledModel:
         *jointly* with the factor's inputs, so the prediction is the exact BP
         marginalization (``message_to_out_structured``) rather than the
         moment-matched VMP out-message when the node distinguishes the two."""
+        data = self._with_derived(data)
         var = self.graph.data_vars[varname]
         factors = [f for f in self.graph.factors if f.out.var is var]
         if len(factors) != 1:

@@ -325,6 +325,93 @@ class DataArray:
         """Observe the whole (scalar) data variable: ``y.observe(Normal(...))``."""
         _builder().rebind(value.ref, Ref(self._var, None))
 
+    # -- folded arithmetic (reference: "Data variables should fold
+    # automatically", test/models/models_tests.jl:221+) ----------------------
+    def __add__(self, o):
+        return DataExpr._lift(self)._bin(o, "add")
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return DataExpr._lift(self)._bin(o, "sub")
+
+    def __rsub__(self, o):
+        return DataExpr._lift(o)._bin(self, "sub")
+
+    def __mul__(self, o):
+        return DataExpr._lift(self)._bin(o, "mul")
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return DataExpr._lift(self)._bin(o, "div")
+
+    def __rtruediv__(self, o):
+        return DataExpr._lift(o)._bin(self, "div")
+
+    def __neg__(self):
+        return DataExpr._lift(self)._bin(-1.0, "mul")
+
+
+class DataExpr:
+    """Lazy elementwise arithmetic over data variables.
+
+    The reference folds data-variable expressions (``x ~ Normal(mean=a + b +
+    1 - 1, ...)`` with data-valued a, b) into anonymous folded data interfaces
+    (test/models/models_tests.jl:221+, GraphPPL constant/data folding).  Here
+    the expression is recorded at trace time and materialized as a DERIVED
+    data variable: ``graph.derived_data[name]`` maps to a jnp-traceable
+    function of the runtime data dict, evaluated inside the compiled program
+    (engine/compile.py ``_with_derived``)."""
+
+    __array_ufunc__ = None
+
+    _OPS = {
+        "add": lambda x, y: x + y,
+        "sub": lambda x, y: x - y,
+        "mul": lambda x, y: x * y,
+        "div": lambda x, y: x / y,
+    }
+
+    def __init__(self, fn, srcs, shape):
+        self.fn = fn        # (data dict) -> array
+        self.srcs = srcs    # names of source data variables
+        self.shape = shape
+
+    @staticmethod
+    def _lift(v) -> "DataExpr":
+        if isinstance(v, DataExpr):
+            return v
+        if isinstance(v, DataArray):
+            name = v._var.name
+            return DataExpr(lambda data, n=name: data[n], {name}, v.shape)
+        arr = np.asarray(v)
+        if arr.dtype == object:
+            raise TypeError(
+                f"`{type(v).__name__}` cannot appear in a data-variable "
+                "expression inside @model."
+            )
+        return DataExpr(lambda data, a=arr: a, set(), arr.shape)
+
+    def _bin(self, other, opname) -> "DataExpr":
+        o = DataExpr._lift(other)
+        op = DataExpr._OPS[opname]
+        shape = np.broadcast_shapes(self.shape, o.shape)
+        f1, f2 = self.fn, o.fn
+        return DataExpr(
+            lambda data: op(f1(data), f2(data)), self.srcs | o.srcs, shape
+        )
+
+    __add__ = lambda self, o: self._bin(o, "add")
+    __radd__ = __add__
+    __sub__ = lambda self, o: self._bin(o, "sub")
+    __rsub__ = lambda self, o: DataExpr._lift(o)._bin(self, "sub")
+    __mul__ = lambda self, o: self._bin(o, "mul")
+    __rmul__ = __mul__
+    __truediv__ = lambda self, o: self._bin(o, "div")
+    __rtruediv__ = lambda self, o: DataExpr._lift(o)._bin(self, "div")
+    __neg__ = lambda self: self._bin(-1.0, "mul")
+
 
 def latent(length, name: Optional[str] = None):
     """Declare an array of latent variables (reference: implicit ``x[i] ~ ...``).
@@ -403,6 +490,25 @@ def submodel(fn=None, *, name: Optional[str] = None, default_constraints=None):
         @functools.wraps(f)
         def wrapped(*args, **kwargs):
             b = _builder()
+            # Node contraction (reference: infer(allow_node_contraction=true),
+            # test/inference/inference_tests.jl:526-686 + docs
+            # model-specification.md:332-447): a submodel whose NAME has a
+            # registered node type is emitted as ONE factor instead of tracing
+            # its body — the user's registered rules drive it directly.
+            if getattr(b, "allow_node_contraction", False):
+                from ..rules.registry import has_node
+
+                if has_node(sm_name):
+                    if args:
+                        raise TypeError(
+                            f"node contraction of submodel {sm_name!r} "
+                            "requires keyword arguments (they name the "
+                            "factor's interfaces)."
+                        )
+                    return b.emit(
+                        sm_name,
+                        {k: _as_interface(v) for k, v in kwargs.items()},
+                    )
             b.enter_scope(sm_name)
             if default_constraints is not None:
                 d = getattr(b.graph, "default_submodel_constraints", None)
@@ -615,6 +721,8 @@ class ModelBuilder:
 
 def _as_interface(v) -> Any:
     """Normalize a node argument to Ref or Const."""
+    from ..dists import Distribution, PointMass
+
     if isinstance(v, RVRef):
         return v.ref
     if isinstance(v, DataArray):
@@ -622,7 +730,36 @@ def _as_interface(v) -> Any:
         return Ref(v._var, None)
     if isinstance(v, (LinearExpr, AddExpr)):
         return v
-    return Const(np.asarray(v))
+    if isinstance(v, DataExpr):
+        # folded data expression -> anonymous derived data variable computed
+        # from the runtime data dict inside the compiled program
+        b = _builder()
+        name = b.fresh_name("fold")
+        var = b.graph.add_variable(Variable(name, "data", None))
+        var.event_shape = tuple(v.shape)
+        var.dtype = np.float32
+        b.graph.derived_data[name] = v.fn
+        return Ref(var, None)
+    if isinstance(v, PointMass):
+        return Const(np.asarray(v.point))
+    if isinstance(v, Distribution):
+        # A Distribution object used where a random variable is expected:
+        # auto-lift into a prior factor, memoized per instance (reference:
+        # `θ ~ prior` with a Distributions.jl object passed as a model
+        # argument, test/models/models_tests.jl:45-109).
+        return _lift_dist(v).ref
+    arr = np.asarray(v)
+    if arr.dtype == object:
+        # reference: "`X` cannot be used as a factor node" user-friendly error
+        # (test/models/models_tests.jl:203-218)
+        raise TypeError(
+            f"`{type(v).__name__}` cannot be used as a factor-node argument "
+            "inside @model: it is neither a random variable, data, a numeric "
+            "constant, nor a known distribution. Use the rxinfer_tpu node "
+            "vocabulary (rx.Normal, rx.Beta, ...) or register a custom node "
+            "(rx.factor_node + rules.registry.node)."
+        )
+    return Const(arr)
 
 
 # ---------------------------------------------------------------------------------
@@ -661,6 +798,59 @@ def _direct_dist(fform: str, *args):
     import jax.numpy as jnp
 
     return table[fform](*[jnp.asarray(a, dtype=jnp.float32) for a in args])
+
+
+def _lift_dist(d) -> RVRef:
+    """Emit a prior factor for a Distribution INSTANCE used inside a trace.
+
+    Mirrors the reference's `θ ~ prior` where `prior` is a Distributions.jl
+    object passed as a model argument (test/models/models_tests.jl:45-109):
+    the object's parameters become compile-time constants of a prior factor.
+    Memoized per instance so repeated uses share one random variable."""
+    from .. import dists as D
+
+    b = _builder()
+    memo = b.__dict__.setdefault("_dist_lift_memo", {})
+    hit = memo.get(id(d))
+    if hit is not None:
+        return hit[1]
+    t = type(d)
+    table = {
+        D.NormalMeanVariance: lambda: Normal(mean=d.mu, var=d.v),
+        D.NormalMeanPrecision: lambda: Normal(mean=d.mu, precision=d.w),
+        D.MvNormalMeanCovariance: lambda: MvNormal(mean=d.mu, cov=d.sigma),
+        D.MvNormalMeanPrecision: lambda: MvNormal(mean=d.mu, precision=d.w),
+        D.MvNormalMeanScalePrecision: lambda: MvNormal(mean=d.mu, gamma=d.gamma),
+        D.Beta: lambda: Beta(d.a, d.b),
+        D.Bernoulli: lambda: Bernoulli(d.p),
+        D.Binomial: lambda: Binomial(d.n, d.p),
+        D.GammaShapeRate: lambda: Gamma(shape=d.a, rate=d.b),
+        D.GammaShapeScale: lambda: Gamma(shape=d.a, scale=d.theta),
+        D.InverseGamma: lambda: InverseGamma(d.a, d.b),
+        D.Categorical: lambda: Categorical(d.probs()),
+        D.Dirichlet: lambda: Dirichlet(d.alpha),
+        D.DirichletCollection: lambda: DirichletCollection(d.alpha),
+        D.Wishart: lambda: Wishart(d.nu, d.s),
+        D.InverseWishart: lambda: InverseWishart(d.nu, d.psi),
+        D.Poisson: lambda: Poisson(d.lam),
+        D.Uniform: lambda: Uniform(d.lo, d.hi),
+    }
+    ctor = table.get(t)
+    if ctor is None:
+        raise TypeError(
+            f"`{t.__name__}` cannot be used as a prior inside @model: no "
+            "factor node matches this distribution family."
+        )
+    # A dist-object prior is one shared latent even when first USED inside a
+    # plate loop (the reference's `θ ~ prior` sits above the loop); emit the
+    # prior factor outside the active plate context.
+    saved, b.plate_stack = b.plate_stack, []
+    try:
+        ref = ctor()
+    finally:
+        b.plate_stack = saved
+    memo[id(d)] = (d, ref)  # keep d alive so id() stays unique per trace
+    return ref
 
 
 def _gaussian(kind_scalar: str, kwargs: dict) -> RVRef:
@@ -1142,15 +1332,22 @@ class ModelGenerator:
     def __or__(self, data: dict) -> ModelGraph:
         return self.trace(data)
 
-    def trace(self, data: dict[str, Any]) -> ModelGraph:
+    def trace(self, data: dict[str, Any],
+              allow_node_contraction: bool = False) -> ModelGraph:
         """Build the factor graph for the given data (shapes taken from values)."""
         builder = ModelBuilder(self.name)
+        builder.allow_node_contraction = allow_node_contraction
         prev = getattr(_STATE, "builder", None)
         _STATE.builder = builder
         try:
+            from ..dists import Distribution
+
             call_kwargs: dict[str, Any] = {}
             for k, v in self.bound.items():
-                call_kwargs[k] = np.asarray(v) if not np.isscalar(v) else v
+                if isinstance(v, Distribution) or callable(v):
+                    call_kwargs[k] = v  # dist-object priors / fn hyperparams
+                else:
+                    call_kwargs[k] = np.asarray(v) if not np.isscalar(v) else v
             for k, v in data.items():
                 arr = np.asarray(v) if v is not None else None
                 if arr is None:
@@ -1166,6 +1363,12 @@ class ModelGenerator:
                         v.ref.var.name = k
                     elif isinstance(v, (LatentArray,)):
                         v._var.name = k
+                    elif isinstance(v, Distribution):
+                        # dist-object prior returned by name: rename the
+                        # lifted variable so posteriors are keyed by it
+                        hit = getattr(builder, "_dist_lift_memo", {}).get(id(v))
+                        if hit is not None:
+                            hit[1].ref.var.name = k
         finally:
             _STATE.builder = prev
         builder.graph.validate()

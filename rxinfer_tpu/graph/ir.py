@@ -200,6 +200,11 @@ class ModelGraph:
         self.factors: list[Factor] = []
         self.plates: list[Plate] = []
         self.data_vars: dict[str, Variable] = {}
+        # derived data entries: name -> fn(data_dict) -> jnp array, evaluated
+        # inside the compiled program (reference: data variables fold
+        # automatically, test/models/models_tests.jl:221+ — `x ~ Normal(mean=
+        # a + b, ...)` with data-valued a, b creates anonymous folded data)
+        self.derived_data: dict[str, Any] = {}
 
     # -- construction ------------------------------------------------------------
     def add_variable(self, v: Variable) -> Variable:

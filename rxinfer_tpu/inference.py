@@ -184,6 +184,7 @@ def infer(
     postprocess: Any = None,
     session: Any = "default",
     uselock: Any = False,
+    allow_node_contraction: bool = False,
 ):
     """Run inference.  Batch mode when ``autoupdates is None``; streaming mode
     (returns an RxInferenceEngine) otherwise — mirroring the reference dispatch."""
@@ -212,10 +213,18 @@ def infer(
             trace=trace,
             catch_exception=catch_exception,
             session=session,
+            allow_node_contraction=allow_node_contraction,
         )
 
     if data is None:
         raise ValueError("Batch inference requires data= (or use datastream=).")
+    if not isinstance(data, dict):
+        # reference: "Keyword argument `data` expects either `Dict` or
+        # `NamedTuple` as an input" (test/inference/prediction_tests.jl:160)
+        raise TypeError(
+            "Keyword argument `data` expects a dict mapping data-variable "
+            f"names to arrays; got {type(data).__name__}."
+        )
     warn_opt = True if options is None else options.get("warn", True)
     if (keephistory or historyvars is not None) and warn_opt:
         # reference: historyvars/keephistory are "exclusive for streamline
@@ -244,6 +253,7 @@ def infer(
                 benchmark=benchmark, trace=trace, catch_exception=False,
                 annotations=annotations, postprocess=postprocess,
                 session=session,
+                allow_node_contraction=allow_node_contraction,
             )
         except Exception as exc:  # noqa: BLE001
             import traceback as _tb
@@ -339,7 +349,7 @@ def infer(
     # garbage-collected closures from aliasing cache entries) plus the
     # data-shape signature; constraints/meta/init values are checked on hit.
     sig = (model.fn, tuple(sorted(model.bound)), _shape_sig(data),
-           tuple(sorted(init_dists)))
+           tuple(sorted(init_dists)), allow_node_contraction)
     cached = _COMPILE_CACHE.get(sig)
     compiled = None
     if cached is not None:
@@ -353,7 +363,8 @@ def infer(
             compiled = c_compiled
     if compiled is None:
         registry.invoke("before_model_creation")
-        graph = model.trace(data)
+        graph = model.trace(data,
+                            allow_node_contraction=allow_node_contraction)
         compiled = CompiledModel(graph, init=init_dists, options=options,
                                  constraints=constraints, meta=meta)
         _COMPILE_CACHE[sig] = (compiled, constraints, meta, init_dists, options)

@@ -59,6 +59,14 @@ class autoupdates:
     fetches these from @initialization-set marginals)."""
 
     def __init__(self, initial: Optional[dict] = None, **mapping: Callable[[dict], Any]):
+        if not mapping:
+            # reference: "`@autoupdates` did not find any auto-updates
+            # specifications" (test/inference/autoupdates_tests.jl:249-254)
+            raise ValueError(
+                "autoupdates() did not find any auto-update specifications; "
+                "pass keyword mappings, e.g. autoupdates(initial={'a': ...}, "
+                "a=lambda q: q['theta'].mean())."
+            )
         self.mapping = dict(mapping)
         self.initial = {
             k: jnp.asarray(v, jnp.float32) for k, v in (initial or {}).items()
@@ -139,8 +147,10 @@ class RxInferenceEngine:
                  constraints: Any = None, meta: Any = None,
                  returnvars: Any = None, historyvars: Any = None,
                  annotations: Any = None, postprocess: Any = None,
-                 uselock=False, warn: bool = True):
+                 uselock=False, warn: bool = True,
+                 allow_node_contraction: bool = False):
         self.model = model
+        self.allow_node_contraction = allow_node_contraction
         self.autoupdates = autoupdates_spec
         self.args = dict(autoupdates_spec.initial)
         self.iterations = iterations
@@ -225,7 +235,8 @@ class RxInferenceEngine:
         if self._compiled is None:
             self._fire("before_model_creation")
             data = {**obs, **self.args}
-            graph = self.model.trace(data)
+            graph = self.model.trace(
+                data, allow_node_contraction=self.allow_node_contraction)
             self._compiled = CompiledModel(
                 graph, init=self.initialization, options=self.options,
                 constraints=self.constraints, meta=self.meta,
@@ -263,6 +274,14 @@ class RxInferenceEngine:
         """Process one observation: run autoupdates-fed inference step
         (reference executor on_next!, src/inference/streaming.jl:311-436;
         event set mirrors the engine events at :847-866)."""
+        clash = sorted(set(obs) & set(self.args))
+        if clash:
+            # reference: "`a` is present both in the `data` and in the
+            # `autoupdates`." (test/inference/inference_tests.jl:1489-1514)
+            raise ValueError(
+                f"`{clash[0]}` is present both in the `data` and in the "
+                "`autoupdates`."
+            )
         if self._lock is not None:
             with self._lock:
                 return self._on_next(obs)
@@ -478,7 +497,8 @@ def streaming_infer(model, datastream, autoupdates, initialization=None,
                     options=None, uselock=False, constraints=None, meta=None,
                     callbacks=None, returnvars=None, historyvars=None,
                     annotations=None, postprocess=None, benchmark=False,
-                    trace=False, catch_exception=False, session="default"):
+                    trace=False, catch_exception=False, session="default",
+                    allow_node_contraction=False):
     """Streaming dispatch target of `infer` (reference
     src/inference/inference.jl:700-731) — forwards the full kwarg surface."""
     if autoupdates is None:
@@ -499,6 +519,7 @@ def streaming_infer(model, datastream, autoupdates, initialization=None,
         constraints=constraints, meta=meta, event_callbacks=callbacks,
         returnvars=returnvars, historyvars=historyvars,
         annotations=annotations, postprocess=postprocess, warn=warn,
+        allow_node_contraction=allow_node_contraction,
     )
     if benchmark:
         from .utils.callbacks import BenchmarkCallbacks

@@ -266,3 +266,33 @@ def test_mu_autoupdate_on_chain_block_variable():
                   iterations=1).posteriors["x"]
     assert abs(float(engine.args["pm"])
                - float(np.asarray(om.mean())[-1])) < 2e-3
+
+
+def test_empty_autoupdates_rejected():
+    """reference: "`@autoupdates` did not find any auto-updates
+    specifications" (test/inference/autoupdates_tests.jl:249-254)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="did not find any auto-update"):
+        rx.autoupdates()
+
+
+def test_data_colliding_with_autoupdated_argument_rejected():
+    """reference: "`a` is present both in the `data` and in the
+    `autoupdates`." (test/inference/inference_tests.jl:1489-1514)."""
+    import pytest
+
+    @rx.model
+    def beta_bernoulli(a, b, y):
+        t = rx.Beta(a, b)
+        y.observe(rx.Bernoulli(t))
+        return {"t": t}
+
+    au = rx.autoupdates(
+        initial={"a": 1.0, "b": 1.0},
+        a=lambda q: q["t"].a,
+        b=lambda q: q["t"].b,
+    )
+    engine = rx.infer(model=beta_bernoulli, datastream=None, autoupdates=au)
+    with pytest.raises(ValueError, match="present both in the `data`"):
+        engine.on_next({"y": np.float32(1.0), "a": np.float32(2.0)})
