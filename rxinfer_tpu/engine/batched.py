@@ -59,6 +59,11 @@ class FusedGaussianPlan:
     m0: np.ndarray
     p0: np.ndarray
     chunk: int = 8
+    # linear-evidence fast path: xi[t] = Σ_k E[k] @ vec(data_k[t]) + c[t].
+    # Extracted numerically at plan time (jvp columns, validated against the
+    # rule-assembled xi on the example dataset); None -> vmapped rule path.
+    E: Any = None          # dict name -> (dim, feat) ndarray
+    c: Any = None          # (T, dim) ndarray
 
 
 def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict):
@@ -139,12 +144,72 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict):
             "evidence precision W varies across time slots (unary slot "
             "evidence or partial coverage); the kernel requires one shared W"
         )
+    E, c = _extract_linear_evidence(block, d0, length)
     plan = FusedGaussianPlan(
         A=np.asarray(a, np.float32), b=np.asarray(bb, np.float32),
         Q=np.asarray(q, np.float32), W=np.asarray(w[0], np.float32),
         m0=np.asarray(m0, np.float32), p0=np.asarray(p0, np.float32),
+        E=E, c=c,
     )
     return plan, None
+
+
+def _extract_linear_evidence(block: GaussianChainBlock, d0: dict,
+                             length: int):
+    """Numerically extract the evidence information-vector map as a per-slot
+    AFFINE function of the data: xi[t] = Σ_k E_k · vec(data_k[t]) + c[t].
+
+    Const-parameter Gaussian evidence (the only kind the fused plan admits)
+    is affine in the observed values, so the rule-assembled xi collapses to
+    ONE fused einsum over the raw observations — replacing the per-factor
+    vmapped rule pipeline (lift + mask + scatter ≈ 2× the einsum's HBM time
+    at B=1024, T=10k).  Columns come from jvp with time-broadcast basis
+    tangents; time-invariance of each column and affine consistency on the
+    example dataset are verified, with fallback (None, None) to the rule
+    path on any mismatch."""
+
+    def xi_of(dd):
+        xi, _ = block._evidence({}, dd, {}, length)
+        return xi
+
+    try:
+        zeros = {k: jnp.zeros_like(v) for k, v in d0.items()}
+        c = np.asarray(jax.jit(xi_of)(zeros))          # (T, dim)
+        E: dict = {}
+        for name, v in d0.items():
+            if v.ndim < 1 or v.shape[0] != length:
+                continue  # not per-slot data for this chain
+            feat = int(np.prod(v.shape[1:], dtype=np.int64)) or 1
+            cols = []
+            for j in range(feat):
+                basis = np.zeros((feat,), np.float32)
+                basis[j] = 1.0
+                tangent = {
+                    k: (jnp.broadcast_to(
+                        jnp.asarray(basis.reshape(v.shape[1:] or ())),
+                        vv.shape)
+                        if k == name else jnp.zeros_like(vv))
+                    for k, vv in zeros.items()
+                }
+                _, dxi = jax.jvp(xi_of, (zeros,), (tangent,))
+                dxi = np.asarray(dxi)                  # (T, dim)
+                if not np.allclose(dxi, dxi[:1], rtol=1e-5, atol=1e-6):
+                    return None, None                  # time-varying map
+                cols.append(dxi[0])
+            if cols and np.any(np.asarray(cols)):
+                E[name] = np.asarray(cols, np.float32).T   # (dim, feat)
+        # affine consistency on the example dataset
+        xi_ref = np.asarray(jax.jit(xi_of)(
+            {k: jnp.asarray(v) for k, v in d0.items()}))
+        xi_lin = c.copy()
+        for name, Ek in E.items():
+            flat = np.asarray(d0[name]).reshape(length, -1)
+            xi_lin = xi_lin + flat @ Ek.T
+        if not np.allclose(xi_lin, xi_ref, rtol=1e-4, atol=1e-5):
+            return None, None
+        return E, np.asarray(c, np.float32)
+    except Exception:  # noqa: BLE001 — any failure: keep the rule path
+        return None, None
 
 
 def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
@@ -160,8 +225,26 @@ def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
     # out_axes=1: the vmapped evidence einsums WRITE the payload directly in
     # the kernel's time-major (T, B, dim) layout — a separate moveaxis would
     # round-trip the full B×T payload through HBM once more (round-2 verdict
-    # item 10: the engine/ops gap was exactly this transpose)
-    xi_t = jax.vmap(xi_of, out_axes=1)(data)           # (T, B, dim)
+    # item 10: the engine/ops gap was exactly this transpose).
+    # assume_finite_data: gaussian plans only exist under all_finite=True
+    # (build_plans), so the NaN zero-fill + isfinite mask passes are skipped.
+    from .blocks import assume_finite_data
+
+    if plan.E is not None:
+        # linear-evidence fast path: one fused einsum from raw observations
+        # (plan-time extracted E/c, validated against the rule-assembled xi)
+        xi_t = jnp.zeros((length, batch, block.dim), jnp.float32)
+        for name, Ek in plan.E.items():
+            flat = data[name].reshape(batch, length, -1)   # (B, T, feat)
+            xi_t = xi_t + jnp.einsum(
+                "if,btf->tbi", jnp.asarray(Ek), flat,
+                preferred_element_type=jnp.float32,
+            )
+        if np.any(plan.c):
+            xi_t = xi_t + jnp.asarray(plan.c)[:, None, :]
+    else:
+        with assume_finite_data():
+            xi_t = jax.vmap(xi_of, out_axes=1)(data)   # (T, B, dim)
     m0 = jnp.broadcast_to(jnp.asarray(plan.m0), (batch, block.dim))
     p0 = jnp.broadcast_to(jnp.asarray(plan.p0), (batch, block.dim, block.dim))
     means, covs, cross = fused_batched_smoother(

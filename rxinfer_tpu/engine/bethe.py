@@ -377,13 +377,21 @@ class FactorFE:
             if f.fform == "DiscreteTransition":
                 h = jnp.sum(discrete_pair_entropy(cross))
             elif f.fform == "AR":
-                # AR transition is degenerate in the embedded state (shift
-                # rows); the effective cluster is (out_0, in) of dim k+1.
-                v00 = q_out.cov()[..., 0:1, 0:1]
-                c0 = cross[..., 0:1, :]
-                h = jnp.sum(
-                    gaussian_pair_entropy(v00, q_in.cov(), c0)
-                )
+                if self.chain_scalar:
+                    # univariate AR (order=1, scalar latents): plain scalar
+                    # pair (out, in) — reference ARMeta(Univariate, ...)
+                    h = jnp.sum(
+                        gaussian_pair_entropy(q_out.var(), q_in.var(), cross)
+                    )
+                else:
+                    # AR transition is degenerate in the embedded state
+                    # (shift rows); the effective cluster is (out_0, in) of
+                    # dim k+1.
+                    v00 = q_out.cov()[..., 0:1, 0:1]
+                    c0 = cross[..., 0:1, :]
+                    h = jnp.sum(
+                        gaussian_pair_entropy(v00, q_in.cov(), c0)
+                    )
             else:
                 h = jnp.sum(
                     gaussian_pair_entropy(

@@ -80,6 +80,26 @@ def _expand_for_grid(q, f: Factor, ref: Ref):
     return jax.tree_util.tree_map(lambda a: jnp.expand_dims(a, ins), q)
 
 
+_ASSUME_FINITE = False
+
+
+class assume_finite_data:
+    """Trace-time context: the caller has PROVEN the data finite (batched
+    plans built with ``all_finite=True``), so the NaN-missing machinery
+    (``nan_to_num`` zero-fill + ``factor_data_mask`` isfinite reductions) is
+    skipped — each is a full extra HBM pass over the observations, together
+    ~60% of the fused path's evidence-assembly time at B=1024 T=10k."""
+
+    def __enter__(self):
+        global _ASSUME_FINITE
+        self._prev = _ASSUME_FINITE
+        _ASSUME_FINITE = True
+
+    def __exit__(self, *exc):
+        global _ASSUME_FINITE
+        _ASSUME_FINITE = self._prev
+
+
 def resolve_iface(value, f: Factor, state: dict, data: dict):
     """Resolve an interface value to a (possibly batched) marginal distribution.
 
@@ -90,7 +110,9 @@ def resolve_iface(value, f: Factor, state: dict, data: dict):
         return PointMass(jnp.asarray(value.value, dtype=jnp.float32))
     ref = value
     if ref.var.kind == "data":
-        arr = jnp.nan_to_num(data[ref.var.name])
+        arr = data[ref.var.name]
+        if not _ASSUME_FINITE:
+            arr = jnp.nan_to_num(arr)
         cov = _coverage(f, ref)
         if cov is None or cov == "grid":
             return PointMass(arr)
@@ -416,6 +438,14 @@ class PlainGroup:
             else:
                 if isinstance(cov, tuple):
                     msg = pad_plate(msg, cov[0], cov[1], length)
+                elif isinstance(cov, int):
+                    # unary factor pinning ONE slot (e.g. the slot-0 prior of
+                    # a lagged chain solved by the Jacobi fallback): lift to a
+                    # single-copy plate and pad the rest with the identity
+                    msg = jax.tree_util.tree_map(
+                        lambda a: jnp.asarray(a)[None], msg
+                    )
+                    msg = pad_plate(msg, cov, cov + 1, length)
                 else:
                     raise NotImplementedError(
                         f"Array group {self.var.name} with non-plated factor "
@@ -562,7 +592,7 @@ class GaussianChainBlock:
         else:
             m = as_mv_weighted_mean_precision(msg)
             mxi, mw = m.xi, m.w
-        mask = factor_data_mask(f, data)
+        mask = None if _ASSUME_FINITE else factor_data_mask(f, data)
         if mask is not None:
             mxi = mxi * mask.reshape(mask.shape + (1,) * (mxi.ndim - mask.ndim))
             mw = mw * mask.reshape(mask.shape + (1,) * (mw.ndim - mask.ndim))

@@ -156,12 +156,10 @@ def detect_chains(graph: ModelGraph, infos) -> dict[str, ChainSpec]:
                 transitions.append(f)
         if not transitions:
             continue
-        if len(transitions) > 1:
-            raise NotImplementedError(
-                f"Variable {var.name} has multiple transition factors."
-            )
         trans = transitions[0]
-        if trans.fform in _GAUSSIAN_TRANS:
+        if len(transitions) > 1:
+            kind = None  # multiple lagged definitions: no closed-form block
+        elif trans.fform in _GAUSSIAN_TRANS:
             kind = "gaussian"
         elif trans.fform == "AR":
             kind = "ar"
@@ -170,9 +168,24 @@ def detect_chains(graph: ModelGraph, infos) -> dict[str, ChainSpec]:
         elif trans.fform == "DiscreteTransition":
             kind = "discrete"
         else:
-            raise NotImplementedError(
-                f"Chain over {var.name} with unsupported transition {trans.fform}."
+            kind = None  # custom/unregistered transition node
+        if kind is None:
+            # Fall back to Jacobi message passing through the generic
+            # PlainGroup machinery (the reference's behavior for arbitrary
+            # nodes inside @model loops: iterative reactive message passing,
+            # no special chain solver) — exactness per sweep is lost, the VMP
+            # fixed point is the same; the variable needs initialization=
+            # (the lag is a cycle for the static scheduler).
+            import warnings
+
+            warnings.warn(
+                f"Chain over {var.name}: transition {trans.fform} has no "
+                "associative-scan chain solver; falling back to iterative "
+                "(Jacobi) message passing — expect slower convergence and "
+                "provide initialization= for the chain variable.",
+                stacklevel=2,
             )
+            continue
         prior = None
         evidence = []
         for f in graph.factors:
@@ -319,6 +332,22 @@ def schedule_sweep(
     updated: set[str] = set()
     order: list[str] = []
     deps_map = {v.name: _read_deps(v, graph, chains) for v in remaining}
+    # A non-chain group whose own factor touches it at TWO interfaces (a
+    # lagged transition on the Jacobi fallback path: out = x[t], in = x[t-1])
+    # reads its own marginal on the first sweep — vague-init it (the greedy
+    # loop ignores self-deps, so it would otherwise schedule uninitialized).
+    self_dep: set[str] = set()
+    for v in remaining:
+        if v.name in chains or v.name in init_names:
+            continue
+        for f in graph.factors:
+            touches = sum(
+                1 for iv in f.all_interfaces().values()
+                if isinstance(iv, Ref) and iv.var is v
+            )
+            if touches >= 2:
+                self_dep.add(v.name)
+                break
     while remaining:
         progressed = False
         for v in list(remaining):
@@ -340,8 +369,8 @@ def schedule_sweep(
                     f"for some of: {blocked}. (Reference equivalent: @initialization "
                     "is required for variational iterations.)"
                 )
-            return order + tree_order, {v.name for v in remaining}
-    return order, set()
+            return order + tree_order, {v.name for v in remaining} | self_dep
+    return order, self_dep
 
 
 def _vague_for(family: str, event_shape: tuple):
@@ -565,6 +594,20 @@ class CompiledModel:
                 )
             for n in matched:
                 init.setdefault(n, val)
+        # submodel default_init (reference GraphPPL.default_init,
+        # initialization_plugin_tests.jl:1161-1186): fills instances the
+        # user's initialization= did not target — setdefault = user wins.
+        d_init = getattr(graph, "default_submodel_init", None)
+        if d_init:
+            for base, spec in d_init.items():
+                for local, val in spec.items():
+                    for n in rv_names:
+                        if (
+                            n.endswith("/" + local)
+                            and n[: -len(local) - 1].split("/")[-1]
+                                .split(":")[0] == base
+                        ):
+                            init.setdefault(n, val)
         init = {
             k: (v.dist if isinstance(v, InitMessage) else v)
             for k, v in init.items()
@@ -642,10 +685,14 @@ class CompiledModel:
             else:
                 adjacency = []
                 for f in graph.factors:
+                    # no break: a factor touching the variable at SEVERAL
+                    # interfaces (a lagged transition solved by the Jacobi
+                    # fallback: out = x[t], in = x[t-1]) sends a message from
+                    # EACH of them — dropping one turns smoothing into
+                    # filtering
                     for iface, v in f.all_interfaces().items():
                         if isinstance(v, Ref) and v.var is var:
                             adjacency.append((f, iface))
-                            break
                 from ..graph.constraints import as_form_constraint
 
                 form = mform = None

@@ -464,7 +464,8 @@ def scope(name: str):
     return _cm()
 
 
-def submodel(fn=None, *, name: Optional[str] = None, default_constraints=None):
+def submodel(fn=None, *, name: Optional[str] = None, default_constraints=None,
+             default_init=None):
     """Declare a Python function as a named submodel.
 
     Every call auto-enters a scope named after the function (instances get
@@ -516,6 +517,16 @@ def submodel(fn=None, *, name: Optional[str] = None, default_constraints=None):
                     d = {}
                     b.graph.default_submodel_constraints = d
                 d[sm_name] = default_constraints
+            if default_init is not None:
+                # reference GraphPPL.default_init(::typeof(submodel)) —
+                # initialization every instance gets unless the user's
+                # initialization= targets it (initialization_plugin_tests.jl
+                # :1161-1186); consumed in CompiledModel.__init__.
+                di = getattr(b.graph, "default_submodel_init", None)
+                if di is None:
+                    di = {}
+                    b.graph.default_submodel_init = di
+                di[sm_name] = dict(default_init)
             try:
                 return f(*args, **kwargs)
             finally:

@@ -28,6 +28,33 @@ from .registry import node
 _LOG2PI = 1.8378770664093453
 
 
+def _is_scalar_ar(q) -> bool:
+    """Univariate AR regime: order=1 with SCALAR latents and a scalar Normal
+    θ prior (reference lar_tests.jl `ARMeta(Univariate, ...)`).  The chain
+    block then carries scalar-family marginals; stats promote them to the
+    1-d embedding and messages squeeze back."""
+    from ..dists.gaussian import ScalarGaussians
+
+    return isinstance(q["out"], ScalarGaussians)
+
+
+def _promote(q):
+    from ..dists import MvNormalMeanCovariance
+    from ..dists.gaussian import ScalarGaussians
+
+    out = dict(q)
+    for key in ("out", "in", "theta"):
+        d = out.get(key)
+        if isinstance(d, ScalarGaussians):
+            out[key] = MvNormalMeanCovariance(
+                d.mean()[..., None], d.var()[..., None, None]
+            )
+    joint = out.get("joint")
+    if joint is not None and jnp.ndim(joint) <= 1:
+        out["joint"] = joint[..., None, None]
+    return out
+
+
 def _theta_outer(q):
     th = q["theta"]
     m = e_mean(th)
@@ -56,12 +83,23 @@ class ARNode:
 
     @staticmethod
     def message_to_theta(q):
+        scalar = _is_scalar_ar(q)
+        if scalar:
+            q = _promote(q)
         g = e_precision(q["gamma"])
         _, _, s_in, e_x0s, _ = _ar_stats(q)
+        if scalar:
+            from ..dists import NormalWeightedMeanPrecision
+
+            return NormalWeightedMeanPrecision(
+                g * e_x0s[..., 0], g * s_in[..., 0, 0]
+            )
         return MvNormalWeightedMeanPrecision(g * e_x0s, g * s_in)
 
     @staticmethod
     def message_to_gamma(q):
+        if _is_scalar_ar(q):
+            q = _promote(q)
         tt, mth = _theta_outer(q)
         _, _, s_in, e_x0s, e_x0sq = _ar_stats(q)
         c2 = (
@@ -77,6 +115,8 @@ class ARNode:
 
         Only the stochastic first component contributes; the deterministic
         shift rows are delta factors whose energies cancel per CountingReal."""
+        if _is_scalar_ar(q):
+            q = _promote(q)
         g = e_precision(q["gamma"])
         elog_g = e_log_precision(q["gamma"])
         tt, mth = _theta_outer(q)

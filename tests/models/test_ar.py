@@ -60,3 +60,43 @@ def test_latent_ar_learns_coefficients():
 
     fe = np.asarray(res.free_energy)
     assert np.isfinite(fe).all()
+
+
+def test_latent_ar_univariate_regime():
+    """Univariate AR(1) with SCALAR latents and a scalar Normal θ prior —
+    the reference lar_tests.jl `ARMeta(Univariate, order, ARsafe())` regime
+    (test/models/autoregressive/lar_tests.jl:18-48)."""
+    from rxinfer_tpu.dists import NormalMeanVariance
+
+    rng = np.random.default_rng(0)
+    T = 300
+    theta_true = 0.8
+    x = np.zeros(T)
+    for t in range(1, T):
+        x[t] = theta_true * x[t - 1] + rng.standard_normal()
+    y = (x + 0.3 * rng.standard_normal(T)).astype(np.float32)
+
+    @rx.model
+    def ar1(y):
+        theta = rx.Normal(mean=0.0, precision=1.0)
+        gamma = rx.Gamma(shape=1.0, rate=1.0)
+        s = rx.latent(T, name="s")
+        s[0] = rx.Normal(mean=0.0, precision=1.0)
+        for t in rx.plate(1, T):
+            s[t] = rx.AR(s[t - 1], theta, gamma, order=1)
+        for t in rx.plate(T):
+            y[t] = rx.Normal(mean=s[t], var=0.09)
+        return {"theta": theta, "gamma": gamma, "s": s}
+
+    res = rx.infer(
+        model=ar1, data={"y": y}, iterations=30, returnvars=rx.KeepLast(),
+        free_energy=True,
+        initialization={"theta": NormalMeanVariance(0.0, 1.0),
+                        "gamma": GammaShapeRate(1.0, 1.0)},
+    )
+    assert abs(float(res.posteriors["theta"].mean()) - theta_true) < 0.1
+    assert abs(float(res.posteriors["gamma"].mean()) - 1.0) < 0.3
+    fe = np.asarray(res.free_energy)
+    assert (np.diff(fe) <= 1e-3).all()
+    s_mean = np.asarray(res.posteriors["s"].mean())
+    assert np.corrcoef(s_mean, x)[0, 1] > 0.95

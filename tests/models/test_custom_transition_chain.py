@@ -1,0 +1,121 @@
+"""Chains whose transition is a USER-REGISTERED node: Jacobi fallback.
+
+The reference runs arbitrary nodes inside @model loops through its reactive
+scheduler (iterative message passing — no special chain solver exists there
+at all).  Here, transitions without an associative-scan chain block fall back
+to the generic PlainGroup machinery: every (factor, interface) adjacency pair
+messages the variable — including BOTH touches of a lagged transition
+(out = x[t], in = x[t-1]) — so with a cavity cluster declared the fixed point
+is exact BP smoothing on trees."""
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rxinfer_tpu as rx
+from rxinfer_tpu.dists import NormalMeanVariance
+from rxinfer_tpu.rules import node
+
+DRIFT, QVAR = 0.5, 0.3
+
+
+@node("DriftWalkT")
+class DriftWalkT:
+    """out ~ N(in + DRIFT, QVAR) — a custom Gaussian transition."""
+
+    interfaces = ("out", "in")
+    cavity_cluster = ("out", "in")  # BP on the chain pair -> exact on trees
+
+    @staticmethod
+    def message_to_out(q):
+        m = q["in"]
+        return NormalMeanVariance(m.mean() + DRIFT, m.var() + QVAR)
+
+    @staticmethod
+    def message_to_in(q):
+        m = q["out"]
+        return NormalMeanVariance(m.mean() - DRIFT, m.var() + QVAR)
+
+    @staticmethod
+    def average_energy(q):
+        mo, vo = q["out"].mean(), q["out"].var()
+        mi, vi = q["in"].mean(), q["in"].var()
+        return 0.5 * (jnp.log(2 * jnp.pi * QVAR)
+                      + ((mo - mi - DRIFT) ** 2 + vo + vi) / QVAR)
+
+
+def _data(T=20, seed=0):
+    rng = np.random.default_rng(seed)
+    x_true = np.cumsum(DRIFT + np.sqrt(QVAR) * rng.standard_normal(T))
+    y = (x_true + 0.2 * rng.standard_normal(T)).astype(np.float32)
+    return x_true, y
+
+
+def _custom_model(T):
+    @rx.model
+    def m(y):
+        x = rx.latent(T, name="x")
+        x[0] = rx.Normal(mean=DRIFT, var=0.4)
+        for t in rx.plate(1, T):
+            x[t] = rx.factor_node("DriftWalkT", **{"in": x[t - 1]})
+        for t in rx.plate(T):
+            y[t] = rx.Normal(mean=x[t], var=0.04)
+        return {"x": x}
+
+    return m
+
+
+def _builtin_model(T):
+    @rx.model
+    def m(y):
+        x = rx.latent(T, name="x")
+        x[0] = rx.Normal(mean=DRIFT, var=0.4)
+        for t in rx.plate(1, T):
+            x[t] = rx.Normal(mean=x[t - 1] + DRIFT, var=QVAR)
+        for t in rx.plate(T):
+            y[t] = rx.Normal(mean=x[t], var=0.04)
+        return {"x": x}
+
+    return m
+
+
+def test_custom_transition_warns_and_matches_exact_smoother():
+    T = 20
+    x_true, y = _data(T)
+    with pytest.warns(UserWarning, match="no associative-scan chain solver"):
+        res = rx.infer(
+            model=_custom_model(T), data={"y": y}, iterations=80,
+            free_energy=True, returnvars=rx.KeepLast(),
+            initialization={"x": NormalMeanVariance(0.0, 10.0)},
+        )
+    ref = rx.infer(model=_builtin_model(T), data={"y": y}, iterations=1,
+                   returnvars=rx.KeepLast(), free_energy=True)
+    np.testing.assert_allclose(
+        np.asarray(res.posteriors["x"].mean()),
+        np.asarray(ref.posteriors["x"].mean()), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res.posteriors["x"].var()),
+        np.asarray(ref.posteriors["x"].var()), atol=1e-4)
+    # mean-field Bethe on the custom pair upper-bounds the structured FE
+    fe = np.asarray(res.free_energy)
+    assert np.all(np.isfinite(fe))
+    assert fe[-1] >= float(np.asarray(ref.free_energy)[-1]) - 1e-4
+
+
+def test_custom_transition_auto_vague_init():
+    """Without initialization= the self-dependent group is vague-initialized
+    automatically (the engine's auto-init, mirroring vague(T)); inference
+    still converges to the exact smoother."""
+    T = 10
+    _, y = _data(T, seed=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = rx.infer(model=_custom_model(T), data={"y": y}, iterations=60,
+                       returnvars=rx.KeepLast())
+    ref = rx.infer(model=_builtin_model(T), data={"y": y}, iterations=1,
+                   returnvars=rx.KeepLast())
+    np.testing.assert_allclose(
+        np.asarray(res.posteriors["x"].mean()),
+        np.asarray(ref.posteriors["x"].mean()), atol=1e-3)

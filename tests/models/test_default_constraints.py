@@ -58,3 +58,56 @@ def test_user_submodel_block_overrides_default():
                    constraints=cons, initialization=INIT)
     assert isinstance(res.posteriors["gauss_block/tau"], PointMass)
     assert isinstance(res.posteriors["gauss_block:2/tau"], GammaShapeRate)
+
+
+@rx.submodel(default_init={"tau": GammaShapeRate(1.0, 1.0)})
+def init_block(y):
+    """Loopy mean/precision block needing tau init — supplied as the
+    submodel TYPE's default (reference GraphPPL.default_init,
+    test/model/initialization_plugin_tests.jl:1161-1186)."""
+    mu = rx.Normal(mean=0.0, var=100.0)
+    tau = rx.Gamma(shape=0.01, rate=0.01)
+    for i in rx.plate(len(y)):
+        y[i] = rx.Normal(mean=mu, precision=tau)
+    return mu, tau
+
+
+def test_default_init_applies_to_every_instance():
+    y1, y2 = _make_data(3)
+
+    @rx.model
+    def two(y1, y2):
+        init_block(y1)
+        init_block(y2)
+
+    # no initialization= at all: the submodel default covers both instances
+    res = rx.infer(model=two, data={"y1": y1, "y2": y2}, iterations=15,
+                   returnvars=rx.KeepLast(), free_energy=True)
+    mus = {k: float(v.mean()) for k, v in res.posteriors.items()
+           if k.endswith("/mu")}
+    assert abs(mus["init_block/mu"] - 2.0) < 0.3
+    assert abs(mus["init_block:2/mu"] - (-1.0)) < 0.7
+    fe = np.asarray(res.free_energy)
+    assert (np.diff(fe) <= 1e-3).all()
+
+
+def test_default_init_user_override_wins():
+    y1, y2 = _make_data(4)
+
+    @rx.model
+    def two(y1, y2):
+        init_block(y1)
+        init_block(y2)
+
+    # a deliberately terrible user init for instance 2 slows its convergence:
+    # proves the user's key takes precedence over the default
+    res_bad = rx.infer(
+        model=two, data={"y1": y1, "y2": y2}, iterations=1,
+        returnvars=rx.KeepLast(), free_energy=True,
+        initialization={"init_block:2/tau": GammaShapeRate(1000.0, 0.001)},
+    )
+    res_def = rx.infer(model=two, data={"y1": y1, "y2": y2}, iterations=1,
+                       returnvars=rx.KeepLast(), free_energy=True)
+    # different first-sweep FE => the override was actually used
+    assert abs(float(res_bad.free_energy[0])
+               - float(res_def.free_energy[0])) > 1e-3

@@ -13,6 +13,8 @@ _EX = os.path.join(os.path.dirname(__file__), "..", "examples")
     ("01_coin_flip.py", "posterior Beta"),
     ("03_unknown_mean_precision.py", "free energy decreased monotonically: True"),
     ("06_streaming.py", "offline scan matches: True"),
+    ("09_mixture_model_selection.py", "model selection favours believer: True"),
+    ("10_latent_ar.py", "free energy decreased monotonically: True"),
 ])
 def test_example_runs(script, expect):
     env = dict(os.environ, RXINFER_TPU_EXAMPLES_DEVICE="cpu")
