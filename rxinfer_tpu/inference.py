@@ -614,7 +614,8 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
                   free_energy: bool = False, initialization: Optional[dict] = None,
                   constraints: Any = None, meta: Any = None,
                   options: Optional[dict] = None, returnvars: Any = None,
-                  predictvars: Any = None, annotations: Any = None):
+                  predictvars: Any = None, annotations: Any = None,
+                  mesh: Any = None, mesh_axis: str = "dp"):
     """Batched inference over B independent datasets in one XLA program.
 
     Every value in ``data`` carries a leading batch axis; the model is traced
@@ -631,7 +632,14 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
     (lists per iteration under ``returnvars=KeepEach()``), free_energy is the
     per-iteration trace of shape ``(iterations, B)`` (or None), and
     ``result.predictions`` carries the predictvars forward messages (always
-    present; the unpacking arity never changes)."""
+    present; the unpacking arity never changes).
+
+    ``mesh=``: data-parallel execution over a ``jax.sharding.Mesh`` — the
+    batch axis is sharded along ``mesh_axis`` and every device runs the SAME
+    compiled program (fused kernels included) on its local shard via
+    ``shard_map``; no collectives are needed (datasets are independent), so
+    scaling is embarrassingly parallel across ICI (SURVEY §2.3 strategy 1).
+    The batch must divide the axis size."""
     import numpy as np
 
     if annotations is not None:
@@ -654,8 +662,44 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
     budget = (options or {}).get("hbm_budget_bytes", 12_000_000_000)
     from .engine.batched import batch_chunk_size
 
-    chunk = batch_chunk_size(compiled, batch, budget)
-    if chunk is None:
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+
+            _smap_kw = {"check_vma": False}  # pallas outputs carry no vma
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+            _smap_kw = {"check_rep": False}
+
+        n_dev = int(mesh.shape[mesh_axis])
+        if batch % n_dev != 0:
+            raise ValueError(
+                f"infer_batched(mesh=...): batch {batch} must divide the "
+                f"{mesh_axis!r} axis size {n_dev}."
+            )
+        if batch_chunk_size(compiled, batch // n_dev, budget) is not None:
+            raise ValueError(
+                "infer_batched(mesh=...): per-device batch still exceeds the "
+                "chain-moment HBM budget; raise "
+                "options={'hbm_budget_bytes': ...} or use more devices."
+            )
+        fe_spec = P(None, mesh_axis) if free_energy else P(None)
+        sharded = shard_map(
+            prog, mesh=mesh,
+            in_specs=(P(mesh_axis),),
+            out_specs=(P(mesh_axis), fe_spec, P(mesh_axis)),
+            **_smap_kw,
+        )
+        state, fe, history = jax.jit(sharded)(data_dev)
+        chunk = None
+    else:
+        chunk = batch_chunk_size(compiled, batch, budget)
+    if mesh is not None:
+        pass
+    elif chunk is None:
         state, fe, history = prog(data_dev)
     else:
         # B×T chain moments exceed the HBM budget: process the batch as
