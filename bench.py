@@ -328,6 +328,24 @@ def main():
     t_hmm_f = _median_time(hmm_fused_s, (y_t_dev,))
     hmm_fused_updates_per_sec = BH * IT_H * (TH + 2) / t_hmm_f
 
+    # like-for-like kernel loop: per_step_xi=True (the variant the ENGINE
+    # must use — per-step pairwise stats feed the chain pair-entropy FE and
+    # structured transition updates, reference parity).  The xi-sum variant
+    # above is the lighter output contract and overstates the ceiling for
+    # the engine's workload.
+    def hmm_fused_ps(y_t):
+        def body(_, carry):
+            ca, cb = carry
+            le = jnp.einsum("tbo,bok->tbk", y_t, _elog(cb))
+            g, _, _, xis = fused_fb_batched(lp_h, _elog(ca), le, chunk=32,
+                                            per_step_xi=True)
+            return a0_h + jnp.sum(xis, axis=0), \
+                b0_h + jnp.einsum("tbo,tbk->bok", y_t, g)
+        return jax.lax.fori_loop(0, IT_H, body, (a0_h, b0_h))
+
+    t_hmm_ps = _median_time(_scalarize(hmm_fused_ps), (y_t_dev,))
+    hmm_fused_ps_updates_per_sec = BH * IT_H * (TH + 2) / t_hmm_ps
+
     baseline_updates_per_sec = 3 * 10_000 / 0.901667  # reference d=2 T=10k CPU
 
     # --- accuracy anchor: the ENGINE path vs a float64 numpy oracle ----------
@@ -427,6 +445,12 @@ def main():
         ),
         "hmm_fused_pallas_vmp_updates_per_sec": round(
             hmm_fused_updates_per_sec, 1
+        ),
+        "hmm_fused_pallas_per_step_xi_updates_per_sec": round(
+            hmm_fused_ps_updates_per_sec, 1
+        ),
+        "hmm_engine_vs_like_for_like_kernel_ratio": round(
+            t_hmm_ps / t_hmm, 3
         ),
         "device": str(jax.devices()[0]),
     }))
