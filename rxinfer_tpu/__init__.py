@@ -93,8 +93,11 @@ from .inference import (  # noqa: F401
     KeepLast,
     UnfactorizedData,
     batched_program,
+    getreturnval,
     infer,
     infer_batched,
+    iserror,
+    issuccess,
 )
 from .diagnostics import (  # noqa: F401
     DefaultObjectiveDiagnosticChecks,

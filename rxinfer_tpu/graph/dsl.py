@@ -1380,6 +1380,9 @@ class ModelGenerator:
                         hit = getattr(builder, "_dist_lift_memo", {}).get(id(v))
                         if hit is not None:
                             hit[1].ref.var.name = k
+            # reference: arbitrary @model return values are kept on the model
+            # (`getreturnval(result.model)`, inference_tests.jl:366-376)
+            builder.graph.returnval = ret
         finally:
             _STATE.builder = prev
         builder.graph.validate()

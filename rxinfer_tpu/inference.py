@@ -46,6 +46,25 @@ class KeepEach:
     """Return posteriors from every iteration (reference KeepEach)."""
 
 
+def getreturnval(model):
+    """The @model function's raw return value (reference:
+    `RxInfer.getreturnval(result.model)`, test/inference/inference_tests.jl
+    :366-376).  Accepts the `result.model` object or a traced graph."""
+    g = getattr(model, "graph", model)
+    return getattr(g, "returnval", None)
+
+
+def issuccess(result) -> bool:
+    """True when the inference completed without error (reference
+    `RxInfer.issuccess`; errors only attach under catch_exception=True)."""
+    return getattr(result, "error", None) is None
+
+
+def iserror(result) -> bool:
+    """Complement of :func:`issuccess` (reference `RxInfer.iserror`)."""
+    return not issuccess(result)
+
+
 class InferenceResult:
     """Reference: InferenceResult (src/inference/batch.jl:18-24)."""
 

@@ -130,3 +130,39 @@ def test_predictvars_absent_data_var_errors_pointedly():
     y = np.zeros(T, np.float32)
     with pytest.raises(ValueError, match="all-NaN"):
         rx.infer(model=_lgssm(T), data={"y": y}, predictvars={"z": rx.KeepLast()})
+
+
+def test_getreturnval_and_success_flags():
+    """Arbitrary @model return values are kept on the model
+    (`getreturnval(result.model)`), and issuccess/iserror mirror the
+    reference (test/inference/inference_tests.jl:339-430)."""
+    import numpy as np
+
+    @rx.model
+    def m(y):
+        x = rx.Normal(mean=0.0, var=1.0)
+        for i in rx.plate(len(y)):
+            y[i] = rx.Normal(mean=x, var=1.0)
+        return len(y), 2, 3.0, "hello world"
+
+    for n in (2, 5):
+        y = np.zeros(n, np.float32)
+        res = rx.infer(model=m, data={"y": y}, returnvars=rx.KeepLast())
+        assert rx.getreturnval(res.model) == (n, 2, 3.0, "hello world")
+        assert rx.issuccess(res) and not rx.iserror(res)
+
+    # catch_exception failure path flips the flags
+    @rx.model
+    def bad(y):
+        x = rx.Normal(mean=0.0, var=1.0)
+        y.observe(rx.Normal(mean=x, var=1.0))
+        return {"x": x}
+
+    def boom(event):
+        raise RuntimeError("bang!")
+
+    res = rx.infer(model=bad, data={"y": np.float32(0.0)}, iterations=3,
+                   catch_exception=True,
+                   callbacks={"after_iteration": boom})
+    assert rx.iserror(res) and not rx.issuccess(res)
+    assert "bang!" in str(res.error)
