@@ -62,8 +62,10 @@ def _inv4(m):
 
 
 def _inv_core(ms):
-    """Inverse of pre-normalized matrices, d <= 8 (d in 5..8 via 4|rest block
-    Schur complement over the closed-form d<=4 kernels)."""
+    """Inverse of pre-normalized matrices, d <= 16 (d in 5..8 via 4|rest, d in
+    9..16 via 8|rest block Schur complements over the closed-form d<=4
+    kernels — branch-free batched arithmetic; no pivoting, which is safe for
+    the SPD / diagonally-dominant matrices of the message algebra)."""
     d = ms.shape[-1]
     if d == 1:
         return 1.0 / ms
@@ -73,7 +75,7 @@ def _inv_core(ms):
         return _inv3(ms)
     if d == 4:
         return _inv4(ms)
-    k = 4
+    k = 8 if d > 8 else 4
     a = ms[..., :k, :k]
     b = ms[..., :k, k:]
     c = ms[..., k:, :k]
@@ -100,7 +102,7 @@ def small_inv(m):
     Inputs are normalized by their mean diagonal magnitude so that determinants
     of vague (1e12-scaled) matrices stay inside fp32 range."""
     d = m.shape[-1]
-    if d > 8:
+    if d > 16:
         return jnp.linalg.inv(m)
     scale = jnp.mean(jnp.abs(jnp.diagonal(m, axis1=-2, axis2=-1)), axis=-1)
     scale = jnp.where(scale > 0, scale, 1.0)[..., None, None]
@@ -138,20 +140,20 @@ def _det_core(ms):
         return _det3(ms)
     if d == 4:
         return _det4(ms)
-    k = 4
+    k = 8 if d > 8 else 4
     a = ms[..., :k, :k]
     schur = ms[..., k:, k:] - ms[..., k:, :k] @ _inv_core(a) @ ms[..., :k, k:]
     return _det_core(a) * _det_core(schur)
 
 
 def small_logdet(m):
-    """log|det m| for PD matrices with trailing dims d <= 8, as pure
+    """log|det m| for PD matrices with trailing dims d <= 16, as pure
     elementwise arithmetic (TPU-fast; batched Cholesky lowers to sequential
     per-matrix loops).  Falls back to Cholesky for larger d.  The same
     diagonal normalization as small_inv keeps vague (1e12·I) matrices inside
     fp32 determinant range."""
     d = m.shape[-1]
-    if d > 8:
+    if d > 16:
         c = jnp.linalg.cholesky(0.5 * (m + jnp.swapaxes(m, -1, -2)))
         return 2.0 * jnp.sum(
             jnp.log(jnp.diagonal(c, axis1=-2, axis2=-1)), axis=-1
@@ -180,7 +182,7 @@ def small_solve(m, x, *, matrix=None):
         matrix if matrix is not None
         else x.ndim == m.ndim and x.shape[-2] == m.shape[-1]
     )
-    if m.shape[-1] > 8:
+    if m.shape[-1] > 16:
         if is_matrix:
             return jnp.linalg.solve(m, x)
         return jnp.linalg.solve(m, x[..., None])[..., 0]

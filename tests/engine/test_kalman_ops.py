@@ -171,3 +171,17 @@ def test_bf16_payload_smoother_accuracy():
     scale = np.abs(np.asarray(fp32.means)).max()
     assert np.abs(np.asarray(bf16.means) - np.asarray(fp32.means)).max() < 0.05 * scale
     assert np.isfinite(np.asarray(bf16.covs)).all()
+
+
+@pytest.mark.parametrize("d", [12, 16])
+def test_smoother_d16_matches_numpy(d):
+    """Round-4 d=16 story: the AoS smoother path (d>8) now runs the
+    closed-form Schur inverse tier (ops/smallmat.py 8|rest splits) instead of
+    generic LU — correctness vs the float64 numpy oracle."""
+    args = _random_lgssm(T=20, d=d, dy=d, seed=4)
+    p = _params(*args)
+    res = jax.jit(parallel_smoother)(p)
+    fm, fP, sm, sP, cross, ll = _np_kalman(*args)
+    np.testing.assert_allclose(res.means, sm, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(res.covs, sP, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(res.cross, cross, rtol=1e-2, atol=1e-2)
