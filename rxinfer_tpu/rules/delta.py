@@ -155,15 +155,29 @@ def _push_linearized(fn_flat, m, v):
     return f0, _symmetrize(cov), jac
 
 
+def _psd_guard(v):
+    """Lift slightly-indefinite moment matrices to PSD before a cholesky.
+
+    float32 smoother roundoff under extreme vague priors (Q ~ 1/TINY) can
+    leave small negative variances on chain marginals; lifting by the most
+    negative diagonal entry (plus a scale-aware ridge) keeps the transforms
+    finite — a PSD input is perturbed only by the tiny ridge."""
+    n = v.shape[-1]
+    v = _symmetrize(v)
+    diag = jnp.diagonal(v, axis1=-2, axis2=-1)
+    # overshoot the lift by 0.1% so the result stays STRICTLY positive
+    # definite after float32 rounding (potrf fails on an exactly-zero pivot)
+    lift = jnp.maximum(0.0, -jnp.min(diag, axis=-1)) * 1.001
+    ridge = 1e-9 * (jnp.abs(jnp.trace(v)) / n + 1e-30)
+    return v + (lift + ridge)[..., None, None] * jnp.eye(n, dtype=v.dtype)
+
+
 def _sigma_points(m, v, alpha, beta, kappa):
     n = m.shape[-1]
     lam = alpha * alpha * (n + kappa) - n
-    # static (zero-variance) input dims make v singular; a scale-aware ridge
-    # keeps the cholesky finite (sigma points simply don't spread there)
-    ridge = 1e-9 * (jnp.trace(v) / n + 1e-30)
-    chol = jnp.linalg.cholesky(
-        _symmetrize((n + lam) * v) + ridge * jnp.eye(n, dtype=v.dtype)
-    )
+    # static (zero-variance) input dims make v singular; the PSD guard keeps
+    # the cholesky finite (sigma points simply don't spread there)
+    chol = jnp.linalg.cholesky(_psd_guard((n + lam) * v))
     pts = [m]
     for i in range(n):
         pts.append(m + chol[:, i])
@@ -193,8 +207,7 @@ def _push_sampled(fn_flat, m, v, params: CVIProjection):
     """Monte-Carlo moment matching of (z, f(z)) — the CVIProjection transform."""
     n = m.shape[-1]
     key = jax.random.PRNGKey(params.seed)
-    ridge = 1e-9 * (jnp.trace(v) / n + 1e-30)
-    chol = jnp.linalg.cholesky(_symmetrize(v) + ridge * jnp.eye(n, dtype=v.dtype))
+    chol = jnp.linalg.cholesky(_psd_guard(v))
     eps = jax.random.normal(key, (params.n_samples, n), dtype=m.dtype)
     pts = m + eps @ chol.T
     ys = jax.vmap(fn_flat)(pts)
@@ -204,6 +217,73 @@ def _push_sampled(fn_flat, m, v, params: CVIProjection):
     dz = pts - m
     cross = dz.T @ dy / params.n_samples  # Cov(z, y)
     return mean, _symmetrize(cov), cross
+
+
+def _push_by_method(fn_flat, m, v, method):
+    if isinstance(method, Unscented):
+        mean, cov, _ = _push_unscented(fn_flat, m, v, method)
+    elif isinstance(method, CVIProjection):
+        mean, cov, _ = _push_sampled(fn_flat, m, v, method)
+    else:
+        mean, cov, _ = _push_linearized(fn_flat, m, v)
+    return mean, cov
+
+
+def _known_inverse_backward(q, target_idx, keys, method, inverse,
+                            m_out, v_out, out_vec):
+    """Known-inverse shortcut (reference DeltaMeta(inverse=...),
+    delta-node.md:60-117).  Single input: push the out-side Gaussian through
+    fn⁻¹.  Multiple inputs: ``inverse=(f_back_0, f_back_1, ...)`` with
+    ``f_back_i(out, *other_inputs)`` in declaration order — push the joint
+    Gaussian of (out-side belief, other inputs' beliefs) through f_back_i.
+    Either way the result IS the message to input i (no division by its own
+    marginal).  Returns None (after a WARNING — never silently) when
+    ``inverse`` cannot be applied."""
+    single = inverse if callable(inverse) else (
+        inverse[0] if len(inverse) == 1 else None)
+    if len(keys) == 1 and single is not None:
+        inv_flat = _split_apply(single, [m_out.shape[-1]], [out_vec])
+        mean, cov = _push_by_method(inv_flat, m_out, v_out, method)
+        if jnp.ndim(e_mean(q[keys[0]])) < 1:
+            return NormalMeanVariance(mean[0], jnp.clip(cov[0, 0], 1e-12))
+        return MvNormalMeanCovariance(mean, cov)
+    if (not callable(inverse)) and len(inverse) == len(keys) > 1:
+        inv_fn = inverse[target_idx]
+        other_keys = [k for j, k in enumerate(keys) if j != target_idx]
+        ms, vs, dims, vecs = [m_out], [v_out], [m_out.shape[-1]], [out_vec]
+        for k in other_keys:
+            m_k, v_k, vec_k = _moments(q[k])
+            if not vec_k:
+                m_k = jnp.reshape(m_k, (1,))
+                v_k = jnp.reshape(v_k, (1, 1))
+            ms.append(m_k)
+            vs.append(v_k)
+            dims.append(m_k.shape[-1])
+            vecs.append(vec_k)
+        m_cat = jnp.concatenate(ms, axis=-1)
+        total = sum(dims)
+        v_cat = jnp.zeros((total, total), m_cat.dtype)
+        off = 0
+        for v_k, d_k in zip(vs, dims):
+            v_cat = v_cat.at[off:off + d_k, off:off + d_k].set(v_k)
+            off += d_k
+        inv_flat = _split_apply(inv_fn, dims, vecs)
+        mean, cov = _push_by_method(inv_flat, m_cat, v_cat, method)
+        if jnp.ndim(e_mean(q[keys[target_idx]])) < 1:
+            return NormalMeanVariance(mean[0], jnp.clip(cov[0, 0], 1e-12))
+        return MvNormalMeanCovariance(mean, cov)
+    import warnings
+
+    expected = ("a callable" if len(keys) == 1 else
+                f"a tuple of {len(keys)} callables (one per input, "
+                "reference delta-node.md)")
+    warnings.warn(
+        f"DeltaMeta(inverse=...) ignored: expected {expected} for a "
+        f"{len(keys)}-input delta node; falling back to joint-Gaussian "
+        "conditioning.",
+        stacklevel=2,
+    )
+    return None
 
 
 @node("Delta")
@@ -329,19 +409,11 @@ class DeltaNode:
             m_out = m_out[None]
             v_out = jnp.reshape(v_out, (1, 1))
 
-        if inverse is not None and len(keys) == 1:
-            # known-inverse shortcut (reference DeltaMeta(inverse=...)):
-            inv_flat = _split_apply(inverse, [m_out.shape[-1]], [out_vec])
-            if isinstance(method, Unscented):
-                mean, cov, _ = _push_unscented(inv_flat, m_out, v_out, method)
-            elif isinstance(method, CVIProjection):
-                mean, cov, _ = _push_sampled(inv_flat, m_out, v_out, method)
-            else:
-                mean, cov, _ = _push_linearized(inv_flat, m_out, v_out)
-            vec_i = jnp.ndim(e_mean(q[keys[0]])) >= 1
-            if not vec_i:
-                return NormalMeanVariance(mean[0], jnp.clip(cov[0, 0], 1e-12))
-            return MvNormalMeanCovariance(mean, cov)
+        if inverse is not None:
+            msg = _known_inverse_backward(
+                q, target_idx, keys, method, inverse, m_out, v_out, out_vec)
+            if msg is not None:
+                return msg
 
         m, v, dims, vecs = _flatten_inputs(q, keys)
         fn_flat = _split_apply(fn, dims, vecs)
@@ -476,6 +548,24 @@ class _NonlinearGaussianBase:
 
     @classmethod
     def _backward(cls, q, target_idx: int):
+        meta = _meta(q)
+        inverse = meta.get("inverse")
+        if inverse is not None:
+            # known-inverse shortcut on the CONTRACTED node: the out-side
+            # belief seen by the delta is the observation message widened by
+            # the Gaussian noise, N(m_out, v_out + noise)
+            method = meta.get("method") or Linearization()
+            keys_i = _inputs(q)
+            m_out_i, v_out_i, out_vec_i = _moments(q["out"])
+            if not out_vec_i:
+                m_out_i = jnp.reshape(m_out_i, (1,))
+                v_out_i = jnp.reshape(v_out_i, (1, 1))
+            noise_i = _ng_noise_cov(q, m_out_i.shape[-1])
+            msg = _known_inverse_backward(
+                q, target_idx, keys_i, method, inverse,
+                m_out_i, v_out_i + noise_i, out_vec_i)
+            if msg is not None:
+                return msg
         keys, m, v, dims, vecs, f0, s_yy, s_zy = cls._transform(q)
         m_out, v_out, out_vec = _moments(q["out"])
         if not out_vec:
@@ -700,6 +790,9 @@ def _wrap_class_rules(cls):
 
 # Apply plate batching to the concrete rule entry points.
 DeltaNode.message_to_out = staticmethod(batched_delta_rule(DeltaNode.message_to_out))
+# the Bethe contribution batches over plate copies the same way (plated
+# deltas under free_energy=True — cvi_tests.jl nonlinear dynamics)
+DeltaNode.bethe_term = staticmethod(batched_delta_rule(DeltaNode.bethe_term))
 for _cls in (NonlinearGaussianCovarianceNode, NonlinearGaussianPrecisionNode):
     _cls.message_to_out = staticmethod(batched_delta_rule(_cls.message_to_out))
     _cls.average_energy = staticmethod(batched_delta_rule(_cls.average_energy))
