@@ -352,6 +352,11 @@ class Binomial(Distribution):
             + xlogy(n - x, 1.0 - p)
         )
 
+    def sample(self, key, shape=()):
+        shp = tuple(shape) + self.batch_shape()
+        return jax.random.binomial(key, self.n, self.p, shape=shp).astype(
+            jnp.float32)
+
     def batch_shape(self):
         return jnp.broadcast_shapes(jnp.shape(self.n), jnp.shape(self.p))
 

@@ -61,9 +61,32 @@ _SUFF = {
     "beta": lambda x: (jnp.log(x), jnp.log1p(-x)),
     "gamma": lambda x: (jnp.log(x), -x),
     "dirichlet": lambda x: (jnp.log(x),),
+    # discrete targets (round-4: ProjectionExt.jl is generic over ANY
+    # ProjectedTo(T) family; these close the gap for count models)
+    "bernoulli": lambda x: (x,),
+    "poisson": lambda x: (x,),
+    "binomial": lambda x: (x,),
 }
 
 SUPPORTED = tuple(sorted(_SUFF))
+
+
+def _nat_to_dist(family: str, nat: tuple, n_trials=None):
+    """from_natural with the binomial special case (its n is a non-natural
+    parameter carried on the constraint, not in the registry)."""
+    if family == "binomial":
+        from ..dists import Binomial
+
+        return Binomial(jnp.asarray(n_trials, jnp.float32),
+                        jax.nn.sigmoid(nat[0]))
+    return from_natural(family, nat)
+
+
+def _dist_to_nat(family: str, dist):
+    if family == "binomial":
+        p = jnp.clip(dist.p, 1e-6, 1.0 - 1e-6)
+        return (jnp.log(p) - jnp.log1p(-p),)
+    return to_natural(dist)
 
 
 def _project_domain(family: str, nat: tuple) -> tuple:
@@ -83,6 +106,12 @@ def _project_domain(family: str, nat: tuple) -> tuple:
         return (jnp.clip(nat[0], -0.999), jnp.clip(nat[1], 1e-6))
     if family == "dirichlet":
         return (jnp.clip(nat[0], -0.999),)
+    if family in ("bernoulli", "binomial"):
+        # η = logit p: clip to keep sigmoid/score finite in float32
+        return (jnp.clip(nat[0], -15.0, 15.0),)
+    if family == "poisson":
+        # η = log λ
+        return (jnp.clip(nat[0], -15.0, 15.0),)
     raise ValueError(f"unsupported projection family {family!r}")
 
 
@@ -113,7 +142,8 @@ def _stats_matrix(family: str, z):
 
 def project_logpdf(family: str, logpdf_fn, initial, *, n_iters: int = 40,
                    n_samples: int = 512, step: float = 0.4,
-                   decay: float = 0.05, ridge: float = 1e-5, seed: int = 0):
+                   decay: float = 0.05, ridge: float = 1e-5, seed: int = 0,
+                   n_trials=None):
     """Stochastic natural-gradient projection of an unnormalized log-density
     onto the exponential family, warm-started from ``initial`` (a distribution
     of the target family).  Returns the projected distribution.
@@ -124,7 +154,7 @@ def project_logpdf(family: str, logpdf_fn, initial, *, n_iters: int = 40,
             f"projection supports families {SUPPORTED}, got {family!r}"
         )
     eta0 = tuple(jnp.asarray(n, jnp.float32)
-                 for n in to_natural(initial))
+                 for n in _dist_to_nat(family, initial))
     vec0, shapes = _flatten(eta0)
     p = vec0.shape[0]
     key = jax.random.PRNGKey(seed)
@@ -133,8 +163,9 @@ def project_logpdf(family: str, logpdf_fn, initial, *, n_iters: int = 40,
     def body(i, carry):
         vec, avg = carry
         nat = _project_domain(family, _unflatten(vec, shapes))
-        q = from_natural(family, nat)
-        z = q.sample(jax.random.fold_in(key, i), (n_samples,))
+        q = _nat_to_dist(family, nat, n_trials)
+        z = jnp.asarray(
+            q.sample(jax.random.fold_in(key, i), (n_samples,)), jnp.float32)
         t = _stats_matrix(family, z)                      # (S, P)
         # Control-variated residual: Cov(T, log p̃ − log q_η) = Cov(T, f) − Fη,
         # so F⁻¹ Cov(T, residual) estimates the natural gradient
@@ -157,8 +188,8 @@ def project_logpdf(family: str, logpdf_fn, initial, *, n_iters: int = 40,
 
     _, avg = jax.lax.fori_loop(0, n_iters, body,
                                (vec0, jnp.zeros_like(vec0)))
-    return from_natural(
-        family, _project_domain(family, _unflatten(avg, shapes))
+    return _nat_to_dist(
+        family, _project_domain(family, _unflatten(avg, shapes)), n_trials
     )
 
 
@@ -230,6 +261,15 @@ def fit_weighted_samples(family: str, samples, weights):
             a = jnp.clip(a - g / jnp.where(jnp.abs(dg) > 1e-12, dg, 1e-12),
                          1e-3)
         return GammaShapeRate(a, a / jnp.clip(e_x, 1e-10))
+    if family == "bernoulli":
+        from ..dists import BernoulliLogits
+
+        m = jnp.clip(jnp.sum(w * samples), 1e-6, 1.0 - 1e-6)
+        return BernoulliLogits(jnp.log(m) - jnp.log1p(-m))
+    if family == "poisson":
+        from ..dists import Poisson
+
+        return Poisson(jnp.clip(jnp.sum(w * samples), 1e-8))
     if family == "dirichlet":
         s = jnp.clip(samples, 1e-6)
         s = s / jnp.sum(s, axis=-1, keepdims=True)
@@ -324,15 +364,22 @@ class ProjectedTo(AbstractFormConstraint):
 
     def __init__(self, family: str, n_samples: int = 512, seed: int = 0,
                  n_iters: int = 40, step: float = 0.4,
-                 proposal_scale: float = 2.0):
+                 proposal_scale: float = 2.0, n=None):
         if family not in _SUFF:
             raise ValueError(f"ProjectedTo supports {SUPPORTED}")
+        if family == "binomial" and n is None:
+            raise ValueError(
+                "ProjectedTo('binomial') needs the trial count: "
+                "ProjectedTo('binomial', n=...) — n is a non-natural "
+                "parameter of the family."
+            )
         self.family = family
         self.n_samples = n_samples
         self.seed = seed
         self.n_iters = n_iters
         self.step = step
         self.proposal_scale = proposal_scale
+        self.n = n
 
     # engine hook: called with the raw message list instead of prod_all;
     # ``prev`` is the variable's previous marginal (warm start across sweeps)
@@ -343,8 +390,19 @@ class ProjectedTo(AbstractFormConstraint):
                 return prod_all(msgs)
         except Exception:  # noqa: BLE001 — unregistered/fallback carriers
             pass
-        if prev is not None and family_key(prev) == self.family:
+        if prev is not None and self._same_family(prev):
             initial = prev
+        elif self.family in ("bernoulli", "poisson", "binomial"):
+            # one-parameter discrete targets converge from the vague point in
+            # a handful of natural-gradient steps; no IS moment fit needed
+            from ..dists import BernoulliLogits, Binomial, Poisson
+
+            initial = {
+                "bernoulli": lambda: BernoulliLogits(jnp.zeros(())),
+                "poisson": lambda: Poisson(jnp.ones(())),
+                "binomial": lambda: Binomial(
+                    jnp.asarray(self.n, jnp.float32), jnp.full((), 0.5)),
+            }[self.family]()
         else:
             initial = _is_initializer(
                 self.family, [m for m in msgs if not hasattr(m, "log_fn")]
@@ -357,12 +415,22 @@ class ProjectedTo(AbstractFormConstraint):
         return project_logpdf(
             self.family, log_prod, initial,
             n_iters=self.n_iters, n_samples=self.n_samples,
-            step=self.step, seed=self.seed,
+            step=self.step, seed=self.seed, n_trials=self.n,
         )
+
+    def _same_family(self, dist) -> bool:
+        if self.family == "binomial":
+            from ..dists import Binomial
+
+            return isinstance(dist, Binomial)
+        try:
+            return family_key(dist) == self.family
+        except Exception:  # noqa: BLE001 — unregistered carriers
+            return False
 
     def constrain(self, dist):
         # already a closed-form marginal: exact convert when same family,
         # else project its logpdf (reference ProjectionExt:28-46)
-        if family_key(dist) == self.family:
+        if self._same_family(dist):
             return dist
         return self.project_product([dist])
