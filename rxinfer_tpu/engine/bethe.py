@@ -233,6 +233,50 @@ def gaussian_pair_fe(f: Factor, q: dict, state: dict, in_key: str,
     return term
 
 
+def _extract_affine_transition(f: Factor):
+    """Probe a custom lagged-transition node's ``message_to_out`` rule for an
+    affine-Gaussian conditional  out | in ~ N(A·in + b, Q)  (scalar states).
+
+    The probe runs at FE-plan build time with three concrete PointMass
+    cavities; affinity of the mean and input-independence of the variance are
+    validated on the host.  Returns ``(A, b, Q)`` floats, or None when the
+    rule is not affine-Gaussian (the FE then keeps the mean-field bound)."""
+    import jax
+
+    from ..rules.registry import get_message_rule
+
+    try:
+        rule = get_message_rule(f.fform, "out")
+
+        def probe(x):
+            q = {"in": PointMass(jnp.asarray(x, jnp.float32))}
+            for name, v in f.interfaces.items():
+                if name != "in" and isinstance(v, Const):
+                    q[name] = PointMass(jnp.asarray(v.value, jnp.float32))
+            if f.meta is not None:
+                q["_meta"] = {**f.meta, "_plated": f.plate is not None}
+            msg = rule(q)
+            return float(msg.mean()), float(msg.var())
+
+        xs = (0.37, -1.21, 2.05)
+        # the FE plan may be built lazily INSIDE a jit trace; the probe must
+        # evaluate eagerly on concrete values regardless
+        with jax.ensure_compile_time_eval():
+            ms, vs = zip(*(probe(x) for x in xs))
+        a = (ms[0] - ms[1]) / (xs[0] - xs[1])
+        b = ms[0] - a * xs[0]
+        if not np.isclose(ms[2], a * xs[2] + b, rtol=1e-5, atol=1e-6):
+            return None
+        if not (np.isclose(vs[0], vs[1], rtol=1e-6)
+                and np.isclose(vs[0], vs[2], rtol=1e-6)):
+            return None
+        if not vs[0] > 0:
+            return None
+        return float(a), float(b), float(vs[0])
+    except Exception:  # noqa: BLE001 — any probe failure: mean-field FE
+        return None
+
+
 class FactorFE:
     """Per-factor free-energy contribution evaluator (compiled once)."""
 
@@ -254,9 +298,32 @@ class FactorFE:
         self.energy_fn = (
             None if self.bethe_fn is not None else get_average_energy(factor.fform)
         )
+        # Custom lagged-transition factors (the Jacobi chain fallback,
+        # engine/compile.py detect_chains): when the node's out-rule probes as
+        # affine-Gaussian, the FE uses the exact pair joint reconstructed from
+        # the stored cavity messages instead of the mean-field bound — FE then
+        # equals −log Z on custom tree chains (reference default
+        # q(x_t, x_{t-1}) joint, constraints-specification.md:107-292).
+        self.custom_pair = None
+        f = factor
+        in_ref = f.interfaces.get("in")
+        if (
+            not is_chain_transition
+            and not mean_field
+            and f.plate is not None
+            and isinstance(in_ref, Ref)
+            and f.out.var.kind == "random"
+            and f.out.var is in_ref.var
+        ):
+            from ..rules.registry import get_node
+            from .blocks import in_cavity_cluster
+
+            node_cls = get_node(f.fform)
+            if (in_cavity_cluster(node_cls, "out")
+                    and in_cavity_cluster(node_cls, "in")):
+                self.custom_pair = _extract_affine_transition(f)
         # Structured (out, in) pair treatment — see gaussian_pair_fe.
         self.pair = None
-        f = factor
         if (
             not is_chain_transition
             and not mean_field
@@ -310,10 +377,50 @@ class FactorFE:
             term = term * n_copies
         return jnp.sum(term)
 
+    def _custom_pair_fe(self, state, data):
+        """Structured pair FE for a custom affine-Gaussian lagged transition
+        at the Jacobi fixed point: the pair joint q(out_t, in_t) ∝
+        cav_out·cav_in·N(out; A·in + b, Q) is reconstructed per copy from the
+        stored cavity messages; AE and the pair entropy are closed-form in
+        (A, b, Q), so FE == −log Z on trees.  (The node's own average_energy
+        is bypassed — the message rules define the factor density.)"""
+        from ..dists.gaussian import as_weighted_mean_precision
+        from ..dists.natural import nat_div
+
+        f = self.factor
+        a_c, b_c, q_c = self.custom_pair
+        q = build_q(f, state, data, chain_cross=None)
+        cav_o = nat_div(q["out"], state[f"_msg:{f.id}:out"])
+        cav_i = nat_div(q["in"], state[f"_msg:{f.id}:in"])
+        no = as_weighted_mean_precision(cav_o)
+        ni = as_weighted_mean_precision(cav_i)
+        joo = no.w + 1.0 / q_c
+        jii = ni.w + a_c * a_c / q_c
+        joi = -a_c / q_c
+        xo = no.xi + b_c / q_c
+        xi_ = ni.xi - a_c * b_c / q_c
+        det = joo * jii - joi * joi
+        voo = jii / det
+        vii = joo / det
+        c = -joi / det
+        mo = (jii * xo - joi * xi_) / det
+        mi = (joo * xi_ - joi * xo) / det
+        resid = mo - a_c * mi - b_c
+        ae = 0.5 * (jnp.log(2 * jnp.pi * q_c)
+                    + (resid**2 + voo + a_c * a_c * vii - 2 * a_c * c) / q_c)
+        h = gaussian_pair_entropy(voo, vii, c)
+        return jnp.sum(ae - h)
+
     def __call__(self, state, data, chain_cross):
         if self.bethe_fn is not None:
             return self._call_bethe_term(state, data, chain_cross)
         f = self.factor
+        if (
+            self.custom_pair is not None
+            and f"_msg:{f.id}:out" in state
+            and f"_msg:{f.id}:in" in state
+        ):
+            return self._custom_pair_fe(state, data)
         if (
             f.fform == "GCV"
             and not self.is_chain_transition

@@ -98,10 +98,34 @@ def test_custom_transition_warns_and_matches_exact_smoother():
     np.testing.assert_allclose(
         np.asarray(res.posteriors["x"].var()),
         np.asarray(ref.posteriors["x"].var()), atol=1e-4)
-    # mean-field Bethe on the custom pair upper-bounds the structured FE
+    # STRUCTURED pair FE (round-4): the affine-Gaussian probe reconstructs
+    # the exact pair joint from cavity messages, so at the Jacobi fixed point
+    # FE == −log Z — the builtin chain block's FE is the oracle (its own
+    # FE==−logZ is asserted against the Kalman evidence in test_lgssm).
     fe = np.asarray(res.free_energy)
     assert np.all(np.isfinite(fe))
-    assert fe[-1] >= float(np.asarray(ref.free_energy)[-1]) - 1e-4
+    fe_ref = float(np.asarray(ref.free_energy)[-1])
+    assert abs(fe[-1] - fe_ref) < 5e-4, (fe[-1], fe_ref)
+    # ... and both equal the Kalman prediction-error −log Z oracle
+    from rxinfer_tpu.ops.kalman import (
+        ChainParams, chain_log_evidence, sequential_filter,
+    )
+
+    F = np.ones((T - 1, 1, 1), np.float32)
+    b = np.full((T - 1, 1), DRIFT, np.float32)
+    Q = np.full((T - 1, 1, 1), QVAR, np.float32)
+    H = np.ones((T, 1, 1), np.float32)
+    R = np.full((T, 1, 1), 0.04, np.float32)
+    p = ChainParams(
+        jnp.asarray([DRIFT], jnp.float32), jnp.asarray([[0.4]], jnp.float32),
+        jnp.asarray(F), jnp.asarray(b), jnp.asarray(Q),
+        jnp.asarray(y[:, None] / 0.04), jnp.asarray(H / 0.04),
+    )
+    fm, fc = sequential_filter(p)
+    ll = chain_log_evidence(p, fm, fc, jnp.asarray(H),
+                            jnp.zeros((T, 1), np.float32), jnp.asarray(R),
+                            jnp.asarray(y[:, None]))
+    assert abs(fe[-1] - (-float(ll))) < 5e-4, (fe[-1], -float(ll))
 
 
 def test_custom_transition_auto_vague_init():
