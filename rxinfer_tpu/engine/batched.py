@@ -83,6 +83,12 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict):
     """
     from ..rules.registry import get_node
 
+    if block.dim > 8:
+        return None, (
+            f"state dim {block.dim} > 8: the fused Pallas kernel tier covers "
+            "d<=8; larger states run the batched XLA associative-scan path "
+            "(closed-form Schur inverses up to d=16, ops/smallmat.py)"
+        )
     f = block.transition
     for name, v in f.interfaces.items():
         if name == "in":
@@ -198,22 +204,32 @@ def _extract_linear_evidence(block: GaussianChainBlock, d0: dict,
                 cols.append(dxi[0])
             if cols and np.any(np.asarray(cols)):
                 E[name] = np.asarray(cols, np.float32).T   # (dim, feat)
-        # affine consistency on the example dataset
-        xi_ref = np.asarray(jax.jit(xi_of)(
-            {k: jnp.asarray(v) for k, v in d0.items()}))
-        xi_lin = c.copy()
-        for name, Ek in E.items():
-            flat = np.asarray(d0[name]).reshape(length, -1)
-            xi_lin = xi_lin + flat @ Ek.T
-        if not np.allclose(xi_lin, xi_ref, rtol=1e-4, atol=1e-5):
-            return None, None
+        # affine consistency on the example dataset AND a deterministic
+        # random probe — element 0 alone may be degenerate (e.g. all zeros),
+        # which would leave the structural rules as the only guarantee for
+        # the rest of the batch (round-3 advisor finding).
+        rng = np.random.default_rng(0)
+        probe = {
+            k: jnp.asarray(
+                rng.standard_normal(np.shape(v)).astype(np.float32))
+            for k, v in d0.items()
+        }
+        for dd in ({k: jnp.asarray(v) for k, v in d0.items()}, probe):
+            xi_ref = np.asarray(jax.jit(xi_of)(dd))
+            xi_lin = c.copy()
+            for name, Ek in E.items():
+                flat = np.asarray(dd[name]).reshape(length, -1)
+                xi_lin = xi_lin + flat @ Ek.T
+            if not np.allclose(xi_lin, xi_ref, rtol=1e-4, atol=1e-5):
+                return None, None
         return E, np.asarray(c, np.float32)
     except Exception:  # noqa: BLE001 — any failure: keep the rule path
         return None, None
 
 
 def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
-                           data: dict, batch: int):
+                           data: dict, batch: int,
+                           moment_dtype: str = "float32"):
     from ..ops.pallas_smoother import fused_batched_smoother
 
     length = block.var.length
@@ -250,6 +266,7 @@ def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
     means, covs, cross = fused_batched_smoother(
         m0, p0, xi_t, plan.A, plan.b, plan.Q, plan.W, chunk=plan.chunk,
         interpret=_interpret(),
+        moment_dtype=jnp.dtype(moment_dtype),
     )
     means_b = jnp.moveaxis(means, 0, 1)                # (B, T, dim)
     covs_b = jnp.moveaxis(covs, 0, 1)
@@ -398,34 +415,152 @@ def build_plans(compiled, data0: dict, all_finite: bool = True) -> dict:
     return plans
 
 
+def _partition_shared_adjacency(block, shared: set):
+    """Split a shared PlainGroup's adjacency into REPLICATED factors (touching
+    only constants / other shared variables — their message is identical for
+    every dataset and must be counted ONCE in the global product, e.g. the
+    shared parameter's prior) and PER-DATASET factors (touching data or
+    non-shared latents — their messages are natural-summed over the batch:
+    the psum-friendly conjugate aggregation of SURVEY §2.3 strategy 2)."""
+    from ..graph.ir import Ref
+
+    rep, per_ds = [], []
+    for f, iface in block.adjacency:
+        replicated = True
+        for v in f.all_interfaces().values():
+            if isinstance(v, Ref) and not (
+                v.var.kind == "random" and v.var.name in shared
+            ):
+                replicated = False
+                break
+        (rep if replicated else per_ds).append((f, iface))
+    return rep, per_ds
+
+
+def _psum_msg(msg, axis_name):
+    """psum a message carrier's natural parameters across a mesh axis —
+    natural parameters are additive, so this IS the cross-shard product."""
+    from ..dists.natural import family_key, from_natural, to_natural
+
+    key = family_key(msg)
+    nat = to_natural(msg)
+    return from_natural(
+        key, tuple(jax.lax.psum(n, axis_name) for n in nat)
+    )
+
+
 def make_batched_program(compiled, data0: dict, iterations: int,
                          free_energy: bool, keep_each: bool = False,
-                         all_finite: bool = True):
+                         all_finite: bool = True, shared: tuple = (),
+                         psum_axis: str | None = None):
     """Build the pure function (batched_data) -> (state, fe, history) where
     every data leaf and every state/fe leaf carries a leading batch axis.
 
     Mirrors CompiledModel.make_program: first sweep eager (establishes the
-    state pytree), remaining iterations under ``lax.scan``."""
+    state pytree), remaining iterations under ``lax.scan``.
+
+    ``shared``: variable names whose posterior is SHARED across the batch —
+    per-dataset messages are natural-summed over the batch axis (and
+    ``jax.lax.psum``-reduced over ``psum_axis`` when the program runs inside
+    ``shard_map``), replicated factors (the prior) counted once.  With shared
+    variables the free-energy output is the GLOBAL scalar per iteration
+    (shape ``(iterations,)``), matching the pooled model's Bethe FE."""
+    import copy
+
+    data0 = compiled._with_derived(data0)
     plans = build_plans(compiled, data0, all_finite=all_finite)
+    shared_set = set(shared)
+    shared_blocks: dict = {}
+    if shared_set:
+        plain = {b.var.name: b for k, b in compiled.blocks if k == "plain"}
+        for nm in shared:
+            if nm not in plain:
+                kinds = {b.var.name: k for k, b in compiled.blocks}
+                raise ValueError(
+                    f"shared={shared!r}: {nm!r} is "
+                    f"{'a ' + kinds[nm] + ' block' if nm in kinds else 'unknown'}"
+                    " — shared aggregation covers non-chain (conjugate "
+                    "parameter) variables."
+                )
+            blk = plain[nm]
+            if blk.form_constraint is not None and hasattr(
+                    blk.form_constraint, "project_product"):
+                raise NotImplementedError(
+                    f"shared variable {nm!r} has a projection form "
+                    "constraint; shared aggregation needs closed-form "
+                    "natural-parameter products."
+                )
+            rep_adj, pd_adj = _partition_shared_adjacency(blk, shared_set)
+            if not pd_adj:
+                raise ValueError(
+                    f"shared variable {nm!r} has no per-dataset factors; "
+                    "sharing it is a no-op."
+                )
+            blk_pd = copy.copy(blk)
+            blk_pd.adjacency = pd_adj
+            blk_rep = copy.copy(blk)
+            blk_rep.adjacency = rep_adj
+            shared_blocks[nm] = (blk, blk_pd, blk_rep, len(rep_adj))
+
+    def shared_update(block_tuple, state, chain_cross, data, batch):
+        from ..dists.natural import prod_all, prod_reduce
+        from .blocks import tree_index
+
+        blk, blk_pd, blk_rep, _ = block_tuple
+
+        def pd_fn(st, d, cc, _b=blk_pd):
+            st = dict(st)
+            m = _b.update(st, d, cc, raw_product=True)
+            extra = {k: v for k, v in st.items() if k.startswith("_msg:")}
+            return m, extra
+
+        carrier, extra = jax.vmap(pd_fn)(state, data, chain_cross)
+        state.update(extra)
+        total = prod_reduce(carrier, batch, axis=0)
+        if psum_axis is not None:
+            total = _psum_msg(total, psum_axis)
+        msgs = [total]
+        if blk_rep.adjacency:
+            st0 = tree_index(
+                {k: v for k, v in state.items()}, 0)
+            d0_el = tree_index(data, 0)
+            cc0 = tree_index(chain_cross, 0)
+            msgs.append(blk_rep.update(dict(st0), d0_el, cc0, raw_product=True))
+        q = blk.finalize(prod_all(msgs))
+        return jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(
+                jnp.asarray(a), (batch,) + jnp.shape(jnp.asarray(a))), q
+        )
 
     def sweep(state, chain_cross, data, batch):
         for kind, block in compiled.blocks:
             name = block.var.name
             plan = plans.get(name)
-            if kind == "chain" and plan is not None:
+            if kind == "plain" and name in shared_blocks:
+                state[name] = shared_update(
+                    shared_blocks[name], state, chain_cross, data, batch)
+            elif kind == "chain" and plan is not None:
                 if plan == "discrete":
                     marg, cross = _fused_discrete_update(
                         block, state, data, chain_cross)
                 else:
                     marg, cross = _fused_gaussian_update(
-                        block, plan, data, batch)
+                        block, plan, data, batch,
+                        moment_dtype=getattr(compiled, "fused_moment_dtype",
+                                             "float32"))
                 state[name] = marg
                 chain_cross[name] = cross
             elif kind == "chain":
                 def chain_fn(st, d, cc, _b=block):
-                    return _b.update(dict(st), d, cc)
+                    st = dict(st)
+                    marg, cross = _b.update(st, d, cc)
+                    extra = {k: v for k, v in st.items()
+                             if k.startswith("_msg:")}
+                    return marg, cross, extra
 
-                marg, cross = jax.vmap(chain_fn)(state, data, chain_cross)
+                marg, cross, extra = jax.vmap(chain_fn)(
+                    state, data, chain_cross)
+                state.update(extra)
                 state[name] = marg
                 if isinstance(block, GaussianChainBlock):
                     chain_cross[name] = (
@@ -452,10 +587,47 @@ def make_batched_program(compiled, data0: dict, iterations: int,
             lambda st, cc, d: compiled._free_energy(st, cc, d)
         )(state, chain_cross, data)
 
+    def shared_fe_correction(state, chain_cross, data):
+        """Per-element FE counts each shared variable's replicated factors
+        (its prior) once PER ELEMENT, and one extra entropy share per
+        replicated factor beyond the first; the pooled model counts them
+        once.  From Bethe FE = ΣAE_a − ΣH_a + Σ(d_i−1)H_i with the shared
+        variable's pooled degree d = B·k + r:
+            Σ_b fe_b − FE_global = (B−1)·Σ_v [Σ_{a∈rep(v)} FFE_a
+                                              + (r_v−1)·H(q_v)]."""
+        from .blocks import tree_index
+
+        ffe_by_id = {ffe.factor.id: ffe for ffe in compiled.fe_factors}
+        st0 = tree_index(state, 0)
+        d0_el = tree_index(data, 0)
+        cc0 = tree_index(chain_cross, 0)
+        corr = jnp.zeros(())
+        for nm, (_blk, _pd, blk_rep, r) in shared_blocks.items():
+            for f, _ in blk_rep.adjacency:
+                corr = corr + ffe_by_id[f.id](st0, d0_el, cc0)
+            if r > 1:
+                corr = corr + (r - 1) * jnp.sum(st0[nm].entropy())
+        return corr
+
+    def fe_fn(state, chain_cross, data, batch):
+        fe_b = batched_fe(state, chain_cross, data)
+        if not shared_blocks:
+            return fe_b
+        fe_sum = jnp.sum(fe_b)
+        bsz = jnp.asarray(batch, jnp.float32)
+        if psum_axis is not None:
+            fe_sum = jax.lax.psum(fe_sum, psum_axis)
+            bsz = jax.lax.psum(bsz, psum_axis)
+        return fe_sum - (bsz - 1.0) * shared_fe_correction(
+            state, chain_cross, data)
+
     def snapshot(st: dict) -> dict:
         return {k: v for k, v in st.items() if not k.startswith("_msg:")}
 
     def program(data: dict):
+        # Folded data expressions (graph.derived_data) are elementwise, so
+        # they broadcast over the leading batch axis unchanged.
+        data = compiled._with_derived(data)
         batch = jax.tree_util.tree_leaves(data)[0].shape[0]
         state0 = compiled._init_state()
         state = jax.tree_util.tree_map(
@@ -463,10 +635,11 @@ def make_batched_program(compiled, data0: dict, iterations: int,
         )
         chain_cross: dict = {}
         history = []
+        fe_zero = jnp.zeros(()) if shared_blocks else jnp.zeros((batch,))
         state, chain_cross = sweep(state, chain_cross, data, batch)
         fe0 = (
-            batched_fe(state, chain_cross, data)
-            if free_energy else jnp.zeros((batch,))
+            fe_fn(state, chain_cross, data, batch)
+            if free_energy else fe_zero
         )
         if keep_each:
             history.append(snapshot(state))
@@ -474,8 +647,8 @@ def make_batched_program(compiled, data0: dict, iterations: int,
             def body(carry, _):
                 st, cr = carry
                 st, cr = sweep(dict(st), dict(cr), data, batch)
-                f = (batched_fe(st, cr, data) if free_energy
-                     else jnp.zeros((batch,)))
+                f = (fe_fn(st, cr, data, batch) if free_energy
+                     else fe_zero)
                 ys = (snapshot(st), f) if keep_each else f
                 return (st, cr), ys
 
@@ -485,7 +658,7 @@ def make_batched_program(compiled, data0: dict, iterations: int,
             stacked, fes_rest = ys if keep_each else (None, ys)
             fe_arr = (
                 jnp.concatenate([fe0[None], fes_rest])
-                if free_energy else jnp.zeros((0, batch))
+                if free_energy else jnp.zeros((0,) + fe_zero.shape)
             )
             if keep_each:
                 history.extend(
@@ -493,7 +666,8 @@ def make_batched_program(compiled, data0: dict, iterations: int,
                     for i in range(iterations - 1)
                 )
         else:
-            fe_arr = fe0[None] if free_energy else jnp.zeros((0, batch))
+            fe_arr = (fe0[None] if free_energy
+                      else jnp.zeros((0,) + fe_zero.shape))
         return state, fe_arr, history
 
     return program

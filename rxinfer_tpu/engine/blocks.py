@@ -298,7 +298,20 @@ class PlainGroup:
         # before the marginal product (reference constraints-specification.md)
         self.message_form = message_form
 
-    def update(self, state: dict, data: dict, chain_cross: dict) -> Any:
+    def finalize(self, q):
+        """Family conversion + functional-form constraint applied to a message
+        product (split out of ``update`` so shared-parameter aggregation can
+        inject a batch/psum reduction between the product and this step)."""
+        from ..dists.matrix import WishartInverseScale
+
+        if isinstance(q, WishartInverseScale):
+            q = q.to_wishart()
+        if self.form_constraint is not None:
+            q = self.form_constraint.constrain(q)
+        return q
+
+    def update(self, state: dict, data: dict, chain_cross: dict,
+               raw_product: bool = False) -> Any:
         from ..dists import LogPdfMessage
 
         msgs = []
@@ -482,13 +495,13 @@ class PlainGroup:
                 "(docs/src/manuals/inference/undefinedrules.md)."
             )
         q = prod_all(msgs)
-        from ..dists.matrix import WishartInverseScale
-
-        if isinstance(q, WishartInverseScale):
-            q = q.to_wishart()
-        if self.form_constraint is not None:
-            q = self.form_constraint.constrain(q)
-        return q
+        if raw_product:
+            # shared-parameter aggregation path: return the natural-sum
+            # carrier UNFINALIZED (it may be an improper conjugate carrier,
+            # e.g. Wishart inverse-scale — never round-trip those through a
+            # normalizing constructor before aggregation)
+            return q
+        return self.finalize(q)
 
 
 class GaussianChainBlock:
@@ -516,6 +529,12 @@ class GaussianChainBlock:
         self.transition = transition
         self.evidence = evidence  # (factor, chain-interface-name)
         self.use_parallel = use_parallel
+        # Set by CompiledModel for rx.infer(mesh=...) time sharding: the chain
+        # is then solved by the distributed associative scan of
+        # parallel/time_blocked.py (shard-local scans + one O(P·d²)
+        # all-gather), exact to float tolerance vs the local smoother.
+        self.time_mesh = None
+        self.time_axis = "time"
 
     # -- helpers ------------------------------------------------------------------
     def _lift_vec(self, x):
@@ -528,10 +547,20 @@ class GaussianChainBlock:
         q = build_q(self.prior, state, data, exclude="out", chain_cross=None)
         msg = get_message_rule(self.prior.fform, "out")(q)
         if self.scalar:
-            return self._lift_vec(jnp.asarray(msg.mean())), self._lift_mat(
-                jnp.asarray(msg.var())
-            )
-        return msg.mean(), msg.cov()
+            m0 = self._lift_vec(jnp.asarray(msg.mean()))
+            p0 = self._lift_mat(jnp.asarray(msg.var()))
+        else:
+            m0, p0 = msg.mean(), msg.cov()
+        # same float32 guard as the transition noise: a state-dependent vague
+        # prior (precision from an uninitialized Gamma/Wishart) can produce
+        # P0 ~ 1e9+, whose cancellation leaves negative smoothed variances.
+        # Cap the prior variance at 1e4 (still vague) when it is state-fed.
+        prior_noise = self.prior.interfaces.get("prec")
+        if isinstance(prior_noise, Ref) and prior_noise.var.kind == "random":
+            d = p0.shape[-1]
+            p0 = pd_inverse(
+                pd_inverse(p0) + 1e-4 * jnp.eye(d, dtype=p0.dtype))
+        return m0, p0
 
     def _transition_params(self, state, data, length):
         f = self.transition
@@ -559,6 +588,15 @@ class GaussianChainBlock:
             from ..rules.expectations import e_precision
 
             w = self._lift_mat(jnp.asarray(e_precision(nq), jnp.float32))
+            if not isinstance(nq, PointMass):
+                # float32 smoother guard: a near-zero EXPECTED precision
+                # (vague Gamma/Wishart init, e.g. the reference's
+                # GammaShapeRate(1e-12, 1e-3)) yields Q ~ 1e9+, whose
+                # catastrophic cancellation leaves negative smoothed
+                # variances.  Q ≤ 1e4 keeps absolute roundoff ~1e-3 while
+                # remaining vague; constants (PointMass) are never touched.
+                d = w.shape[-1]
+                w = w + 1e-4 * jnp.eye(d, dtype=w.dtype)
             q_cov = pd_inverse(w)
         tm1 = length - 1
         bc = lambda x, n: jnp.broadcast_to(x, (n,) + x.shape[-(2 if x.ndim >= 2 else 1):])
@@ -569,18 +607,68 @@ class GaussianChainBlock:
 
     def _evidence_msg(self, f, iface, state, data, chain_cross):
         """One evidence factor's (masked) Gaussian message to the chain as
-        lifted precision-form arrays ``(mxi, mw, cov)``."""
+        lifted precision-form arrays ``(mxi, mw, cov)``.
+
+        EP-style evidence nodes (cavity clusters, e.g. Delta) get the same
+        cavity discipline as PlainGroup.update: same-cluster neighbor
+        marginals are divided by this factor's stored messages, and the
+        message to the chain is stored so the NEIGHBOR groups can divide it
+        out in turn — without this, a delta's backward message conditions on
+        a belief that still contains its own forward message (double
+        counting that collapses the chain posterior)."""
         rule = get_message_rule(f.fform, iface)
         from ..rules.registry import get_node
 
+        node_cls = get_node(f.fform)
         needs_self = (
-            getattr(get_node(f.fform), "needs_self_marginal", False)
+            getattr(node_cls, "needs_self_marginal", False)
             and self.var.name in state
         )
         q = build_q(f, state, data,
                     exclude=None if needs_self else iface,
                     chain_cross=chain_cross)
+        uses_cavity = _grid(f) is None and in_cavity_cluster(node_cls, iface)
+        if uses_cavity:
+            for name, v in f.all_interfaces().items():
+                if name == iface or name not in q:
+                    continue
+                if not in_cavity_cluster(node_cls, name):
+                    continue
+                if isinstance(v, Ref) and v.var.kind == "random":
+                    key = f"_msg:{f.id}:{name}"
+                    if key in state:
+                        q[name] = nat_div(q[name], state[key])
         msg = rule(q)
+        damping = (f.meta or {}).get("damping")
+        if damping:
+            # damped message passing (reference-style EP damping knob, e.g.
+            # meta={"GCV": {"damping": 0.5}}): blend the new message with the
+            # previous sweep's in natural parameters — tames the GCV chain
+            # coupling's overshoot so FE decreases (near-)monotonically
+            key = f"_msg:{f.id}:{iface}"
+            stored = msg
+            if f.plate is not None:
+                stored = pad_plate(stored, 0, f.plate.size, f.plate.size)
+            if key in state:
+                lam = float(damping)
+                fam = family_key(stored)
+                nat_n = to_natural(stored)
+                nat_p = to_natural(state[key])
+                stored = from_natural(fam, tuple(
+                    (1.0 - lam) * a + lam * b
+                    for a, b in zip(nat_n, nat_p)
+                ))
+            stored = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), stored)
+            state[key] = stored
+            msg = stored
+        elif uses_cavity:
+            stored = msg
+            if f.plate is not None:
+                stored = pad_plate(stored, 0, f.plate.size, f.plate.size)
+            state[f"_msg:{f.id}:{iface}"] = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32), stored
+            )
         from ..dists.gaussian import (
             as_mv_weighted_mean_precision,
             as_weighted_mean_precision,
@@ -621,15 +709,25 @@ class GaussianChainBlock:
         m0, p0 = self._prior_moments(state, data, chain_cross)
         a, b, q = self._transition_params(state, data, length)
         xi, w = self._evidence(state, data, chain_cross, length)
-        params = ChainParams(m0, p0, a, b, q, xi, w)
-        solver = parallel_smoother if (self.use_parallel and length >= 48) else sequential_smoother
-        res = solver(params)
-        if self.scalar:
-            marg = NormalMeanVariance(res.means[..., 0], res.covs[..., 0, 0])
-            cross = res.cross[..., 0, 0]
+        if self.time_mesh is not None:
+            from ..parallel.time_blocked import time_blocked_smooth
+
+            means, covs, _, _, cross_m = time_blocked_smooth(
+                self.time_mesh, self.time_axis, m0, p0, a, b, q, xi, w
+            )
         else:
-            marg = MvNormalMeanCovariance(res.means, res.covs)
-            cross = res.cross
+            params = ChainParams(m0, p0, a, b, q, xi, w)
+            solver = (parallel_smoother
+                      if (self.use_parallel and length >= 48)
+                      else sequential_smoother)
+            res = solver(params)
+            means, covs, cross_m = res.means, res.covs, res.cross
+        if self.scalar:
+            marg = NormalMeanVariance(means[..., 0], covs[..., 0, 0])
+            cross = cross_m[..., 0, 0]
+        else:
+            marg = MvNormalMeanCovariance(means, covs)
+            cross = cross_m
         return marg, cross
 
 

@@ -489,7 +489,8 @@ class CompiledModel:
 
     def __init__(self, graph: ModelGraph, init: Optional[dict] = None,
                  options: Optional[dict] = None, constraints: Any = None,
-                 meta: Optional[dict] = None):
+                 meta: Optional[dict] = None, time_mesh: Any = None,
+                 time_axis: str = "time"):
         options = options or {}
         self.graph = graph
         defaults = getattr(graph, "default_submodel_constraints", None)
@@ -628,7 +629,8 @@ class CompiledModel:
         # computed by the static schedule.
         known = {"parallel_scans", "rulefallback", "check_objective", "warn",
                  "limit_stack_depth", "force_marginal_computation",
-                 "fused_kernels", "hbm_budget_bytes"}
+                 "fused_kernels", "hbm_budget_bytes", "fused_moment_dtype",
+                 "matmul_precision"}
         # reference-accepted options that are TOP-LEVEL infer kwargs here
         # (reactivemp_inference.jl:129-137): redirect with a pointed error
         # rather than silently accepting or claiming they're unknown.
@@ -651,6 +653,15 @@ class CompiledModel:
         # batched programs lower eligible chain blocks to the fused Pallas
         # kernel tier (engine/batched.py); False forces the XLA scan paths
         self.use_fused = options.get("fused_kernels", True)
+        # "bfloat16": the fused smoother streams its HBM-resident covariance/
+        # cross moments in bf16 (~30% less traffic on the HBM-bound kernel;
+        # means and arithmetic stay fp32) — ops/pallas_smoother.py
+        self.fused_moment_dtype = options.get("fused_moment_dtype", "float32")
+        # strict accuracy mode: options={"matmul_precision": "highest"} traces
+        # every program under jax.default_matmul_precision — TPU matmuls then
+        # run full-fp32 passes instead of the default bf16-ish fast path,
+        # buying back the ~5e-3 on-chip posterior error when it matters
+        self.matmul_precision = options.get("matmul_precision")
         # reference: infer(options=(rulefallback=NodeFunctionRuleFallback(),))
         self.rulefallback = options.get("rulefallback")
         # reference: ObjectiveDiagnosticCheckNaNs/Infs (src/score/diagnostics.jl)
@@ -720,6 +731,53 @@ class CompiledModel:
                                    rule_overrides=rule_overrides,
                                    message_form=mform)
                 self.blocks.append(("plain", group))
+
+        # rx.infer(mesh=Mesh(..., ("time",))): shard every eligible Gaussian
+        # chain over the mesh's time axis — the block then runs the
+        # distributed associative scan (parallel/time_blocked.py: shard-local
+        # scans + one O(P·d²) all-gather over ICI), exact vs the local
+        # smoother (SURVEY §2.3 strategy 3, engine-reachable).
+        if time_mesh is not None:
+            n_shards = int(time_mesh.shape[time_axis])
+            any_sharded = False
+            for kind, block in self.blocks:
+                if kind != "chain":
+                    continue
+                if not isinstance(block, GaussianChainBlock):
+                    if options.get("warn", True):
+                        import warnings
+
+                        warnings.warn(
+                            f"infer(mesh=...): chain {block.var.name!r} is "
+                            "discrete — time sharding covers Gaussian/AR/GCV "
+                            "chains; this chain runs replicated.",
+                            stacklevel=3,
+                        )
+                    continue
+                length = block.var.length
+                if length % n_shards != 0:
+                    if options.get("warn", True):
+                        import warnings
+
+                        warnings.warn(
+                            f"infer(mesh=...): chain {block.var.name!r} "
+                            f"length {length} is not divisible by the "
+                            f"{time_axis!r} axis size {n_shards}; it runs "
+                            "replicated.",
+                            stacklevel=3,
+                        )
+                    continue
+                block.time_mesh = time_mesh
+                block.time_axis = time_axis
+                any_sharded = True
+            if not any_sharded:
+                raise ValueError(
+                    "infer(mesh=...) with a time axis: no chain in this model "
+                    "is eligible for time sharding (need a Gaussian/AR/GCV "
+                    f"chain with length divisible by {n_shards}). Use "
+                    "infer_batched(mesh=...) for data-parallel sharding of "
+                    "independent datasets instead."
+                )
 
         # Free-energy plan (built lazily: some nodes, e.g. Delta, define no
         # average energy and should only fail if free_energy=True is requested).
@@ -1025,15 +1083,19 @@ class CompiledModel:
 
     def make_batched_program(self, data0: dict, iterations: int,
                              free_energy: bool, keep_each: bool = False,
-                             all_finite: bool = True):
+                             all_finite: bool = True, shared: tuple = (),
+                             psum_axis: Optional[str] = None):
         """Batch-native program over B independent datasets: eligible chain
         blocks dispatch into the fused Pallas kernels, the rest is vmapped
-        (engine/batched.py — the kernel-tier path of infer_batched)."""
+        (engine/batched.py — the kernel-tier path of infer_batched).
+        ``shared`` variables are aggregated ACROSS the batch (natural-param
+        sums, psum over ``psum_axis`` under shard_map)."""
         from .batched import make_batched_program
 
         return make_batched_program(
             self, data0, iterations, free_energy,
-            keep_each=keep_each, all_finite=all_finite,
+            keep_each=keep_each, all_finite=all_finite, shared=shared,
+            psum_axis=psum_axis,
         )
 
     def make_tick_program(self, iterations: int, free_energy: bool,
@@ -1143,6 +1205,13 @@ class CompiledModel:
 
         return fn
 
+    def _prec_ctx(self):
+        """Trace-time matmul-precision context (strict-fp32 accuracy mode)."""
+        from contextlib import nullcontext
+
+        return (jax.default_matmul_precision(self.matmul_precision)
+                if self.matmul_precision else nullcontext())
+
     def run_iterative(self, data: dict, iterations: int, free_energy: bool,
                       registry, keep_each: bool = False):
         """Host-driven iteration loop firing per-iteration callbacks (reference
@@ -1152,7 +1221,13 @@ class CompiledModel:
         key = ("sweep", free_energy)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(self.make_sweep_fn(free_energy))
-        fn = self._jitted[key]
+        fn_raw = self._jitted[key]
+
+        def fn(carry, d):
+            # trace-time setting: applies on the first (tracing) call
+            with self._prec_ctx():
+                return fn_raw(carry, d)
+
         carry = (self._init_state(), {})
         fes, history = [], []
         for i in range(iterations):
@@ -1192,4 +1267,5 @@ class CompiledModel:
             fn = self._jitted[key]
         else:
             fn = self.make_program(*key)
-        return fn(data)
+        with self._prec_ctx():
+            return fn(data)

@@ -204,9 +204,19 @@ def infer(
     session: Any = "default",
     uselock: Any = False,
     allow_node_contraction: bool = False,
+    mesh: Any = None,
+    mesh_axis: Optional[str] = None,
 ):
     """Run inference.  Batch mode when ``autoupdates is None``; streaming mode
-    (returns an RxInferenceEngine) otherwise — mirroring the reference dispatch."""
+    (returns an RxInferenceEngine) otherwise — mirroring the reference dispatch.
+
+    ``mesh=jax.sharding.Mesh(devs, ("time",))``: TIME-sharded execution of a
+    single long chain — every eligible Gaussian/AR/GCV chain block is solved
+    by the distributed associative scan of ``parallel/time_blocked.py``
+    (shard-local scans + one small all-gather over ICI), exact to float
+    tolerance vs the single-device smoother.  The chain length must be
+    divisible by the axis size.  For data-parallel sharding over independent
+    datasets use ``infer_batched(mesh=...)`` instead."""
     if autoupdates is not None or datastream is not None:
         from .inference_streaming import streaming_infer
 
@@ -273,6 +283,7 @@ def infer(
                 annotations=annotations, postprocess=postprocess,
                 session=session,
                 allow_node_contraction=allow_node_contraction,
+                mesh=mesh, mesh_axis=mesh_axis,
             )
         except Exception as exc:  # noqa: BLE001
             import traceback as _tb
@@ -364,11 +375,14 @@ def infer(
         registry.add("after_iteration", _progress)
 
     init_dists = dict(initialization or {})
+    if mesh is not None and mesh_axis is None:
+        names = tuple(mesh.axis_names)
+        mesh_axis = "time" if "time" in names else names[0]
     # Key on the function OBJECT (hashable; holding it prevents id() reuse of
     # garbage-collected closures from aliasing cache entries) plus the
     # data-shape signature; constraints/meta/init values are checked on hit.
     sig = (model.fn, tuple(sorted(model.bound)), _shape_sig(data),
-           tuple(sorted(init_dists)), allow_node_contraction)
+           tuple(sorted(init_dists)), allow_node_contraction, mesh, mesh_axis)
     cached = _COMPILE_CACHE.get(sig)
     compiled = None
     if cached is not None:
@@ -385,7 +399,9 @@ def infer(
         graph = model.trace(data,
                             allow_node_contraction=allow_node_contraction)
         compiled = CompiledModel(graph, init=init_dists, options=options,
-                                 constraints=constraints, meta=meta)
+                                 constraints=constraints, meta=meta,
+                                 time_mesh=mesh,
+                                 time_axis=mesh_axis or "time")
         _COMPILE_CACHE[sig] = (compiled, constraints, meta, init_dists, options)
         registry.invoke("after_model_creation")
 
@@ -413,7 +429,26 @@ def infer(
     # average energy (BP-only, reference parity), so annotations compute exact
     # per-component evidences WITHOUT the FE pass (engine/logscale.py).
     has_mixture = any(f.fform == "Mixture" for f in compiled.graph.factors)
-    need_fe = free_energy or (annotations is not None and not has_mixture)
+    # Generic-Mixture models are BP-only (the selection factor has no average
+    # energy), but on a single-mixture tree the exact evidence IS computable
+    # from the logscale pass — populate result.free_energy with −logZ instead
+    # of raising (round-4; the reference never scores FE on Mixture at all).
+    mixture_fe = None
+    if has_mixture and free_energy:
+        mix_fs = [f for f in compiled.graph.factors if f.fform == "Mixture"]
+        if len(mix_fs) == 1:
+            mf = mix_fs[0]
+            names = {mf.out.var.name, mf.interfaces["switch"].var.name}
+            i = 0
+            while f"comp{i}" in mf.interfaces:
+                names.add(mf.interfaces[f"comp{i}"].var.name)
+                i += 1
+            rv = {v.name for v in compiled.graph.random_variables()
+                  if not v.name.startswith("_")}
+            if rv <= names:
+                mixture_fe = mf.out.var.name
+    need_fe = (free_energy and mixture_fe is None) or (
+        annotations is not None and not has_mixture)
     registry.invoke("before_inference")
     if registry.empty:
         state, fe, history = compiled.run(
@@ -426,6 +461,23 @@ def infer(
             registry=registry, keep_each=keep_each,
         )
     registry.invoke("after_inference")
+
+    if mixture_fe is not None:
+        # exact single-mixture tree evidence from the jitted logscale pass
+        from .engine.logscale import compute_logscales
+
+        import numpy as _np2
+
+        data_j = {k: jnp.asarray(_np2.asarray(v), jnp.float32)
+                  for k, v in data.items()}
+        key_ls = ("logscale", False)
+        if key_ls not in compiled._jitted:
+            compiled._jitted[key_ls] = jax.jit(
+                lambda st, d: compute_logscales(compiled, st, d, None)
+            )
+        fe = -jnp.asarray(
+            [compiled._jitted[key_ls](state, data_j)[mixture_fe]])
+        need_fe = True  # route through diagnostics + result like engine FE
 
     if need_fe:
         # reference free_energy_diagnostics kwarg (inference.jl:553):
@@ -583,7 +635,8 @@ def batched_program(model, data: dict, iterations: Optional[int] = None,
                     free_energy: bool = False,
                     initialization: Optional[dict] = None,
                     constraints: Any = None, meta: Any = None,
-                    options: Optional[dict] = None, keep_each: bool = False):
+                    options: Optional[dict] = None, keep_each: bool = False,
+                    shared: tuple = (), psum_axis: Optional[str] = None):
     """Compile (and cache) the batch-native inference program for ``data``
     (every leaf carrying a leading batch axis).  Returns
     ``(compiled_model, jitted_program)`` where the program maps the batched
@@ -607,7 +660,7 @@ def batched_program(model, data: dict, iterations: Optional[int] = None,
     )
     sig = (model.fn, tuple(sorted(model.bound)), _shape_sig(data),
            tuple(sorted(init_dists)), iterations, free_energy, keep_each,
-           all_finite)
+           all_finite, tuple(sorted(shared)), psum_axis)
     cached = _BATCH_CACHE.get(sig)
     if cached is not None:
         compiled, prog, c_cons, c_meta, c_init, c_opts = cached
@@ -623,7 +676,7 @@ def batched_program(model, data: dict, iterations: Optional[int] = None,
                              constraints=constraints, meta=meta)
     prog = jax.jit(compiled.make_batched_program(
         first, iterations, free_energy, keep_each=keep_each,
-        all_finite=all_finite,
+        all_finite=all_finite, shared=tuple(shared), psum_axis=psum_axis,
     ))
     _BATCH_CACHE[sig] = (compiled, prog, constraints, meta, init_dists, options)
     return compiled, prog
@@ -634,7 +687,8 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
                   constraints: Any = None, meta: Any = None,
                   options: Optional[dict] = None, returnvars: Any = None,
                   predictvars: Any = None, annotations: Any = None,
-                  mesh: Any = None, mesh_axis: str = "dp"):
+                  mesh: Any = None, mesh_axis: str = "dp",
+                  shared: Any = ()):
     """Batched inference over B independent datasets in one XLA program.
 
     Every value in ``data`` carries a leading batch axis; the model is traced
@@ -658,23 +712,39 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
     compiled program (fused kernels included) on its local shard via
     ``shard_map``; no collectives are needed (datasets are independent), so
     scaling is embarrassingly parallel across ICI (SURVEY §2.3 strategy 1).
-    The batch must divide the axis size."""
+    The batch must be divisible by the axis size.
+
+    ``shared=("W",)``: the named (non-chain) variables are SHARED across the
+    batch — one pooled posterior instead of B independent ones.  Per-dataset
+    messages are natural-summed over the batch each sweep (conjugate updates
+    are additive in natural parameters); under ``mesh=`` that sum lowers to a
+    single small ``jax.lax.psum`` over ICI (SURVEY §2.3 strategy 2 — the
+    hierarchical shared-parameter pattern, engine-reachable).  The shared
+    posterior matches the equivalent pooled model run through ``rx.infer``,
+    and ``free_energy`` returns the pooled GLOBAL Bethe FE trace of shape
+    ``(iterations,)`` (not per-element)."""
     import numpy as np
 
-    if annotations is not None:
-        raise NotImplementedError(
-            "annotations=LogScaleAnnotations() is not supported by "
-            "infer_batched: the per-component evidence post-pass "
-            "(engine/logscale.py) runs host-side per dataset. Use "
-            "infer(..., annotations=...) per dataset, or free_energy=True "
-            "here for the batched (iterations, B) evidence trace (−FE)."
-        )
     keep_each = isinstance(returnvars, KeepEach)
+    shared = (shared,) if isinstance(shared, str) else tuple(shared)
     compiled, prog = batched_program(
         model, data, iterations=iterations, free_energy=free_energy,
         initialization=initialization, constraints=constraints, meta=meta,
-        options=options, keep_each=keep_each,
+        options=options, keep_each=keep_each, shared=shared,
+        psum_axis=(mesh_axis if (mesh is not None and shared) else None),
     )
+    # annotations need the −FE evidence for non-mixture variables (same
+    # need_fe forcing as the single-program path); jit is lazy so the
+    # re-request only re-traces, never compiles twice
+    has_mixture = any(f.fform == "Mixture" for f in compiled.graph.factors)
+    need_fe = free_energy or (annotations is not None and not has_mixture)
+    if need_fe and not free_energy:
+        compiled, prog = batched_program(
+            model, data, iterations=iterations, free_energy=True,
+            initialization=initialization, constraints=constraints,
+            meta=meta, options=options, keep_each=keep_each, shared=shared,
+            psum_axis=(mesh_axis if (mesh is not None and shared) else None),
+        )
     data_dev = {k: jnp.asarray(np.asarray(v), jnp.float32)
                 for k, v in data.items()}
     batch = int(np.asarray(next(iter(data.values()))).shape[0])
@@ -696,8 +766,8 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
         n_dev = int(mesh.shape[mesh_axis])
         if batch % n_dev != 0:
             raise ValueError(
-                f"infer_batched(mesh=...): batch {batch} must divide the "
-                f"{mesh_axis!r} axis size {n_dev}."
+                f"infer_batched(mesh=...): batch {batch} must be divisible "
+                f"by the {mesh_axis!r} axis size {n_dev}."
             )
         if batch_chunk_size(compiled, batch // n_dev, budget) is not None:
             raise ValueError(
@@ -705,21 +775,28 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
                 "chain-moment HBM budget; raise "
                 "options={'hbm_budget_bytes': ...} or use more devices."
             )
-        fe_spec = P(None, mesh_axis) if free_energy else P(None)
+        # shared-variable FE is the pooled global scalar (psum-reduced →
+        # replicated); per-dataset FE carries the batch axis
+        fe_spec = (P(None) if shared
+                   else (P(None, mesh_axis) if need_fe else P(None)))
         sharded = shard_map(
             prog, mesh=mesh,
             in_specs=(P(mesh_axis),),
             out_specs=(P(mesh_axis), fe_spec, P(mesh_axis)),
             **_smap_kw,
         )
-        state, fe, history = jax.jit(sharded)(data_dev)
-        chunk = None
-    else:
-        chunk = batch_chunk_size(compiled, batch, budget)
-    if mesh is not None:
-        pass
-    elif chunk is None:
-        state, fe, history = prog(data_dev)
+        with compiled._prec_ctx():
+            state, fe, history = jax.jit(sharded)(data_dev)
+    elif shared and batch_chunk_size(compiled, batch, budget) is not None:
+        raise ValueError(
+            "infer_batched(shared=...): the batch exceeds the chain-moment "
+            "HBM budget, and HBM chunking cannot aggregate shared "
+            "parameters across sequential chunks. Shard over devices with "
+            "mesh=, or raise options={'hbm_budget_bytes': ...}."
+        )
+    elif (chunk := batch_chunk_size(compiled, batch, budget)) is None:
+        with compiled._prec_ctx():
+            state, fe, history = prog(data_dev)
     else:
         # B×T chain moments exceed the HBM budget: process the batch as
         # sequential device-sized chunks (one compiled program reused; the
@@ -737,7 +814,7 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
         )
         chunk0 = {k: np.asarray(v)[:chunk] for k, v in data.items()}
         compiled, prog = batched_program(
-            model, chunk0, iterations=iterations, free_energy=free_energy,
+            model, chunk0, iterations=iterations, free_energy=need_fe,
             initialization=initialization, constraints=constraints,
             meta=meta, options=options, keep_each=keep_each,
         )
@@ -753,8 +830,9 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
                     )
                     for k, v in sl.items()
                 }
-            st, f, h = prog({k: jnp.asarray(v, jnp.float32)
-                             for k, v in sl.items()})
+            with compiled._prec_ctx():
+                st, f, h = prog({k: jnp.asarray(v, jnp.float32)
+                                 for k, v in sl.items()})
             states.append(jax.tree_util.tree_map(lambda a: a[:n], st))
             fes.append(f[:, :n])
             hists.append([
@@ -776,6 +854,34 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
         posteriors = {
             name: [_extract_posteriors(compiled, h)[name] for h in history]
             for name in posteriors
+        }
+    if annotations is not None:
+        # LogScaleAnnotations over the batch (round-4: restriction lifted) —
+        # the per-component evidence post-pass (engine/logscale.py) is
+        # vmapped over the batch axis inside ONE jitted program; every
+        # posterior becomes a Marginal carrying its (B,)-shaped log_scale.
+        from .engine.logscale import compute_logscales
+        from .postprocess import Marginal
+
+        fe_row = (fe[-1] if need_fe and int(jnp.size(fe)) else None)
+        if fe_row is not None and jnp.ndim(fe_row) == 1:
+            scales = jax.jit(jax.vmap(
+                lambda st, d, f: compute_logscales(compiled, st, d, f)
+            ))(state, data_dev, fe_row)
+        else:
+            scales = jax.jit(jax.vmap(
+                lambda st, d: compute_logscales(compiled, st, d, None)
+            ))(state, data_dev)
+
+        def _wrap_b(dist, name):
+            s = scales.get(name)
+            return Marginal(dist, {"log_scale": s} if s is not None else {})
+
+        posteriors = {
+            name: ([_wrap_b(d, name) if i == len(p) - 1 else d
+                    for i, d in enumerate(p)]
+                   if isinstance(p, list) else _wrap_b(p, name))
+            for name, p in posteriors.items()
         }
     predictions = {}
     if predictvars:

@@ -147,20 +147,24 @@ def _block_smoother(m0, p0, f_full, b_full, q_full, f_shift, b_shift, q_shift,
     return means, covs, filt_means, filt_covs, e_step
 
 
-def make_time_blocked_smoother(mesh: Mesh, d: int, axis_name: str = "time"):
-    """Build the jitted distributed smoother.
+def time_blocked_smooth(mesh: Mesh, axis_name: str,
+                        m0, p0, f, b, q, xi, w):
+    """Distributed smoothing of ONE chain, callable from inside a larger
+    traced program (rx.infer's time-sharded chain path routes here).
 
-    Input ChainParams must have the uniform layout: F/b/Q of length T (index 0
-    unused), evidence xi/W of length T; leading axis sharded over ``axis_name``.
-    Returns (means, covs, filt_means, filt_covs, cross)."""
+    ``f, b, q``: (T-1, ...) global transition params; ``xi, w``: (T, ...)
+    information-form evidence.  T must be divisible by the mesh's
+    ``axis_name`` size.  Returns (means, covs, filt_means, filt_covs, cross)
+    with ``cross[t] = Cov(x_t, x_{t+1})`` — the same conventions as
+    ops/kalman.parallel_smoother."""
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    d = m0.shape[-1]
     t_spec = P(axis_name)
     rep = P()
-
     mapped = shard_map(
         partial(_block_smoother, axis_name=axis_name),
         mesh=mesh,
@@ -168,23 +172,31 @@ def make_time_blocked_smoother(mesh: Mesh, d: int, axis_name: str = "time"):
                   t_spec, t_spec),
         out_specs=(t_spec, t_spec, t_spec, t_spec, t_spec),
     )
+    eye = jnp.eye(d, dtype=xi.dtype)
+    f_full = jnp.concatenate([eye[None], f], axis=0)
+    b_full = jnp.concatenate([jnp.zeros((1, d), xi.dtype), b], axis=0)
+    q_full = jnp.concatenate([eye[None], q], axis=0)
+    f_shift = jnp.concatenate([f, eye[None]], axis=0)
+    b_shift = jnp.concatenate([b, jnp.zeros((1, d), xi.dtype)], axis=0)
+    q_shift = jnp.concatenate([q, eye[None]], axis=0)
+    means, covs, fm, fc, e_step = mapped(
+        m0, p0, f_full, b_full, q_full, f_shift, b_shift, q_shift, xi, w
+    )
+    # pairwise cross covariances: E_t @ P_{t+1|T}; the (sharded) roll is a
+    # boundary halo exchange inserted by GSPMD.
+    covs_next = jnp.roll(covs, -1, axis=0)
+    cross = jnp.einsum("tij,tjk->tik", e_step, covs_next)[:-1]
+    return means, covs, fm, fc, cross
+
+
+def make_time_blocked_smoother(mesh: Mesh, d: int, axis_name: str = "time"):
+    """Build the jitted distributed smoother.
+
+    Input ChainParams must have the uniform layout: F/b/Q of length T (index 0
+    unused), evidence xi/W of length T; leading axis sharded over ``axis_name``.
+    Returns (means, covs, filt_means, filt_covs, cross)."""
 
     def smoother(m0, p0, f, b, q, xi, w):
-        """f, b, q: (T-1, ...) global transition params; xi, w: (T, ...)."""
-        eye = jnp.eye(d, dtype=xi.dtype)
-        f_full = jnp.concatenate([eye[None], f], axis=0)
-        b_full = jnp.concatenate([jnp.zeros((1, d), xi.dtype), b], axis=0)
-        q_full = jnp.concatenate([eye[None], q], axis=0)
-        f_shift = jnp.concatenate([f, eye[None]], axis=0)
-        b_shift = jnp.concatenate([b, jnp.zeros((1, d), xi.dtype)], axis=0)
-        q_shift = jnp.concatenate([q, eye[None]], axis=0)
-        means, covs, fm, fc, e_step = mapped(
-            m0, p0, f_full, b_full, q_full, f_shift, b_shift, q_shift, xi, w
-        )
-        # pairwise cross covariances: E_t @ P_{t+1|T}; the (sharded) roll is a
-        # boundary halo exchange inserted by GSPMD.
-        covs_next = jnp.roll(covs, -1, axis=0)
-        cross = jnp.einsum("tij,tjk->tik", e_step, covs_next)[:-1]
-        return means, covs, fm, fc, cross
+        return time_blocked_smooth(mesh, axis_name, m0, p0, f, b, q, xi, w)
 
     return jax.jit(smoother)

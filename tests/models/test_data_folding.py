@@ -82,6 +82,36 @@ def test_fold_mul_div_neg():
     assert float(res.posteriors["x"].mean()) == pytest.approx(2.5, abs=1e-4)
 
 
+def test_infer_batched_applies_data_folding():
+    """infer_batched resolves folded (derived) data expressions too: the
+    batched sweep/plan path must apply CompiledModel._with_derived so the
+    '_fold*' derived variables exist per batch element (round-3 advisor
+    finding — previously a KeyError)."""
+
+    @rx.model
+    def m(y, a, b):
+        x = rx.Normal(mean=a + b, precision=1.0)
+        y.observe(rx.Normal(mean=x, var=1.0))
+        return {"x": x}
+
+    a = np.array([2.0, -1.0, 0.5, 3.0], np.float32)
+    b = np.array([2.0, 1.0, 0.5, -1.0], np.float32)
+    y = np.zeros(4, np.float32)
+    res = rx.infer_batched(m, data={"a": a, "b": b, "y": y},
+                           free_energy=True)
+    posts, fe = res
+    means = np.asarray(posts["x"].mean())
+    np.testing.assert_allclose(means, (a + b) / 2.0, atol=1e-4)
+    # matches the single-program path element-wise
+    for i in range(4):
+        ri = rx.infer(model=m, data={"a": a[i], "b": b[i], "y": y[i]},
+                      returnvars=rx.KeepLast(), free_energy=True)
+        assert float(means[i]) == pytest.approx(
+            float(ri.posteriors["x"].mean()), abs=1e-4)
+        assert float(np.asarray(fe)[-1, i]) == pytest.approx(
+            float(np.asarray(ri.free_energy)[-1]), abs=1e-4)
+
+
 def test_fold_changes_with_runtime_data():
     """The fold is evaluated from the RUNTIME data dict (not baked at trace
     time): the same compiled model gives different answers for different

@@ -73,5 +73,5 @@ def test_mesh_keep_each_history():
 def test_mesh_batch_must_divide_axis():
     gen = _lgssm_gen()
     y = np.zeros((6, 10, 2), np.float32)  # 6 % 8 != 0
-    with pytest.raises(ValueError, match="must divide"):
+    with pytest.raises(ValueError, match="must be divisible"):
         rx.infer_batched(gen, {"y": y}, iterations=1, mesh=_mesh())
