@@ -326,11 +326,19 @@ def test_plan_report_eligible_ineligible_and_warning():
         ref.model.plan_report()
 
 
-def test_infer_batched_annotations_raise():
+def test_infer_batched_annotations_supported():
+    """Round 4: the batched/single-program asymmetry is gone — annotations=
+    runs the vmapped logscale post-pass; each posterior's log_scale carries
+    the batch axis and equals −FE (== log Z on this tree model)."""
     gen = _lgssm_gen()
-    y = np.zeros((2, 10, 2), np.float32)
-    with pytest.raises(NotImplementedError, match="annotations"):
-        rx.infer_batched(gen, {"y": y}, annotations=rx.LogScaleAnnotations())
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal((2, 10, 2)).astype(np.float32)
+    res = rx.infer_batched(gen, {"y": y}, iterations=1, free_energy=True,
+                           annotations=rx.LogScaleAnnotations())
+    ls = np.asarray(rx.getlogscale(res.posteriors["x"]))
+    assert ls.shape == (2,)
+    np.testing.assert_allclose(ls, -np.asarray(res.free_energy)[-1],
+                               rtol=1e-5)
 
 
 def test_hbm_batch_chunking_matches_unchunked():

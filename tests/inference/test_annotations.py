@@ -109,3 +109,28 @@ def test_getlogscale_missing_raises():
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "LogScaleAnnotations" in str(e)
+
+
+def test_logscale_infer_batched():
+    """Round-4: annotations=LogScaleAnnotations() works through
+    infer_batched — the evidence post-pass is vmapped over the batch inside
+    one jitted program; each posterior's log_scale carries the batch axis and
+    matches the per-dataset single-program values."""
+    rng = np.random.default_rng(0)
+    B, n = 4, 10
+    Y = (rng.uniform(size=(B, n)) < 0.7).astype(np.float32)
+    res = rx.infer_batched(_coin_model(), data={"y": Y}, iterations=2,
+                           annotations=rx.LogScaleAnnotations(),
+                           returnvars=rx.KeepLast())
+    post = res.posteriors["theta"]
+    assert isinstance(post, rx.Marginal)
+    ls = np.asarray(rx.getlogscale(post))
+    assert ls.shape == (B,)
+    for b in range(B):
+        expected = _coin_logZ(4.0, 8.0, Y[b])
+        assert abs(ls[b] - expected) < 1e-4, (b, ls[b], expected)
+        single = rx.infer(model=_coin_model(), data={"y": Y[b]},
+                          iterations=2, returnvars=rx.KeepLast(),
+                          annotations=rx.LogScaleAnnotations())
+        assert abs(ls[b] - float(rx.getlogscale(
+            single.posteriors["theta"]))) < 1e-4

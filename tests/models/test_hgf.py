@@ -76,3 +76,48 @@ def test_hgf_smoothing():
     diffs = np.diff(fe)
     assert np.abs(diffs[-5:]).max() < 1e-2, fe
     assert abs(fe[-1] - fe[-5]) < 1e-2, fe
+
+
+def test_hgf_damped_fe_near_monotone():
+    """Round-4 damping knob (reference asserts near-monotone FE decrease,
+    hgf_tests.jl:119-121): meta={"GCV": {"damping": ...}} blends each GCV
+    chain-evidence message with the previous sweep's in natural parameters,
+    taming the EP-style overshoot that the undamped test above documents."""
+    T = 200
+    kappa, omega = 1.0, -2.0
+    z_true, x_true, y = simulate_hgf(T, kappa, omega, seed=5)
+
+    @rx.model
+    def hgf(y):
+        z = rx.latent(T, name="z")
+        x = rx.latent(T, name="x")
+        z[0] = rx.Normal(mean=0.0, var=1.0)
+        x[0] = rx.Normal(mean=0.0, var=1.0)
+        for t in rx.plate(1, T):
+            z[t] = rx.Normal(mean=z[t - 1], var=0.01)
+            x[t] = rx.GCV(x[t - 1], z[t], kappa=kappa, omega=omega)
+        for t in rx.plate(T):
+            y[t] = rx.Normal(mean=x[t], var=0.01)
+        return {"z": z, "x": x}
+
+    res = rx.infer(
+        model=hgf, data={"y": y}, iterations=40,
+        meta={"GCV": {"damping": 0.8}},
+        initialization={"z": NormalMeanVariance(0.0, 5.0)},
+        free_energy=True, returnvars=rx.KeepLast(),
+    )
+    fe = np.asarray(res.free_energy)
+    assert np.isfinite(fe).all()
+    # The EP fixed point is approached from BELOW on this model (the undamped
+    # run dips ~7 under the converged FE and climbs back with per-iteration
+    # increases up to ~3.3); damping=0.8 caps every increase at <0.25 —
+    # near-monotone in the reference's sense (every LARGE step decreases,
+    # hgf_tests.jl:120) while converging to the SAME fixed point (FE 74.82
+    # on this seed for damping in {0, 0.3, 0.6, 0.8}).
+    diffs = np.diff(fe)
+    assert np.all(diffs < 0.25), diffs[diffs > 0]
+    assert fe[-1] < fe[0] - 100.0
+    # accuracy is not sacrificed: same envelopes as the undamped run
+    mx, sx = np.asarray(res.posteriors["x"].mean()), np.sqrt(
+        np.asarray(res.posteriors["x"].var()))
+    assert np.mean(np.abs(x_true - mx) < 3.0 * sx) > 0.95

@@ -141,3 +141,19 @@ def test_scalar_lgssm():
     assert m.shape == (T,)
     assert (np.abs(m - x) <= 3.5 * s + 1e-3).mean() > 0.95
     assert np.isfinite(float(res.free_energy[-1]))
+
+
+def test_matmul_precision_strict_mode():
+    """options={"matmul_precision": "highest"} — the strict-fp32 accuracy
+    mode (round-4): on TPU it forces full-fp32 matmul passes instead of the
+    default fast path; on CPU it is a no-op, so results must match exactly."""
+    A, Q, B, R, _x_true, y = rotation_lgssm_data(T=64)
+    m0 = np.zeros(2, dtype=np.float32)
+    V0 = 25.0 * np.eye(2, dtype=np.float32)
+    kw = dict(model=make_model(A, Q, B, R, m0, V0), data={"y": y},
+              returnvars=rx.KeepLast(), free_energy=True)
+    res_strict = rx.infer(**kw, options={"matmul_precision": "highest"})
+    res_fast = rx.infer(**kw)
+    np.testing.assert_allclose(
+        np.asarray(res_strict.posteriors["x"].mean()),
+        np.asarray(res_fast.posteriors["x"].mean()), rtol=1e-5)
