@@ -212,6 +212,43 @@ def main():
     t_eng = _median_time(eng, (y2,))
     engine_b1024_updates_per_sec = 3 * T * B2 / t_eng
 
+    # --- roofline accounting for the fused B=1024 row (round-4 verdict 5) ---
+    # Modeled LOWER-BOUND HBM traffic per call: xi read; filtered means
+    # (fp32) write+read; filtered sym covs (moment dtype) write+read;
+    # smoothed means write + reduction read; smoothed sym covs and cross
+    # writes.  Working-set re-reads inside the kernel are not modeled, so
+    # the true traffic (and utilization) is higher.
+    HBM_PEAK = 819e9  # TPU v5e: 819 GB/s per chip
+
+    def _smoother_bytes(t_len, b_sz, dim, mdt_bytes):
+        sym = dim * (dim + 1) // 2
+        per_tb = (
+            dim * 4            # xi read
+            + 3 * dim * 4      # filtered means w+r, smoothed means w
+            + dim * 4          # reduction read of smoothed means
+            + 2 * sym * mdt_bytes   # filtered covs w+r
+            + sym * mdt_bytes       # smoothed covs write
+            + sym * mdt_bytes       # reduction read of smoothed covs
+            + dim * dim * mdt_bytes  # cross write
+        )
+        return t_len * b_sz * per_tb
+
+    bytes_fp32 = _smoother_bytes(T, B2, d, 4)
+    hbm_bytes_per_sec = bytes_fp32 / t_eng
+    hbm_utilization = hbm_bytes_per_sec / HBM_PEAK
+
+    # --- bf16 moment streaming through the ENGINE (round-4 verdict 5) -------
+    # options={"fused_moment_dtype": "bfloat16"}: the kernel streams its
+    # HBM-resident covariance/cross moments in bf16 (arithmetic stays fp32)
+    _, eng_prog_bf16 = rx.batched_program(
+        gen_lgssm, {"y": np.zeros((B2, T, d), np.float32)},
+        iterations=1, free_energy=False,
+        options={"fused_moment_dtype": "bfloat16"},
+    )
+    eng_bf16 = _scalarize(lambda ys: eng_prog_bf16({"y": ys})[0])
+    t_eng_bf16 = _median_time(eng_bf16, (y2,))
+    engine_bf16_updates_per_sec = 3 * T * B2 / t_eng_bf16
+
     # streaming filtering over 10k parallel chains (BASELINE config 5)
     BF, TF = 10_000, 200
     ys = jnp.asarray(rng.standard_normal((TF, BF, d)).astype(np.float32))
@@ -346,6 +383,109 @@ def main():
     t_hmm_ps = _median_time(_scalarize(hmm_fused_ps), (y_t_dev,))
     hmm_fused_ps_updates_per_sec = BH * IT_H * (TH + 2) / t_hmm_ps
 
+    # --- d=16 story (round-4 verdict 6): engine + ops-ceiling rows ----------
+    # d > 8 runs the batched XLA associative-scan path whose per-step algebra
+    # is the closed-form Schur inverse tier extended to d<=16
+    # (ops/smallmat.py 8|rest splits — branch-free batched arithmetic, no LU
+    # pivot loops).
+    D16, B16, T16 = 16, 64, 10_000
+    rot16 = np.kron(np.eye(D16 // 2, dtype=np.float32), rot)
+    h16 = 1.3 * np.eye(D16, dtype=np.float32)
+    r16 = np.eye(D16, dtype=np.float32)
+    q16 = np.eye(D16, dtype=np.float32)
+    m016 = np.zeros(D16, np.float32)
+    p016 = 25.0 * np.eye(D16, dtype=np.float32)
+    gen16 = zoo.lgssm(rot16, q16, h16, r16, m016, p016)
+    y16 = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(2), (B16, T16, D16)))()
+    jax.block_until_ready(y16)
+    _, eng16_prog = rx.batched_program(
+        gen16, {"y": np.zeros((B16, T16, D16), np.float32)},
+        iterations=1, free_energy=False, options={"warn": False},
+    )
+    eng16 = _scalarize(lambda ys: eng16_prog({"y": ys})[0])
+    t_eng16 = _median_time(eng16, (y16,))
+    d16_engine_updates_per_sec = 3 * T16 * B16 / t_eng16
+
+    rinv16 = np.linalg.inv(r16)
+    w16 = (h16.T @ rinv16 @ h16).astype(np.float32)
+    xi16 = jnp.einsum("ij,btj->bti",
+                      jnp.asarray((h16.T @ rinv16).astype(np.float32)), y16)
+    p16 = ChainParams(
+        jnp.broadcast_to(jnp.asarray(m016), (B16, D16)),
+        jnp.broadcast_to(jnp.asarray(p016), (B16, D16, D16)),
+        jnp.broadcast_to(jnp.asarray(rot16), (B16, T16 - 1, D16, D16)),
+        jnp.zeros((B16, T16 - 1, D16)),
+        jnp.broadcast_to(jnp.asarray(q16), (B16, T16 - 1, D16, D16)),
+        xi16,
+        jnp.broadcast_to(jnp.asarray(w16), (B16, T16, D16, D16)),
+    )
+    ops16 = _scalarize(lambda p: parallel_smoother(p)[:2])
+    t_ops16 = _median_time(ops16, (p16,))
+    d16_ops_updates_per_sec = 3 * T16 * B16 / t_ops16
+
+    # d=16 accuracy vs a float64 oracle (short chain; same engine path)
+    TA16, BA16 = 64, 2
+    ya16 = rng.standard_normal((BA16, TA16, D16)).astype(np.float32)
+    posts16, _ = rx.infer_batched(gen16, {"y": ya16}, iterations=1,
+                                  options={"warn": False})
+    fm16 = np.asarray(posts16["x"].mean())
+
+    def _np_rts_generic(dd, f64, q64, h64, r64, m0i, p0i, yi):
+        mf, pf = [], []
+        m, p = m0i.astype(np.float64), p0i.astype(np.float64)
+        for t in range(yi.shape[0]):
+            if t > 0:
+                m = f64 @ m
+                p = f64 @ p @ f64.T + q64
+            s_t = h64 @ p @ h64.T + r64
+            innov = yi[t].astype(np.float64) - h64 @ m
+            k = p @ h64.T @ np.linalg.inv(s_t)
+            m = m + k @ innov
+            p = p - k @ h64 @ p
+            mf.append(m.copy())
+            pf.append(p.copy())
+        ms = [None] * yi.shape[0]
+        ms[-1] = mf[-1]
+        for t in range(yi.shape[0] - 2, -1, -1):
+            ppred = f64 @ pf[t] @ f64.T + q64
+            g = pf[t] @ f64.T @ np.linalg.inv(ppred)
+            ms[t] = mf[t] + g @ (ms[t + 1] - f64 @ mf[t])
+        return np.stack(ms)
+
+    d16_err = float(max(
+        np.abs(fm16[i] - _np_rts_generic(
+            D16, rot16.astype(np.float64), q16.astype(np.float64),
+            h16.astype(np.float64), r16.astype(np.float64),
+            m016.astype(np.float64), p016.astype(np.float64), ya16[i],
+        )).max()
+        for i in range(BA16)))
+
+    # --- time-sharded rx.infer path (round-4 verdict 1) ---------------------
+    # One T=100k chain through infer(mesh=Mesh(..., ("time",))) — on the
+    # single real chip this measures the shard_map + distributed-scan
+    # formulation's overhead vs the local smoother (multi-chip speedups are
+    # validated structurally by dryrun_multichip on virtual meshes).
+    from jax.sharding import Mesh
+
+    from rxinfer_tpu.engine.compile import CompiledModel
+
+    TS = 100_000
+    ys_l = rng.standard_normal((TS, d)).astype(np.float32)
+    gen_long = zoo.lgssm(f_mat, q, h, r, m0, p0)
+    mesh_t1 = Mesh(np.asarray(jax.devices()[:1]), ("time",))
+    cm_t = CompiledModel(gen_long.trace({"y": ys_l}), time_mesh=mesh_t1)
+    cm_l = CompiledModel(gen_long.trace({"y": ys_l}))
+    prog_t = _scalarize(lambda y_: cm_t.make_program(1, False, False)(
+        {"y": y_})[0])
+    prog_l = _scalarize(lambda y_: cm_l.make_program(1, False, False)(
+        {"y": y_})[0])
+    y_l_dev = jnp.asarray(ys_l)
+    tt = _median_time(prog_t, (y_l_dev,))
+    tl = _median_time(prog_l, (y_l_dev,))
+    time_sharded_updates_per_sec = 3 * TS / tt
+    time_sharded_vs_local = tl / tt
+
     baseline_updates_per_sec = 3 * 10_000 / 0.901667  # reference d=2 T=10k CPU
 
     # --- accuracy anchor: the ENGINE path vs a float64 numpy oracle ----------
@@ -403,6 +543,20 @@ def main():
         abs(-float(fe_a[-1, i]) - oracle[i][2]) / abs(oracle[i][2])
         for i in range(BA)))
 
+    # bf16 moment-streaming accuracy on the same float64 oracle workload
+    posts_b16, fe_b16 = rx.infer_batched(
+        gen_lgssm, {"y": ya}, iterations=1, free_energy=True,
+        options={"fused_moment_dtype": "bfloat16"})
+    fm_b16 = np.asarray(posts_b16["x"].mean())
+    fv_b16 = np.asarray(posts_b16["x"].cov())
+    bf16_err = float(max(
+        np.abs(fm_b16[i] - oracle[i][0]).max() for i in range(BA)))
+    bf16_cov_err = float(max(
+        np.abs(fv_b16[i] - oracle[i][1]).max() for i in range(BA)))
+    bf16_fe_rel = float(max(
+        abs(-float(fe_b16[-1, i]) - oracle[i][2]) / abs(oracle[i][2])
+        for i in range(BA)))
+
     print(json.dumps({
         "metric": "LGSSM d=4 T=10k smoothing message updates/sec/chip "
                   "(1024 parallel chains, fused Pallas RTS via "
@@ -421,6 +575,24 @@ def main():
         "accuracy_max_abs_err_vs_float64_oracle": accuracy_err,
         "accuracy_cov_max_abs_err_vs_float64_oracle": accuracy_cov_err,
         "accuracy_fe_rel_err_vs_float64_logZ": accuracy_fe_rel,
+        "hbm_modeled_bytes_per_call_lower_bound": int(bytes_fp32),
+        "hbm_bytes_per_sec": round(hbm_bytes_per_sec, 1),
+        "hbm_utilization_vs_819GBs_peak": round(hbm_utilization, 4),
+        "engine_b1024_bf16_moments_updates_per_sec": round(
+            engine_bf16_updates_per_sec, 1),
+        "bf16_vs_fp32_speedup": round(t_eng / t_eng_bf16, 3),
+        "bf16_accuracy_max_abs_err_vs_float64_oracle": bf16_err,
+        "bf16_accuracy_cov_max_abs_err_vs_float64_oracle": bf16_cov_err,
+        "bf16_accuracy_fe_rel_err_vs_float64_logZ": bf16_fe_rel,
+        "d16_engine_b64_updates_per_sec": round(
+            d16_engine_updates_per_sec, 1),
+        "d16_ops_b64_updates_per_sec": round(d16_ops_updates_per_sec, 1),
+        "d16_engine_vs_ops_ratio": round(t_ops16 / t_eng16, 3),
+        "d16_accuracy_max_abs_err_vs_float64_oracle": d16_err,
+        "time_sharded_T100k_updates_per_sec": round(
+            time_sharded_updates_per_sec, 1),
+        "time_sharded_vs_local_smoother_ratio": round(
+            time_sharded_vs_local, 3),
         "single_chain_updates_per_sec": round(updates_per_sec, 1),
         "single_chain_vs_baseline": round(
             updates_per_sec / baseline_updates_per_sec, 2
