@@ -373,6 +373,63 @@ def schedule_sweep(
     return order, self_dep
 
 
+def _prior_init(graph: ModelGraph, name: str, _memo=None, _stack=None):
+    """Seed an auto-initialized variable by the ANCESTRAL forward pass: its
+    whole-variable defining factor's ``message_to_out`` evaluated with Const
+    interfaces as PointMass and random inputs recursively prior-seeded (the
+    message the reference's reactive schedule would deliver first).  A vague
+    marginal puts e.g. Unscented sigma points at ±1e6, which NaNs
+    domain-restricted deltas (sqrt, log) and makes known-inverse pushes
+    degenerate; the prior cascade is the faithful BP seed.  Returns None
+    when the variable has no non-plated whole-variable defining factor or
+    the cascade fails (fallback: vague)."""
+    from ..rules.registry import get_message_rule
+
+    _memo = {} if _memo is None else _memo
+    _stack = set() if _stack is None else _stack
+    if name in _memo:
+        return _memo[name]
+    if name in _stack:  # cycle: let the vague fallback break it
+        return None
+    _stack = _stack | {name}
+    for f in graph.factors:
+        if not (
+            f.out.var.kind == "random"
+            and f.out.var.name == name
+            and f.out.idx is None
+            and f.plate is None
+        ):
+            continue
+        try:
+            q = {}
+            ok = True
+            for k, v in f.interfaces.items():
+                if isinstance(v, Const):
+                    q[k] = PointMass(jnp.asarray(v.value, jnp.float32))
+                elif (isinstance(v, Ref) and v.var.kind == "random"
+                      and v.idx is None):
+                    seed = _prior_init(graph, v.var.name, _memo, _stack)
+                    if seed is None:
+                        ok = False
+                        break
+                    q[k] = seed
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            if f.meta is not None:
+                q["_meta"] = {**f.meta, "_plated": False}
+            with jax.ensure_compile_time_eval():
+                out = get_message_rule(f.fform, "out")(q)
+            _memo[name] = out
+            return out
+        except Exception:  # noqa: BLE001 — any failure: vague fallback
+            continue
+    _memo[name] = None
+    return None
+
+
 def _vague_for(family: str, event_shape: tuple):
     """Non-informative marginal for auto-initialized tree-schedule variables
     (reference: ``vague(T)``, BayesBase)."""
@@ -617,9 +674,22 @@ class CompiledModel:
         if unknown:
             raise ValueError(f"initialization given for unknown variables {unknown}")
         self.sweep, auto_init = schedule_sweep(graph, self.chains, set(init))
+        from ..dists.natural import family_key as _family_key
+
         for name in sorted(auto_init - set(init)):
             gi = self.infos[name]
-            init[name] = _vague_for(gi.family, gi.event_shape)
+            seed = _prior_init(graph, name)
+            if seed is not None:
+                # the seed must live in the group's conjugate family — a
+                # Mixture out-message, for example, is mixture-valued where
+                # downstream rules need a plain carrier
+                try:
+                    if _family_key(seed) != gi.family:
+                        seed = None
+                except Exception:  # noqa: BLE001 — unregistered carriers
+                    seed = None
+            init[name] = (seed if seed is not None
+                          else _vague_for(gi.family, gi.event_shape))
         self.init = init
         # reference ReactiveMPInferenceOptions surface
         # (src/model/plugins/reactivemp_inference.jl:126-180): unknown options

@@ -219,6 +219,27 @@ def _push_sampled(fn_flat, m, v, params: CVIProjection):
     return mean, _symmetrize(cov), cross
 
 
+def _robust_moments(d):
+    """(mean, cov, is_vector) that stays FINITE for rank-deficient Gaussian
+    carriers (e.g. the rank-1-precision cavity a dot factor sends a vector
+    variable): moments come from the ridged information form, leaving large
+    — not infinite — variance in unconstrained directions."""
+    from ..dists.gaussian import AbstractMvNormal, AbstractNormal
+
+    if isinstance(d, (AbstractMvNormal, AbstractNormal)):
+        xi, w = _info_form(d)
+        n = w.shape[-1]
+        ridge = 1e-8 * (jnp.abs(jnp.trace(w)) / n + 1e-30) + 1e-12
+        w_r = _symmetrize(w) + ridge * jnp.eye(n, dtype=w.dtype)
+        v = _symmetrize(pd_inverse(w_r))
+        m = jnp.einsum("...ij,...j->...i", v, xi)
+        vec = isinstance(d, AbstractMvNormal)
+        if not vec:
+            return m[..., 0], v[..., 0, 0], False
+        return m, v, True
+    return _moments(d)
+
+
 def _push_by_method(fn_flat, m, v, method):
     if isinstance(method, Unscented):
         mean, cov, _ = _push_unscented(fn_flat, m, v, method)
@@ -230,60 +251,130 @@ def _push_by_method(fn_flat, m, v, method):
 
 
 def _known_inverse_backward(q, target_idx, keys, method, inverse,
-                            m_out, v_out, out_vec):
+                            extra_out_cov=None):
     """Known-inverse shortcut (reference DeltaMeta(inverse=...),
-    delta-node.md:60-117).  Single input: push the out-side Gaussian through
-    fn⁻¹.  Multiple inputs: ``inverse=(f_back_0, f_back_1, ...)`` with
-    ``f_back_i(out, *other_inputs)`` in declaration order — push the joint
-    Gaussian of (out-side belief, other inputs' beliefs) through f_back_i.
-    Either way the result IS the message to input i (no division by its own
-    marginal).  Returns None (after a WARNING — never silently) when
-    ``inverse`` cannot be applied."""
+    delta-node.md:60-117).
+
+    The inverse supplies the LINEARIZATION POINT (the IEKF use of a known
+    inverse): x₀ = f_back_i(m_out, m_others), and the message to input i is
+    the information-form pullback of the out-side belief through the FORWARD
+    function's Jacobian at x₀:
+
+        w_msg  = J_iᵀ W_eff J_i,        ξ_msg = w_msg x₀ ,
+        W_eff  = (V_out + Σ_{j≠i} J_j V_j J_jᵀ [+ extra_out_cov])⁻¹ .
+
+    Rank-deficient out-side cavities (e.g. the rank-1 message a dot factor
+    sends a vector variable) flow through NATURALLY: unconstrained output
+    directions contribute exactly zero precision — a direct pushforward of
+    the out belief through f⁻¹ would instead fabricate a near-point message
+    wherever the inverse's Jacobian vanishes.  ``extra_out_cov`` widens the
+    out belief (the contracted NonlinearGaussian path adds its noise).
+    Returns None (after a WARNING — never silently) when ``inverse`` cannot
+    be applied."""
+    fn = _meta(q)["fn"]
+    m_out, v_out, out_vec = _robust_moments(q["out"])
+    if not out_vec:
+        m_out = jnp.reshape(m_out, (1,))
+        v_out = jnp.reshape(v_out, (1, 1))
+    if extra_out_cov is not None:
+        v_out = v_out + extra_out_cov
+
     single = inverse if callable(inverse) else (
         inverse[0] if len(inverse) == 1 else None)
-    if len(keys) == 1 and single is not None:
-        inv_flat = _split_apply(single, [m_out.shape[-1]], [out_vec])
-        mean, cov = _push_by_method(inv_flat, m_out, v_out, method)
-        if jnp.ndim(e_mean(q[keys[0]])) < 1:
-            return NormalMeanVariance(mean[0], jnp.clip(cov[0, 0], 1e-12))
-        return MvNormalMeanCovariance(mean, cov)
-    if (not callable(inverse)) and len(inverse) == len(keys) > 1:
-        inv_fn = inverse[target_idx]
-        other_keys = [k for j, k in enumerate(keys) if j != target_idx]
-        ms, vs, dims, vecs = [m_out], [v_out], [m_out.shape[-1]], [out_vec]
-        for k in other_keys:
-            m_k, v_k, vec_k = _moments(q[k])
-            if not vec_k:
-                m_k = jnp.reshape(m_k, (1,))
-                v_k = jnp.reshape(v_k, (1, 1))
-            ms.append(m_k)
-            vs.append(v_k)
-            dims.append(m_k.shape[-1])
-            vecs.append(vec_k)
-        m_cat = jnp.concatenate(ms, axis=-1)
-        total = sum(dims)
-        v_cat = jnp.zeros((total, total), m_cat.dtype)
-        off = 0
-        for v_k, d_k in zip(vs, dims):
-            v_cat = v_cat.at[off:off + d_k, off:off + d_k].set(v_k)
-            off += d_k
-        inv_flat = _split_apply(inv_fn, dims, vecs)
-        mean, cov = _push_by_method(inv_flat, m_cat, v_cat, method)
-        if jnp.ndim(e_mean(q[keys[target_idx]])) < 1:
-            return NormalMeanVariance(mean[0], jnp.clip(cov[0, 0], 1e-12))
-        return MvNormalMeanCovariance(mean, cov)
-    import warnings
+    usable = (len(keys) == 1 and single is not None) or (
+        (not callable(inverse)) and len(inverse) == len(keys) > 1)
+    if not usable:
+        import warnings
 
-    expected = ("a callable" if len(keys) == 1 else
-                f"a tuple of {len(keys)} callables (one per input, "
-                "reference delta-node.md)")
-    warnings.warn(
-        f"DeltaMeta(inverse=...) ignored: expected {expected} for a "
-        f"{len(keys)}-input delta node; falling back to joint-Gaussian "
-        "conditioning.",
-        stacklevel=2,
+        expected = ("a callable" if len(keys) == 1 else
+                    f"a tuple of {len(keys)} callables (one per input, "
+                    "reference delta-node.md)")
+        warnings.warn(
+            f"DeltaMeta(inverse=...) ignored: expected {expected} for a "
+            f"{len(keys)}-input delta node; falling back to joint-Gaussian "
+            "conditioning.",
+            stacklevel=2,
+        )
+        return None
+
+    moments = []
+    for k in keys:
+        m_k, v_k, vec_k = _robust_moments(q[k])
+        if not vec_k:
+            m_k = jnp.reshape(m_k, (1,))
+            v_k = jnp.reshape(v_k, (1, 1))
+        moments.append((m_k, v_k, vec_k))
+    others = [mo for j, mo in enumerate(moments) if j != target_idx]
+    vec_i = moments[target_idx][2]
+
+    def _ridged_inv(v):
+        n = v.shape[-1]
+        r = 1e-8 * (jnp.abs(jnp.trace(v)) / n + 1e-30) + 1e-12
+        return pd_inverse(_symmetrize(v) + r * jnp.eye(n, dtype=v.dtype))
+
+    dims_f = [m.shape[-1] for m, _, _ in moments]
+    vecs_f = [v for _, _, v in moments]
+    offs = [0]
+    for d_k in dims_f:
+        offs.append(offs[-1] + d_k)
+    fn_flat = _split_apply(fn, dims_f, vecs_f)
+
+    # Forward predictive at the CURRENT input means: supplies in-domain
+    # values for out directions the cavity does not constrain (a rank-1
+    # cavity's null-direction mean is arbitrary; f⁻¹ of it can sit on the
+    # forward function's domain boundary, e.g. sqrt at 0).
+    z_m = jnp.concatenate([m for m, _, _ in moments], axis=-1)
+    y_fwd = jnp.atleast_1d(fn_flat(z_m))
+    jac_m = jax.jacfwd(fn_flat)(z_m)
+    v_fwd = sum(
+        (jac_m[:, offs[j]:offs[j + 1]] @ moments[j][1]
+         @ jac_m[:, offs[j]:offs[j + 1]].T)
+        for j in range(len(keys))
     )
-    return None
+    w_o = _ridged_inv(v_out)
+    w_fwd = _ridged_inv(v_fwd)
+    m_out_comb = jnp.linalg.solve(
+        w_o + w_fwd, w_o @ m_out + w_fwd @ y_fwd)
+
+    # linearization point from the inverse, at the COMBINED out mean
+    if len(keys) == 1:
+        inv_flat = _split_apply(single, [m_out.shape[-1]], [out_vec])
+        x0 = inv_flat(m_out_comb)
+    else:
+        inv_fn = inverse[target_idx]
+        dims_b = [m_out.shape[-1]] + [m.shape[-1] for m, _, _ in others]
+        vecs_b = [out_vec] + [v for _, _, v in others]
+        inv_flat = _split_apply(inv_fn, dims_b, vecs_b)
+        x0 = inv_flat(jnp.concatenate(
+            [m_out_comb] + [m for m, _, _ in others], axis=-1))
+    x0 = jnp.atleast_1d(x0)
+
+    # forward Jacobians at (x0, m_others)
+    parts = []
+    oi = 0
+    for j in range(len(keys)):
+        if j == target_idx:
+            parts.append(x0)
+        else:
+            parts.append(others[oi][0])
+            oi += 1
+    jac = jax.jacfwd(fn_flat)(jnp.concatenate(parts, axis=-1))
+    j_i = jac[:, offs[target_idx]:offs[target_idx + 1]]
+    # widen the out belief by the linearized uncertainty of the OTHER inputs
+    v_eff = v_out
+    oi = 0
+    for j in range(len(keys)):
+        if j == target_idx:
+            continue
+        v_eff = v_eff + (jac[:, offs[j]:offs[j + 1]] @ others[oi][1]
+                         @ jac[:, offs[j]:offs[j + 1]].T)
+        oi += 1
+    w_eff = _ridged_inv(v_eff)
+    w_msg = _symmetrize(j_i.T @ w_eff @ j_i)
+    xi_msg = w_msg @ x0
+    if not vec_i:
+        return NormalWeightedMeanPrecision(xi_msg[0], w_msg[0, 0])
+    return MvNormalWeightedMeanPrecision(xi_msg, w_msg)
 
 
 @node("Delta")
@@ -389,6 +480,12 @@ class DeltaNode:
             mean, cov, _ = _push_linearized(fn_flat, m, v)
         if mean.shape[-1] == 1:
             return NormalMeanVariance(mean[0], jnp.clip(cov[0, 0], 1e-12))
+        # the pushforward of a LOWER-dimensional input is rank-deficient
+        # (e.g. scalar x through x*z with a data vector z); a relative ridge
+        # keeps the moment-form message invertible for downstream products
+        d_o = cov.shape[-1]
+        cov = cov + (1e-6 * jnp.abs(jnp.trace(cov)) / d_o
+                     + 1e-12) * jnp.eye(d_o, dtype=cov.dtype)
         return MvNormalMeanCovariance(mean, cov)
 
     @staticmethod
@@ -410,8 +507,8 @@ class DeltaNode:
             v_out = jnp.reshape(v_out, (1, 1))
 
         if inverse is not None:
-            msg = _known_inverse_backward(
-                q, target_idx, keys, method, inverse, m_out, v_out, out_vec)
+            msg = _known_inverse_backward(q, target_idx, keys, method,
+                                          inverse)
             if msg is not None:
                 return msg
 
@@ -556,14 +653,11 @@ class _NonlinearGaussianBase:
             # the Gaussian noise, N(m_out, v_out + noise)
             method = meta.get("method") or Linearization()
             keys_i = _inputs(q)
-            m_out_i, v_out_i, out_vec_i = _moments(q["out"])
-            if not out_vec_i:
-                m_out_i = jnp.reshape(m_out_i, (1,))
-                v_out_i = jnp.reshape(v_out_i, (1, 1))
-            noise_i = _ng_noise_cov(q, m_out_i.shape[-1])
-            msg = _known_inverse_backward(
-                q, target_idx, keys_i, method, inverse,
-                m_out_i, v_out_i + noise_i, out_vec_i)
+            d_out = jnp.ndim(e_mean(q["out"])) and \
+                jnp.shape(e_mean(q["out"]))[-1] or 1
+            noise_i = _ng_noise_cov(q, int(d_out))
+            msg = _known_inverse_backward(q, target_idx, keys_i, method,
+                                          inverse, extra_out_cov=noise_i)
             if msg is not None:
                 return msg
         keys, m, v, dims, vecs, f0, s_yy, s_zy = cls._transform(q)

@@ -172,9 +172,10 @@ def test_static_inputs_two_arg_delta():
                            free_energy=True)
             q = res.posteriors["x"]
             # Linearization is exact; Unscented (alpha=1e-3 defaults) leaves
-            # ~1-2% float32 sigma-point arithmetic noise at the vague-init
-            # scale (the exact level shifts with the PSD-guard ridge)
-            atol = 2e-3 if isinstance(method, Linearization) else 2e-2
+            # a few percent of float32 sigma-point arithmetic noise in the
+            # unconstrained dimension (the exact level shifts with the
+            # PSD-guard ridge and the ancestral init trajectory)
+            atol = 2e-3 if isinstance(method, Linearization) else 4e-2
             np.testing.assert_allclose(
                 np.asarray(q.mean()), [mx_exact, 0.0], atol=atol
             )
