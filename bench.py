@@ -388,7 +388,7 @@ def main():
     # is the closed-form Schur inverse tier extended to d<=16
     # (ops/smallmat.py 8|rest splits — branch-free batched arithmetic, no LU
     # pivot loops).
-    D16, B16, T16 = 16, 64, 10_000
+    D16, B16, T16 = 16, 16, 10_000  # B=64 OOMs HBM: scan element trees are O(B*T*d^2)
     rot16 = np.kron(np.eye(D16 // 2, dtype=np.float32), rot)
     h16 = 1.3 * np.eye(D16, dtype=np.float32)
     r16 = np.eye(D16, dtype=np.float32)
@@ -420,7 +420,10 @@ def main():
         xi16,
         jnp.broadcast_to(jnp.asarray(w16), (B16, T16, D16, D16)),
     )
-    ops16 = _scalarize(lambda p: parallel_smoother(p)[:2])
+    # d>8 runs the AoS element path (time-major); batch via vmap — exactly
+    # what the engine's vmapped chain fallback lowers to
+    ops16 = _scalarize(
+        lambda p: jax.vmap(lambda pp: parallel_smoother(pp)[:2])(p))
     t_ops16 = _median_time(ops16, (p16,))
     d16_ops_updates_per_sec = 3 * T16 * B16 / t_ops16
 
@@ -584,9 +587,9 @@ def main():
         "bf16_accuracy_max_abs_err_vs_float64_oracle": bf16_err,
         "bf16_accuracy_cov_max_abs_err_vs_float64_oracle": bf16_cov_err,
         "bf16_accuracy_fe_rel_err_vs_float64_logZ": bf16_fe_rel,
-        "d16_engine_b64_updates_per_sec": round(
+        "d16_engine_b16_updates_per_sec": round(
             d16_engine_updates_per_sec, 1),
-        "d16_ops_b64_updates_per_sec": round(d16_ops_updates_per_sec, 1),
+        "d16_ops_b16_updates_per_sec": round(d16_ops_updates_per_sec, 1),
         "d16_engine_vs_ops_ratio": round(t_ops16 / t_eng16, 3),
         "d16_accuracy_max_abs_err_vs_float64_oracle": d16_err,
         "time_sharded_T100k_updates_per_sec": round(
