@@ -180,7 +180,8 @@ def _extract_linear_evidence(block: GaussianChainBlock, d0: dict,
 
     try:
         zeros = {k: jnp.zeros_like(v) for k, v in d0.items()}
-        c = np.asarray(jax.jit(xi_of)(zeros))          # (T, dim)
+        xi_jit = jax.jit(xi_of)  # ONE compile serves all probe evaluations
+        c = np.asarray(xi_jit(zeros))                  # (T, dim)
         E: dict = {}
         for name, v in d0.items():
             if v.ndim < 1 or v.shape[0] != length:
@@ -215,7 +216,7 @@ def _extract_linear_evidence(block: GaussianChainBlock, d0: dict,
             for k, v in d0.items()
         }
         for dd in ({k: jnp.asarray(v) for k, v in d0.items()}, probe):
-            xi_ref = np.asarray(jax.jit(xi_of)(dd))
+            xi_ref = np.asarray(xi_jit(dd))
             xi_lin = c.copy()
             for name, Ek in E.items():
                 flat = np.asarray(dd[name]).reshape(length, -1)
@@ -605,7 +606,7 @@ def make_batched_program(compiled, data0: dict, iterations: int,
         for nm, (_blk, _pd, blk_rep, r) in shared_blocks.items():
             for f, _ in blk_rep.adjacency:
                 corr = corr + ffe_by_id[f.id](st0, d0_el, cc0)
-            if r > 1:
+            if r != 1:  # r == 0 (no replicated prior) contributes −H
                 corr = corr + (r - 1) * jnp.sum(st0[nm].entropy())
         return corr
 

@@ -552,11 +552,16 @@ class GaussianChainBlock:
         else:
             m0, p0 = msg.mean(), msg.cov()
         # same float32 guard as the transition noise: a state-dependent vague
-        # prior (precision from an uninitialized Gamma/Wishart) can produce
-        # P0 ~ 1e9+, whose cancellation leaves negative smoothed variances.
-        # Cap the prior variance at 1e4 (still vague) when it is state-fed.
-        prior_noise = self.prior.interfaces.get("prec")
-        if isinstance(prior_noise, Ref) and prior_noise.var.kind == "random":
+        # prior (precision from an uninitialized Gamma/Wishart, or variance
+        # from a vague InverseGamma/InverseWishart) can produce P0 ~ 1e9+,
+        # whose cancellation leaves negative smoothed variances.  Cap the
+        # prior variance at 1e4 (still vague) when the noise is state-fed —
+        # whichever parametrization carries it.
+        if any(
+            isinstance(self.prior.interfaces.get(k), Ref)
+            and self.prior.interfaces[k].var.kind == "random"
+            for k in ("prec", "var", "cov")
+        ):
             d = p0.shape[-1]
             p0 = pd_inverse(
                 pd_inverse(p0) + 1e-4 * jnp.eye(d, dtype=p0.dtype))

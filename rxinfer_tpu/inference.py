@@ -218,6 +218,14 @@ def infer(
     divisible by the axis size.  For data-parallel sharding over independent
     datasets use ``infer_batched(mesh=...)`` instead."""
     if autoupdates is not None or datastream is not None:
+        if mesh is not None:
+            raise NotImplementedError(
+                "mesh= is batch-mode only: the streaming engine runs "
+                "per-tick programs on one device. Shard many ticks with "
+                "infer_batched(mesh=...), or use "
+                "parallel/filtering.make_sharded_filtering for "
+                "continuous-batched sharded filtering."
+            )
         from .inference_streaming import streaming_infer
 
         return streaming_infer(
@@ -475,8 +483,19 @@ def infer(
             compiled._jitted[key_ls] = jax.jit(
                 lambda st, d: compute_logscales(compiled, st, d, None)
             )
-        fe = -jnp.asarray(
-            [compiled._jitted[key_ls](state, data_j)[mixture_fe]])
+        scale = compiled._jitted[key_ls](state, data_j).get(mixture_fe)
+        if scale is None:
+            # the mixture evidence analysis fell back (unsupported inbound
+            # structure — compute_logscales warned): keep the pointed error
+            # instead of an opaque KeyError/TypeError
+            raise NotImplementedError(
+                "free_energy=True on this Mixture model: the exact-evidence "
+                "logscale analysis does not support its inbound structure "
+                "(see the warning above). Use annotations="
+                "LogScaleAnnotations() for per-component evidence, or "
+                "free_energy=False."
+            )
+        fe = -jnp.asarray([scale])
         need_fe = True  # route through diagnostics + result like engine FE
 
     if need_fe:
@@ -864,7 +883,13 @@ def infer_batched(model, data: dict, iterations: Optional[int] = None,
         from .postprocess import Marginal
 
         fe_row = (fe[-1] if need_fe and int(jnp.size(fe)) else None)
-        if fe_row is not None and jnp.ndim(fe_row) == 1:
+        if shared and fe_row is not None:
+            # pooled model: ONE global evidence; every posterior carries the
+            # scalar −FE (== log Z of the pooled tree)
+            scales = {name: -fe_row for name in
+                      (v.name for v in compiled.graph.random_variables()
+                       if not v.name.startswith("_"))}
+        elif fe_row is not None and jnp.ndim(fe_row) == 1:
             scales = jax.jit(jax.vmap(
                 lambda st, d, f: compute_logscales(compiled, st, d, f)
             ))(state, data_dev, fe_row)

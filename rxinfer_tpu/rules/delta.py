@@ -219,6 +219,16 @@ def _push_sampled(fn_flat, m, v, params: CVIProjection):
     return mean, _symmetrize(cov), cross
 
 
+def _ridged_inv(v):
+    """Scale-aware ridged symmetric inverse — the shared numeric guard for
+    rank-deficient matrices in the delta machinery (ONE formula so the
+    cavity-moment and effective-precision paths stay consistent)."""
+    n = v.shape[-1]
+    r = 1e-8 * (jnp.abs(jnp.trace(v)) / n + 1e-30) + 1e-12
+    return _symmetrize(pd_inverse(
+        _symmetrize(v) + r * jnp.eye(n, dtype=v.dtype)))
+
+
 def _robust_moments(d):
     """(mean, cov, is_vector) that stays FINITE for rank-deficient Gaussian
     carriers (e.g. the rank-1-precision cavity a dot factor sends a vector
@@ -228,10 +238,7 @@ def _robust_moments(d):
 
     if isinstance(d, (AbstractMvNormal, AbstractNormal)):
         xi, w = _info_form(d)
-        n = w.shape[-1]
-        ridge = 1e-8 * (jnp.abs(jnp.trace(w)) / n + 1e-30) + 1e-12
-        w_r = _symmetrize(w) + ridge * jnp.eye(n, dtype=w.dtype)
-        v = _symmetrize(pd_inverse(w_r))
+        v = _ridged_inv(w)
         m = jnp.einsum("...ij,...j->...i", v, xi)
         vec = isinstance(d, AbstractMvNormal)
         if not vec:
@@ -240,14 +247,19 @@ def _robust_moments(d):
     return _moments(d)
 
 
-def _push_by_method(fn_flat, m, v, method):
+def _stat_jacobian(fn_flat, z0, v_blk, method):
+    """Method-respecting linearization of ``fn_flat`` around N(z0, v_blk):
+    the statistical Jacobian J = Cov(z, y)ᵀ V⁻¹ from sigma points
+    (Unscented) or samples (CVIProjection) — the statistically-linearized
+    filter's regression slope — or the analytic ``jacfwd`` for
+    Linearization.  Shapes: (d_out, Σ d_in)."""
     if isinstance(method, Unscented):
-        mean, cov, _ = _push_unscented(fn_flat, m, v, method)
+        _, _, cross = _push_unscented(fn_flat, z0, v_blk, method)
     elif isinstance(method, CVIProjection):
-        mean, cov, _ = _push_sampled(fn_flat, m, v, method)
+        _, _, cross = _push_sampled(fn_flat, z0, v_blk, method)
     else:
-        mean, cov, _ = _push_linearized(fn_flat, m, v)
-    return mean, cov
+        return jax.jacfwd(fn_flat)(z0)
+    return (_ridged_inv(v_blk) @ cross).T
 
 
 def _known_inverse_backward(q, target_idx, keys, method, inverse,
@@ -306,12 +318,6 @@ def _known_inverse_backward(q, target_idx, keys, method, inverse,
         moments.append((m_k, v_k, vec_k))
     others = [mo for j, mo in enumerate(moments) if j != target_idx]
     vec_i = moments[target_idx][2]
-
-    def _ridged_inv(v):
-        n = v.shape[-1]
-        r = 1e-8 * (jnp.abs(jnp.trace(v)) / n + 1e-30) + 1e-12
-        return pd_inverse(_symmetrize(v) + r * jnp.eye(n, dtype=v.dtype))
-
     dims_f = [m.shape[-1] for m, _, _ in moments]
     vecs_f = [v for _, _, v in moments]
     offs = [0]
@@ -319,13 +325,20 @@ def _known_inverse_backward(q, target_idx, keys, method, inverse,
         offs.append(offs[-1] + d_k)
     fn_flat = _split_apply(fn, dims_f, vecs_f)
 
+    # block-diagonal joint input covariance (for the statistical Jacobians)
+    n_in = offs[-1]
+    v_blk = jnp.zeros((n_in, n_in), m_out.dtype)
+    for j in range(len(keys)):
+        v_blk = v_blk.at[offs[j]:offs[j + 1], offs[j]:offs[j + 1]].set(
+            moments[j][1])
+
     # Forward predictive at the CURRENT input means: supplies in-domain
     # values for out directions the cavity does not constrain (a rank-1
     # cavity's null-direction mean is arbitrary; f⁻¹ of it can sit on the
     # forward function's domain boundary, e.g. sqrt at 0).
     z_m = jnp.concatenate([m for m, _, _ in moments], axis=-1)
     y_fwd = jnp.atleast_1d(fn_flat(z_m))
-    jac_m = jax.jacfwd(fn_flat)(z_m)
+    jac_m = _stat_jacobian(fn_flat, z_m, v_blk, method)
     v_fwd = sum(
         (jac_m[:, offs[j]:offs[j + 1]] @ moments[j][1]
          @ jac_m[:, offs[j]:offs[j + 1]].T)
@@ -349,7 +362,7 @@ def _known_inverse_backward(q, target_idx, keys, method, inverse,
             [m_out_comb] + [m for m, _, _ in others], axis=-1))
     x0 = jnp.atleast_1d(x0)
 
-    # forward Jacobians at (x0, m_others)
+    # forward Jacobians at (x0, m_others), respecting the method
     parts = []
     oi = 0
     for j in range(len(keys)):
@@ -358,7 +371,8 @@ def _known_inverse_backward(q, target_idx, keys, method, inverse,
         else:
             parts.append(others[oi][0])
             oi += 1
-    jac = jax.jacfwd(fn_flat)(jnp.concatenate(parts, axis=-1))
+    jac = _stat_jacobian(fn_flat, jnp.concatenate(parts, axis=-1), v_blk,
+                         method)
     j_i = jac[:, offs[target_idx]:offs[target_idx + 1]]
     # widen the out belief by the linearized uncertainty of the OTHER inputs
     v_eff = v_out

@@ -176,3 +176,25 @@ def test_shared_validation_errors():
     with pytest.raises(ValueError, match="chain"):
         rx.infer_batched(walk_tau, data={"y": Y}, shared=("x",),
                          initialization=init)
+
+
+def test_shared_with_annotations_carries_global_evidence():
+    """annotations= with shared= wraps every posterior with the POOLED
+    scalar evidence (−global FE == pooled-tree log Z), not per-element
+    scales (review finding: this combination previously produced empty
+    annotations silently)."""
+    Y = _data(seed=3)
+    init = {"tau": GammaShapeRate(2.0, 2.0)}
+    res = rx.infer_batched(walk_tau, data={"y": Y}, iterations=4,
+                           shared=("tau",), free_energy=True,
+                           annotations=rx.LogScaleAnnotations(),
+                           initialization=init, returnvars=rx.KeepLast())
+    posts, fe = res
+    ls = float(rx.getlogscale(posts["tau"]))
+    assert ls == pytest.approx(-float(np.asarray(fe)[-1]), rel=1e-6)
+
+
+def test_streaming_rejects_mesh():
+    with pytest.raises(NotImplementedError, match="batch-mode only"):
+        rx.infer(model=walk_tau, datastream=[{"y": np.zeros(4, np.float32)}],
+                 mesh=Mesh(np.asarray(jax.devices()[:2]), ("time",)))
