@@ -492,6 +492,19 @@ def make_batched_program(compiled, data0: dict, iterations: int,
                     "natural-parameter products."
                 )
             rep_adj, pd_adj = _partition_shared_adjacency(blk, shared_set)
+            plated_rep = [f for f, _ in rep_adj if f.plate is not None]
+            if plated_rep:
+                # A plated replicated factor contributes plate-many edges to
+                # the shared variable's Bethe degree; shared_fe_correction
+                # counts one FFE + one entropy share per adjacency entry, so
+                # the (r-1)·H term would be miscounted for this topology.
+                raise NotImplementedError(
+                    f"shared variable {nm!r} has plated replicated factor(s) "
+                    f"{[f.fform for f in plated_rep]}; the pooled-FE "
+                    "correction assumes unplated priors — unroll the plate "
+                    "or move the factor's data-bearing interfaces into the "
+                    "batch."
+                )
             if not pd_adj:
                 raise ValueError(
                     f"shared variable {nm!r} has no per-dataset factors; "

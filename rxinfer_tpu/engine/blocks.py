@@ -654,7 +654,8 @@ class GaussianChainBlock:
             stored = msg
             if f.plate is not None:
                 stored = pad_plate(stored, 0, f.plate.size, f.plate.size)
-            if key in state:
+            blended = key in state
+            if blended:
                 lam = float(damping)
                 fam = family_key(stored)
                 nat_n = to_natural(stored)
@@ -666,7 +667,12 @@ class GaussianChainBlock:
             stored = jax.tree_util.tree_map(
                 lambda a: jnp.asarray(a, jnp.float32), stored)
             state[key] = stored
-            msg = stored
+            if blended:
+                msg = stored
+            # first sweep: store the padded copy for next sweep's blend but
+            # keep returning the raw rule message (mirrors the uses_cavity
+            # branch; avoids a needless natural-form roundtrip for improper
+            # low-precision evidence carriers when blending is a no-op)
         elif uses_cavity:
             stored = msg
             if f.plate is not None:

@@ -31,6 +31,25 @@ from .expectations import e_cov, e_mean, e_var
 from .registry import node
 
 
+def _fp32(fn):
+    """Pin delta-rule linear algebra to strict-fp32 matmuls.
+
+    Delta messages are tiny (d≤~16) matrix products feeding inversions and
+    joint conditioning; the MXU's default bf16-ish passes gain nothing at
+    these sizes but lose enough mantissa that the backward conditioning can
+    go indefinite and NaN on chip (observed round 5: full-rank 2×2 linear
+    delta, finite cov but NaN mean at default precision, exact at float32).
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 @dataclasses.dataclass
 class Linearization:
     """First-order Taylor approximation (reference Linearization())."""
@@ -400,6 +419,7 @@ class DeltaNode:
     cavity_cluster = ("out", "in")
 
     @staticmethod
+    @_fp32
     def bethe_term(q):
         """Deterministic-node Bethe contribution −H[q_a] from cavity beliefs:
         the local joint over the random inputs is ∝ Π cav_i(z_i) · cav_out(f(z))
@@ -460,6 +480,7 @@ class DeltaNode:
         return -h
 
     @staticmethod
+    @_fp32
     def message_to_out(q):
         meta = _meta(q)
         fn = meta["fn"]
@@ -496,13 +517,19 @@ class DeltaNode:
             return NormalMeanVariance(mean[0], jnp.clip(cov[0, 0], 1e-12))
         # the pushforward of a LOWER-dimensional input is rank-deficient
         # (e.g. scalar x through x*z with a data vector z); a relative ridge
-        # keeps the moment-form message invertible for downstream products
+        # keeps the moment-form message invertible for downstream products.
+        # Full-rank pushforwards stay unperturbed; rank counts only the
+        # RANDOM input dims (PointMass/data inputs carry zero variance).
         d_o = cov.shape[-1]
-        cov = cov + (1e-6 * jnp.abs(jnp.trace(cov)) / d_o
-                     + 1e-12) * jnp.eye(d_o, dtype=cov.dtype)
+        d_rand = sum(dk for k, dk in zip(keys, dims)
+                     if not isinstance(q[k], PointMass))
+        if d_rand < d_o:
+            cov = cov + (1e-6 * jnp.abs(jnp.trace(cov)) / d_o
+                         + 1e-12) * jnp.eye(d_o, dtype=cov.dtype)
         return MvNormalMeanCovariance(mean, cov)
 
     @staticmethod
+    @_fp32
     def _backward(q, target_idx: int):
         """Message to input ``target_idx`` by joint-Gaussian conditioning:
         approximate the joint of (inputs, out) by the chosen transform, condition
@@ -649,6 +676,7 @@ class _NonlinearGaussianBase:
         return keys, m, v, dims, vecs, f0, s_yy, s_zy
 
     @classmethod
+    @_fp32
     def message_to_out(cls, q):
         _, _, _, _, _, f0, s_yy, _ = cls._transform(q)
         noise = _ng_noise_cov(q, f0.shape[-1])
@@ -658,6 +686,7 @@ class _NonlinearGaussianBase:
         return MvNormalMeanCovariance(f0, _symmetrize(cov))
 
     @classmethod
+    @_fp32
     def _backward(cls, q, target_idx: int):
         meta = _meta(q)
         inverse = meta.get("inverse")
@@ -770,6 +799,7 @@ class NonlinearGaussianCovarianceNode(_NonlinearGaussianBase, metaclass=_NGMeta)
 @node("NonlinearGaussianPrecision")
 class NonlinearGaussianPrecisionNode(_NonlinearGaussianBase, metaclass=_NGMeta):
     @classmethod
+    @_fp32
     def message_to_prec(cls, q):
         c = cls._c2(q)
         if c.shape[-1] == 1:

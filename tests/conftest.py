@@ -25,17 +25,39 @@ os.environ["XLA_FLAGS"] = flags
 # multiple mappings per executable and the process crosses the default
 # vm.max_map_count (65530) near the end of the run — mmap then fails inside
 # LLVM and the COMPILER segfaults (round 4: crashes at ~85% of every cold
-# run, always in backend_compile_and_load).  Best-effort raise; privileged
-# environments (this sandbox runs as root) succeed, others keep the default
-# and very long runs may still hit it.
-try:
-    with open("/proc/sys/vm/max_map_count") as _f:
-        _cur = int(_f.read())
-    if _cur < 1_048_576:
-        with open("/proc/sys/vm/max_map_count", "w") as _f:
-            _f.write("1048576")
-except OSError:
-    pass
+# run, always in backend_compile_and_load).  Best-effort raise; the PRIOR
+# value is recorded and restored in pytest_sessionfinish below, and the
+# change is logged.  This is a host-global sysctl: set
+# RXINFER_NO_RAISE_MAP_COUNT=1 to skip it entirely (long cold runs may then
+# segfault in the XLA compiler).
+_prev_map_count = None
+if not os.environ.get("RXINFER_NO_RAISE_MAP_COUNT"):
+    try:
+        with open("/proc/sys/vm/max_map_count") as _f:
+            _cur = int(_f.read())
+        if _cur < 1_048_576:
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write("1048576")
+            _prev_map_count = _cur
+            import sys as _sys
+
+            print(
+                f"[conftest] raised vm.max_map_count {_cur} -> 1048576 "
+                "(restored at session finish; RXINFER_NO_RAISE_MAP_COUNT=1 "
+                "to disable)",
+                file=_sys.stderr,
+            )
+    except OSError:
+        pass
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _prev_map_count is not None:
+        try:
+            with open("/proc/sys/vm/max_map_count", "w") as _f:
+                _f.write(str(_prev_map_count))
+        except OSError:
+            pass
 
 import jax  # noqa: E402
 
