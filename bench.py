@@ -285,6 +285,42 @@ def main():
     t_fused = _median_time(fused, (m0_soa,))
     fused_filter_updates_per_sec = BF * TF / t_fused
 
+    # round-5: the same 10k-chain continuous-batched stream through the USER-
+    # FACING streaming engine — rx.infer(autoupdates=, mesh=Mesh(..,("dp",)))
+    # + run_offline: one jitted scan of the vmapped per-tick program, batch
+    # axis shard_mapped over the mesh (1 real chip here; the 8-device CPU
+    # path is validated by tests/parallel/test_streaming_mesh.py and dryrun
+    # stage 7)
+    import rxinfer_tpu as rx
+    from jax.sharding import Mesh as _Mesh
+
+    @rx.model
+    def _stream_tick(y, pm, pc):
+        x = rx.MvNormal(mean=pm, cov=pc)
+        y.observe(rx.MvNormal(mean=x, cov=r))
+        return {"x": x}
+
+    au_s = rx.autoupdates(
+        initial={"pm": np.zeros((BF, d), np.float32),
+                 "pc": np.broadcast_to(p0, (BF, d, d)).copy()},
+        pm=lambda qq: jnp.einsum(
+            "ij,bj->bi", jnp.asarray(f_mat), qq["x"].mean()),
+        pc=lambda qq: jnp.einsum(
+            "ij,bjk,lk->bil", jnp.asarray(f_mat), qq["x"].cov(),
+            jnp.asarray(f_mat)) + jnp.asarray(q),
+    )
+    mesh_s = _Mesh(np.asarray(jax.devices()[:1]), ("dp",))
+    eng_s = rx.infer(model=_stream_tick, datastream=None, autoupdates=au_s,
+                     mesh=mesh_s, options={"warn": False})
+    eng_s.run_offline({"y": ys})  # compile + establish the cached program
+    fn_s = eng_s._jitted[("boffline", 1, False, True)]
+    pm0 = jnp.asarray(au_s.initial["pm"])
+    pc0 = jnp.asarray(au_s.initial["pc"])
+    stream_eng = _scalarize(
+        lambda y, pm, pc: fn_s({"y": y}, {"pm": pm, "pc": pc})[1:])
+    t_stream_eng = _median_time(stream_eng, (ys, pm0, pc0))
+    streaming_engine_updates_per_sec = BF * TF / t_stream_eng
+
     # --- BASELINE config 4: GMM clustering batched over 1k datasets ----------
     from rxinfer_tpu.dists import Dirichlet, GammaShapeRate, NormalMeanVariance
 
@@ -613,6 +649,9 @@ def main():
         ),
         "streaming_filter_fused_pallas_state_updates_per_sec": round(
             fused_filter_updates_per_sec, 1
+        ),
+        "streaming_engine_mesh_10k_chains_state_updates_per_sec": round(
+            streaming_engine_updates_per_sec, 1
         ),
         "gmm_1k_datasets_vmp_updates_per_sec": round(gmm_updates_per_sec, 1),
         "hmm_256x200_engine_fused_vmp_updates_per_sec": round(

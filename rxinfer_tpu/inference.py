@@ -206,29 +206,35 @@ def infer(
     allow_node_contraction: bool = False,
     mesh: Any = None,
     mesh_axis: Optional[str] = None,
+    batched: bool = False,
 ):
     """Run inference.  Batch mode when ``autoupdates is None``; streaming mode
     (returns an RxInferenceEngine) otherwise — mirroring the reference dispatch.
 
-    ``mesh=jax.sharding.Mesh(devs, ("time",))``: TIME-sharded execution of a
-    single long chain — every eligible Gaussian/AR/GCV chain block is solved
-    by the distributed associative scan of ``parallel/time_blocked.py``
-    (shard-local scans + one small all-gather over ICI), exact to float
-    tolerance vs the single-device smoother.  The chain length must be
-    divisible by the axis size.  For data-parallel sharding over independent
-    datasets use ``infer_batched(mesh=...)`` instead."""
+    ``mesh=jax.sharding.Mesh(devs, ("time",))`` (batch mode): TIME-sharded
+    execution of a single long chain — every eligible Gaussian/AR/GCV chain
+    block is solved by the distributed associative scan of
+    ``parallel/time_blocked.py`` (shard-local scans + one small all-gather
+    over ICI), exact to float tolerance vs the single-device smoother.  The
+    chain length must be divisible by the axis size.  For data-parallel
+    sharding over independent datasets use ``infer_batched(mesh=...)``.
+
+    Streaming mode supports continuous batching over B independent streams:
+    pass ``batched=True`` (or a ``mesh=Mesh(devs, ("dp",))``, which implies
+    it) and give every observation and every ``autoupdates`` initial value a
+    leading batch axis.  The model describes ONE stream; the per-tick program
+    is vmapped over the batch and, with a mesh, shard_mapped along
+    ``mesh_axis`` — BASELINE config 5 ("10k parallel chains, continuous
+    batching sharded across hosts") at the engine surface.  The engine's
+    ``run_offline`` scans whole (T, B, ...) observation arrays in one
+    compiled program."""
     if autoupdates is not None or datastream is not None:
-        if mesh is not None:
-            raise NotImplementedError(
-                "mesh= is batch-mode only: the streaming engine runs "
-                "per-tick programs on one device. Shard many ticks with "
-                "infer_batched(mesh=...), or use "
-                "parallel/filtering.make_sharded_filtering for "
-                "continuous-batched sharded filtering."
-            )
         from .inference_streaming import streaming_infer
 
         return streaming_infer(
+            batched=batched,
+            mesh=mesh,
+            mesh_axis=mesh_axis or "dp",
             model=model,
             datastream=datastream,
             autoupdates=autoupdates,

@@ -110,15 +110,35 @@ class autoupdates:
 class _MessageFetch:
     """Lazy μ(x) resolver handed to two-argument autoupdate mappings."""
 
-    def __init__(self, compiled, state, data):
+    def __init__(self, compiled, state, data, batched: bool = False):
         self._compiled = compiled
         self._state = state
         self._data = data
+        self._batched = batched
 
     def __getitem__(self, name):
+        if self._batched:
+            return jax.vmap(
+                lambda st, d: self._compiled.variable_outbound_message(
+                    st, d, name)
+            )(self._state, self._data)
         return self._compiled.variable_outbound_message(
             self._state, self._data, name
         )
+
+
+def _shard_map_fn(fn, mesh, mesh_axis, in_specs, out_specs):
+    """shard_map with the repo-wide compat shim (check_vma/check_rep)."""
+    try:
+        from jax import shard_map
+
+        kw = {"check_vma": False}  # pallas outputs carry no vma
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+        kw = {"check_rep": False}
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **kw)
 
 
 class RxInferenceEvent:
@@ -148,9 +168,21 @@ class RxInferenceEngine:
                  returnvars: Any = None, historyvars: Any = None,
                  annotations: Any = None, postprocess: Any = None,
                  uselock=False, warn: bool = True,
-                 allow_node_contraction: bool = False):
+                 allow_node_contraction: bool = False,
+                 batched: bool = False, mesh: Any = None,
+                 mesh_axis: str = "dp"):
         self.model = model
         self.allow_node_contraction = allow_node_contraction
+        # Continuous batching (BASELINE config 5): every observation and every
+        # autoupdated argument carries a leading batch axis (B independent
+        # streams); the model is traced on stream 0 and the per-tick program
+        # is vmapped over the batch.  With ``mesh=`` the batch axis is
+        # sharded along ``mesh_axis`` via shard_map — pure DP, zero
+        # collectives in steady state (SURVEY §2.3; the reference has no
+        # equivalent, src/inference/streaming.jl is one stream per engine).
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        self._batched = bool(batched) or mesh is not None
         self.autoupdates = autoupdates_spec
         self.args = dict(autoupdates_spec.initial)
         self.iterations = iterations
@@ -235,6 +267,9 @@ class RxInferenceEngine:
         if self._compiled is None:
             self._fire("before_model_creation")
             data = {**obs, **self.args}
+            if self._batched:
+                # trace the SINGLE-stream model on batch element 0
+                data = {k: np.asarray(v)[0] for k, v in data.items()}
             graph = self.model.trace(
                 data, allow_node_contraction=self.allow_node_contraction)
             self._compiled = CompiledModel(
@@ -243,6 +278,39 @@ class RxInferenceEngine:
             )
             self._carry = None
             self._fire("after_model_creation")
+
+    def _check_batch(self, data: dict) -> int:
+        batch = int(np.asarray(next(iter(data.values()))).shape[0])
+        if self.mesh is not None:
+            n_dev = int(self.mesh.shape[self.mesh_axis])
+            if batch % n_dev != 0:
+                raise ValueError(
+                    f"streaming mesh: batch {batch} must be divisible by "
+                    f"the {self.mesh_axis!r} axis size {n_dev}."
+                )
+        return batch
+
+    def _batched_tick_fn(self, cold: bool):
+        """Jitted batched tick: vmap of the single-stream tick program over
+        the leading batch axis, shard_mapped over ``mesh_axis`` when a mesh
+        is attached (every input/output leaf is batch-leading, so one
+        PartitionSpec prefix shards the whole pytree)."""
+        key = ("btick", cold, self.iterations, self.free_energy,
+               self._need_keep_each)
+        if key not in self._jitted:
+            prog = self._compiled.make_tick_program(
+                self.iterations, self.free_energy, self._need_keep_each,
+                cold=cold)
+            fn = jax.vmap(prog)
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                spec = P(self.mesh_axis)
+                n_in = 1 if cold else 3
+                fn = _shard_map_fn(fn, self.mesh, self.mesh_axis,
+                                   in_specs=(spec,) * n_in, out_specs=spec)
+            self._jitted[key] = jax.jit(fn)
+        return self._jitted[key]
 
     def _extract(self, state: dict) -> dict:
         from .inference import _extract_posteriors
@@ -299,10 +367,25 @@ class RxInferenceEngine:
         self._fire("before_auto_update")
         self._fire("after_auto_update")
         self._fire("before_data_update", obs)
-        state, fe, history_states, self._carry = self._compiled.run_tick(
-            data, iterations=self.iterations, free_energy=self.free_energy,
-            keep_each=self._need_keep_each, carry=self._carry,
-        )
+        if self._batched:
+            data_j = {k: jnp.asarray(np.asarray(v), jnp.float32)
+                      for k, v in data.items()}
+            self._check_batch(data_j)
+            cold = self._carry is None
+            fn = self._batched_tick_fn(cold)
+            with self._compiled._prec_ctx():
+                if cold:
+                    state, fe, history_states, cross = fn(data_j)
+                else:
+                    state, fe, history_states, cross = fn(
+                        data_j, self._carry[0], self._carry[1])
+            self._carry = (state, cross)
+        else:
+            state, fe, history_states, self._carry = self._compiled.run_tick(
+                data, iterations=self.iterations,
+                free_energy=self.free_energy,
+                keep_each=self._need_keep_each, carry=self._carry,
+            )
         raw = self._extract(state)
         self.posteriors = self._postprocess(raw, fe if self.free_energy
                                             else None)
@@ -316,15 +399,32 @@ class RxInferenceEngine:
         events and ``stop_iteration`` support (reference
         streaming.jl:349-407)."""
         compiled = self._compiled
-        key = ("sweep", self.free_energy)
+        key = ("sweep", self.free_energy, self._batched)
         if key not in self._jitted:
-            self._jitted[key] = jax.jit(
-                compiled.make_sweep_fn(self.free_energy))
+            sweep = compiled.make_sweep_fn(self.free_energy)
+            if self._batched:
+                sweep = jax.vmap(sweep)
+                if self.mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+
+                    spec = P(self.mesh_axis)
+                    sweep = _shard_map_fn(sweep, self.mesh, self.mesh_axis,
+                                          in_specs=(spec, spec),
+                                          out_specs=spec)
+            self._jitted[key] = jax.jit(sweep)
         fn = self._jitted[key]
         data_j = {k: jnp.asarray(np.asarray(v), jnp.float32)
                   for k, v in data.items()}
-        carry = self._carry if self._carry is not None else (
-            compiled._init_state(), {})
+        if self._carry is not None:
+            carry = self._carry
+        elif self._batched:
+            batch = self._check_batch(data_j)
+            state0 = compiled._init_state()
+            carry = (jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (batch,) + jnp.shape(a)),
+                state0), {})
+        else:
+            carry = (compiled._init_state(), {})
         fes, history_states = [], []
         for i in range(self.iterations):
             self._fire("before_iteration", {"iteration": i})
@@ -340,7 +440,9 @@ class RxInferenceEngine:
                 history_states.append(dict(carry[0]))
             ev = self._fire("after_iteration", {
                 "iteration": i,
-                "free_energy": float(fe) if self.free_energy else None,
+                "free_energy": (
+                    (np.asarray(fe) if self._batched else float(fe))
+                    if self.free_energy else None),
             })
             if ev.stop_iteration:
                 break
@@ -368,7 +470,8 @@ class RxInferenceEngine:
         self.args = self.autoupdates(
             raw,
             _MessageFetch(self._compiled, state,
-                          {k: jnp.asarray(v) for k, v in data.items()}),
+                          {k: jnp.asarray(v) for k, v in data.items()},
+                          batched=self._batched),
         )
         if self.free_energy:
             from .diagnostics import (
@@ -413,7 +516,14 @@ class RxInferenceEngine:
 
         This is the TPU-native equivalent of feeding the reference engine a
         complete static datastream (src/inference/streaming.jl:562-575) — one
-        compiled ``lax.scan``, no host round-trips."""
+        compiled ``lax.scan``, no host round-trips.
+
+        In batched mode (``batched=True`` / ``mesh=``) every observation
+        array is (T, B, ...): B independent streams advance in lockstep —
+        continuous batching — and with a mesh the batch axis is sharded via
+        shard_map (BASELINE config 5 through the engine surface)."""
+        if self._batched:
+            return self._run_offline_batched(observations)
         first = {k: jnp.asarray(v[0], jnp.float32) for k, v in observations.items()}
         self._ensure_compiled(first)
         compiled = self._compiled
@@ -462,6 +572,85 @@ class RxInferenceEngine:
         self.args = {k: v for k, v in final_args.items()}
         return posts, fes
 
+    def _run_offline_batched(self, observations: dict):
+        """Batched offline fast path: the whole (T, B, ...) stream runs in
+        ONE jitted program — per-tick programs vmapped over the B independent
+        streams, ``lax.scan`` over time, and (with ``mesh=``) the batch axis
+        shard_mapped along ``mesh_axis`` (pure DP: autoupdates feedback is
+        per-stream, so steady state needs zero collectives)."""
+        from .inference import _extract_posteriors
+
+        obs_arrays = {k: jnp.asarray(np.asarray(v), jnp.float32)
+                      for k, v in observations.items()}
+        first = {k: v[0] for k, v in obs_arrays.items()}       # (B, ...)
+        self._ensure_compiled(first)
+        self._check_batch(first)
+        compiled = self._compiled
+        cache_key = ("boffline", self.iterations, self.free_energy,
+                     self.mesh is not None)
+        if cache_key in self._jitted:
+            with compiled._prec_ctx():
+                final_args, posts, fes = self._jitted[cache_key](
+                    obs_arrays, dict(self.args))
+            self.args = {k: v for k, v in final_args.items()}
+            return posts, fes
+        cold = jax.vmap(compiled.make_tick_program(
+            self.iterations, self.free_energy, False, cold=True))
+        warm = jax.vmap(compiled.make_tick_program(
+            self.iterations, self.free_energy, False, cold=False))
+        au = self.autoupdates
+
+        def offline(obs, args0):
+            obs0 = {k: v[0] for k, v in obs.items()}
+            data0 = {**obs0, **args0}
+            state, fe0, _, cross = cold(data0)
+            post0 = _extract_posteriors(compiled, state)
+            args1 = au(post0,
+                       _MessageFetch(compiled, state, data0, batched=True))
+
+            def step(carry, obs_t):
+                args, st, cr = carry
+                data_t = {**obs_t, **args}
+                st, fe, _, cr = warm(data_t, st, cr)
+                post = _extract_posteriors(compiled, st)
+                nxt = au(post,
+                         _MessageFetch(compiled, st, data_t, batched=True))
+                return (nxt, st, cr), (post, fe)
+
+            t_total = next(iter(obs.values())).shape[0]
+            if t_total > 1:
+                rest = {k: v[1:] for k, v in obs.items()}
+                (final_args, _, _), (posts, fes) = jax.lax.scan(
+                    step, (args1, state, cross), rest
+                )
+                posts = jax.tree_util.tree_map(
+                    lambda h, r: jnp.concatenate([h[None], r]), post0, posts
+                )
+                fes = jnp.concatenate([fe0[None], fes])
+            else:
+                final_args = args1
+                posts = jax.tree_util.tree_map(lambda h: h[None], post0)
+                fes = fe0[None]
+            return final_args, posts, fes
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            ax = self.mesh_axis
+            offline_fn = _shard_map_fn(
+                offline, self.mesh, ax,
+                in_specs=(P(None, ax), P(ax)),
+                out_specs=(P(ax), P(None, ax), P(None, ax)),
+            )
+        else:
+            offline_fn = offline
+        self._jitted[cache_key] = jax.jit(offline_fn)
+        with compiled._prec_ctx():
+            final_args, posts, fes = self._jitted[cache_key](
+                obs_arrays, dict(self.args))
+        self.args = {k: v for k, v in final_args.items()}
+        return posts, fes
+
     # -- lifecycle (reference: start/stop, events) --------------------------------
     def start(self, datastream: Iterable[dict]):
         self.is_running = True
@@ -498,7 +687,8 @@ def streaming_infer(model, datastream, autoupdates, initialization=None,
                     callbacks=None, returnvars=None, historyvars=None,
                     annotations=None, postprocess=None, benchmark=False,
                     trace=False, catch_exception=False, session="default",
-                    allow_node_contraction=False):
+                    allow_node_contraction=False, batched=False, mesh=None,
+                    mesh_axis="dp"):
     """Streaming dispatch target of `infer` (reference
     src/inference/inference.jl:700-731) — forwards the full kwarg surface."""
     if autoupdates is None:
@@ -520,6 +710,7 @@ def streaming_infer(model, datastream, autoupdates, initialization=None,
         returnvars=returnvars, historyvars=historyvars,
         annotations=annotations, postprocess=postprocess, warn=warn,
         allow_node_contraction=allow_node_contraction,
+        batched=batched, mesh=mesh, mesh_axis=mesh_axis,
     )
     if benchmark:
         from .utils.callbacks import BenchmarkCallbacks
