@@ -56,20 +56,48 @@ def _quantize_kernel(x_ref, vals_ref, scales_ref):
     vals_ref[:] = q.astype(jnp.int8)
 
 
-def quantize_rows(x: jnp.ndarray):
-    """Per-row symmetric int8 quantization: x ≈ vals * scales."""
+def _gridded_quantize(kernel, x, out_dtype, block_rows=None):
+    """Row-blocked pallas_call for the quantize kernels: big payloads (engine
+    ingest is (B·T, dy) or (B, T) shaped) stream through VMEM in
+    ``block_rows``-row tiles; rows are zero-padded to a whole number of
+    blocks and the pad sliced off (a zero row quantizes to zeros/scale
+    1e-12/M — harmless)."""
     b, d = x.shape
+    if block_rows is None:
+        # ~2 MB of fp32 input per tile: wide rows (scalar-obs (B, T) layout)
+        # get few rows per block, narrow rows (B·T, dy) get many
+        block_rows = max(8, min(4096, (1 << 19) // max(d, 1)))
+    # TPU lowering requires the block's sublane dim to be a multiple of 8
+    # (unless it equals the full array dim)
+    block_rows = max(8, (block_rows // 8) * 8)
+    if b <= block_rows:
+        block_rows = b
+        padded = x
+    elif b % block_rows == 0:
+        padded = x
+    else:
+        pad = block_rows - b % block_rows
+        padded = jnp.concatenate(
+            [x, jnp.zeros((pad, d), x.dtype)], axis=0)
+    bp = padded.shape[0]
     vals, scales = pl.pallas_call(
-        _quantize_kernel,
+        kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, d), jnp.int8),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bp, d), out_dtype),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
         ),
-        in_specs=[_spec()],
-        out_specs=(_spec(), _spec()),
+        grid=(bp // block_rows,),
+        in_specs=[_spec((block_rows, d), lambda i: (i, 0))],
+        out_specs=(_spec((block_rows, d), lambda i: (i, 0)),
+                   _spec((block_rows, 1), lambda i: (i, 0))),
         interpret=_interpret(),
-    )(x)
-    return vals, scales
+    )(padded)
+    return vals[:b], scales[:b]
+
+
+def quantize_rows(x: jnp.ndarray, block_rows=None):
+    """Per-row symmetric int8 quantization: x ≈ vals * scales."""
+    return _gridded_quantize(_quantize_kernel, x, jnp.int8, block_rows)
 
 
 # ---------------------------------------------------------------------------------
@@ -130,20 +158,10 @@ def _quantize_fp8_kernel(x_ref, vals_ref, scales_ref):
     vals_ref[:] = (x / scale).astype(jnp.float8_e4m3fn)
 
 
-def quantize_rows_fp8(x: jnp.ndarray):
+def quantize_rows_fp8(x: jnp.ndarray, block_rows=None):
     """Per-row scaled fp8(e4m3) quantization: x ≈ vals * scales."""
-    b, d = x.shape
-    vals, scales = pl.pallas_call(
-        _quantize_fp8_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, d), jnp.float8_e4m3fn),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        ),
-        in_specs=[_spec()],
-        out_specs=(_spec(), _spec()),
-        interpret=_interpret(),
-    )(x)
-    return vals, scales
+    return _gridded_quantize(_quantize_fp8_kernel, x, jnp.float8_e4m3fn,
+                             block_rows)
 
 
 def quantized_evidence_fp8(y: jnp.ndarray, hr_t: jnp.ndarray):
