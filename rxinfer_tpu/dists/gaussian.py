@@ -60,11 +60,12 @@ def chol_solve(chol, b):
 def pd_inverse(m):
     """Positive-definite inverse, symmetrized.
 
-    d <= 8 uses closed-form cofactor/Schur inverses (ops/smallmat.py): batched
-    Cholesky/LU on tiny matrices lowers to sequential per-matrix loops on TPU
-    (measured ~35 ms for 10k 4x4 solves vs <1 ms closed-form).  Larger d keeps
-    the Cholesky path."""
-    if m.shape[-1] <= 8:
+    d <= 16 uses closed-form cofactor/Schur inverses (ops/smallmat.py):
+    batched Cholesky/LU on tiny matrices lowers to sequential per-matrix
+    loops on TPU (measured ~35 ms for 10k 4x4 solves vs <1 ms closed-form;
+    round-5 widened the gate from 8 — the 8|rest Schur split is exact to
+    float tolerance at d=16).  Larger d keeps the Cholesky path."""
+    if m.shape[-1] <= 16:
         from ..ops.smallmat import small_inv
 
         return _symmetrize(small_inv(m))
@@ -74,7 +75,7 @@ def pd_inverse(m):
 
 
 def pd_logdet(m):
-    if m.shape[-1] <= 8:
+    if m.shape[-1] <= 16:
         from ..ops.smallmat import small_logdet
 
         return small_logdet(m)
@@ -83,7 +84,7 @@ def pd_logdet(m):
 
 
 def pd_inverse_and_logdet(m):
-    if m.shape[-1] <= 8:
+    if m.shape[-1] <= 16:
         from ..ops.smallmat import small_inv, small_logdet
 
         return _symmetrize(small_inv(m)), small_logdet(m)
@@ -179,7 +180,13 @@ class NormalWeightedMeanPrecision(AbstractNormal):
     w: jnp.ndarray
 
     def mean(self):
-        return self.xi / self.w
+        # the zero natural vector is the (vague) multiplicative identity:
+        # its mean is 0 by convention, not 0/0 — a dangling unobserved
+        # descendant's cavity is exactly (0, 0) and a NaN here poisons the
+        # downstream 0·NaN natural conversion (round-5).  Improper negative
+        # precisions pass through untouched.
+        w_safe = jnp.where(self.w == 0.0, TINY, self.w)
+        return self.xi / w_safe
 
     def var(self):
         return 1.0 / self.w
@@ -258,8 +265,14 @@ class AbstractMvNormal(Distribution):
         return pd_inverse(self.cov())
 
     def weightedmean(self):
-        # xi = Sigma^{-1} mu computed as a solve (no explicit inverse).
-        return chol_solve(cholesky(self.cov()), self.mean())
+        # xi = Sigma^{-1} mu computed as a solve (no explicit inverse);
+        # closed-form for d<=8 (batched tiny Cholesky is a TPU trap)
+        c = self.cov()
+        if c.shape[-1] <= 16:
+            from ..ops.smallmat import small_solve
+
+            return small_solve(_symmetrize(c), self.mean(), matrix=False)
+        return chol_solve(cholesky(c), self.mean())
 
     def sample(self, key, shape=()):
         m, c = self.mean(), self.cov()
@@ -335,7 +348,21 @@ class MvNormalWeightedMeanPrecision(AbstractMvNormal):
     w: jnp.ndarray
 
     def mean(self):
-        return chol_solve(cholesky(self.w), self.xi)
+        # exactly-zero precision (the vague identity carrier — e.g. the
+        # cavity of a dangling unobserved descendant) has mean 0 by
+        # convention; an unguarded solve would NaN it (round-5)
+        d = self.w.shape[-1]
+        allzero = jnp.all(self.w == 0.0, axis=(-2, -1), keepdims=True)
+        w_safe = jnp.where(
+            allzero, jnp.eye(d, dtype=self.w.dtype) / HUGE, self.w)
+        if d <= 16:
+            # closed-form solve: batched Cholesky on tiny matrices lowers to
+            # sequential per-matrix loops on TPU (~35 ms for 10k 4x4 — the
+            # round-5 streaming-engine tick was 100x slow on exactly this)
+            from ..ops.smallmat import small_solve
+
+            return small_solve(w_safe, self.xi, matrix=False)
+        return chol_solve(cholesky(w_safe), self.xi)
 
     def cov(self):
         return pd_inverse(self.w)

@@ -230,7 +230,8 @@ def _extract_linear_evidence(block: GaussianChainBlock, d0: dict,
 
 def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
                            data: dict, batch: int,
-                           moment_dtype: str = "float32"):
+                           moment_dtype: str = "float32",
+                           qpayload: Optional[dict] = None):
     from ..ops.pallas_smoother import fused_batched_smoother
 
     length = block.var.length
@@ -249,10 +250,22 @@ def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
 
     if plan.E is not None:
         # linear-evidence fast path: one fused einsum from raw observations
-        # (plan-time extracted E/c, validated against the rule-assembled xi)
+        # (plan-time extracted E/c, validated against the rule-assembled xi).
+        # With observation_dtype=int8/fp8 the einsum reads the 1-byte
+        # quantized payload + per-row scales (ops/quantized.py) instead of
+        # the fp32 observations — every sweep's ingest traffic halves (dy=4)
+        # to quarters (scalar obs).
         xi_t = jnp.zeros((length, batch, block.dim), jnp.float32)
         for name, Ek in plan.E.items():
-            flat = data[name].reshape(batch, length, -1)   # (B, T, feat)
+            if qpayload is not None and name in qpayload:
+                vals, scales = qpayload[name]   # (B, F, T) int8, (B, F, 1)
+                xi_t = xi_t + jnp.einsum(
+                    "if,bft->tbi", jnp.asarray(Ek),
+                    vals.astype(jnp.float32) * scales,
+                    preferred_element_type=jnp.float32,
+                )
+                continue
+            flat = data[name].reshape(batch, length, -1)  # (B, T, feat)
             xi_t = xi_t + jnp.einsum(
                 "if,btf->tbi", jnp.asarray(Ek), flat,
                 preferred_element_type=jnp.float32,
@@ -450,10 +463,263 @@ def _psum_msg(msg, axis_name):
     )
 
 
+def make_chunked_shared_program(compiled, data: dict, iterations: int,
+                                free_energy: bool, shared: tuple,
+                                chunk: int):
+    """Pooled (``shared=``) inference when the batch exceeds the chain-moment
+    HBM budget (round-5, verdict weak item 4): the batch is processed as
+    sequential device-sized chunks, and the shared conjugate update is
+    ACCUMULATED across chunks in natural parameters (the same additive fact
+    that makes it psum-able across a mesh makes it summable across time).
+
+    Exactness relies on the hierarchical pooled topology: per-dataset chain
+    blocks are memoryless per sweep (recomputed from data + the shared
+    posterior), so discarding their moments between chunks loses nothing.
+    Per sweep: (1) every chunk recomputes its chains with the CURRENT shared
+    posterior and contributes its natural-parameter message sum; (2) the
+    shared posterior updates once from the accumulated total + the
+    replicated prior — exactly the unchunked sweep's Gauss-Seidel order
+    (chains precede shared parameters in ancestral sweep order).  The FE
+    pass mirrors the unchunked ``fe_fn``: chains at the pre-update shared
+    posterior, shared entropy at the post-update one, pooled correction
+    counted once.
+
+    Supported topology (validated; anything else keeps the pointed error):
+    all non-shared blocks are chains whose parameters reference only data,
+    constants, and shared variables."""
+    import math
+
+    import numpy as np
+
+    from ..dists.natural import family_key, from_natural, prod_all, to_natural
+    from ..graph.ir import Ref
+    from .blocks import tree_index
+
+    chunk0 = {k: np.asarray(v)[:chunk] for k, v in data.items()}
+    data0 = compiled._with_derived(
+        {k: jnp.asarray(v, jnp.float32) for k, v in chunk0.items()})
+    plans = build_plans(compiled, data0, all_finite=True)
+    shared_set = set(shared)
+
+    # ---- topology validation -------------------------------------------------
+    for kind, block in compiled.blocks:
+        name = block.var.name
+        if kind == "plain" and name in shared_set:
+            continue
+        if kind != "chain":
+            raise ValueError(
+                f"infer_batched(shared=..., chunked): non-shared {kind} "
+                f"block {name!r} — chunked pooled aggregation supports the "
+                "hierarchical topology (per-dataset chains + shared "
+                "parameters only). Shard over devices with mesh=, or raise "
+                "options={'hbm_budget_bytes': ...}."
+            )
+        refs = [block.prior, block.transition] + [f for f, _ in block.evidence]
+        for f in refs:
+            for v in f.all_interfaces().values():
+                if (isinstance(v, Ref) and v.var.kind == "random"
+                        and v.var.name != name
+                        and v.var.name not in shared_set):
+                    raise ValueError(
+                        f"infer_batched(shared=..., chunked): chain "
+                        f"{name!r} references non-shared random variable "
+                        f"{v.var.name!r}; chunked pooled aggregation needs "
+                        "chains that close over data/constants/shared "
+                        "variables."
+                    )
+
+    # reuse make_batched_program's shared partition + validation by building
+    # it once (also raises the plated/projection/no-per-dataset errors)
+    inner = {}
+    make_batched_program(compiled, chunk0, iterations=1, free_energy=False,
+                         shared=shared, _export=inner)
+    shared_blocks = inner["shared_blocks"]
+
+    def chain_pass(state, chain_cross, d):
+        for kind, block in compiled.blocks:
+            name = block.var.name
+            if kind != "chain":
+                continue
+            plan = plans.get(name)
+            if plan == "discrete":
+                marg, cross = _fused_discrete_update(
+                    block, state, d, chain_cross)
+            elif plan is not None:
+                marg, cross = _fused_gaussian_update(
+                    block, plan, d, chunk,
+                    moment_dtype=getattr(compiled, "fused_moment_dtype",
+                                         "float32"))
+            else:
+                def chain_fn(st, dd, cc, _b=block):
+                    st = dict(st)
+                    marg, cross = _b.update(st, dd, cc)
+                    extra = {k: v for k, v in st.items()
+                             if k.startswith("_msg:")}
+                    return marg, cross, extra
+
+                marg, cross, extra = jax.vmap(chain_fn)(
+                    state, d, chain_cross)
+                state.update(extra)
+                if isinstance(block, GaussianChainBlock) and not block.scalar:
+                    cross = jnp.swapaxes(cross, -1, -2)
+            state[name] = marg
+            chain_cross[name] = cross
+        return state, chain_cross
+
+    def seed_state(shared_q):
+        state0 = compiled._init_state()
+        state = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (chunk,) + jnp.shape(a)), state0)
+        state.update(shared_q)
+        return state
+
+    fams: dict = {}
+
+    def chunk_sweep(shared_q: dict, d: dict):
+        """One chunk's chain recompute + PER-ELEMENT message naturals (the
+        host slices off padded tail rows before summing; carrier families
+        are static and recorded in ``fams`` at trace time)."""
+        d = compiled._with_derived(d)
+        state, chain_cross = chain_pass(seed_state(shared_q), {}, d)
+        out = {}
+        for nm, (blk, blk_pd, _r, _n) in shared_blocks.items():
+            def pd_fn(st, dd, cc, _b=blk_pd):
+                return _b.update(dict(st), dd, cc, raw_product=True)
+
+            carrier = jax.vmap(pd_fn)(state, d, chain_cross)
+            fams[nm] = family_key(carrier)  # static; recorded at trace time
+            out[nm] = to_natural(carrier)
+        return out
+
+    def shared_combine(nat_totals: dict, shared_q: dict, d0_el: dict):
+        """Combine accumulated naturals + replicated prior -> new shared q."""
+        new_q = {}
+        for nm, (blk, _pd, blk_rep, _r) in shared_blocks.items():
+            fam, nat = nat_totals[nm]
+            msgs = [from_natural(fam, nat)]
+            if blk_rep.adjacency:
+                st0 = tree_index(seed_state(shared_q), 0)
+                msgs.append(blk_rep.update(dict(st0), d0_el, {},
+                                           raw_product=True))
+            q = blk.finalize(prod_all(msgs))
+            new_q[nm] = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(
+                    jnp.asarray(a), (chunk,) + jnp.shape(jnp.asarray(a))), q)
+        return new_q
+
+    def chunk_fe(shared_prev: dict, shared_new: dict, d: dict):
+        """Per-element FE: chains at the pre-update shared posterior (what
+        the sweep computed), shared entropy/energy at the post-update one —
+        the unchunked fe_fn's exact semantics."""
+        d = compiled._with_derived(d)
+        state, chain_cross = chain_pass(seed_state(shared_prev), {}, d)
+        state.update(shared_new)
+        fe_b = jax.vmap(
+            lambda st, cc, dd: compiled._free_energy(st, cc, dd)
+        )(state, chain_cross, d)
+        return fe_b
+
+    def chunk_correction(shared_new: dict, d: dict):
+        """Replicated factors touch only shared variables/constants
+        (guaranteed by _partition_shared_adjacency), so no chain recompute
+        is needed — evaluate at the post-update shared posterior, exactly
+        like the unchunked shared_fe_correction."""
+        d = compiled._with_derived(d)
+        state = seed_state(shared_new)
+        ffe_by_id = {ffe.factor.id: ffe for ffe in compiled.fe_factors}
+        st0 = tree_index(state, 0)
+        d0_el = tree_index(d, 0)
+        corr = jnp.zeros(())
+        for nm, (_blk, _pd, blk_rep, r) in shared_blocks.items():
+            for f, _ in blk_rep.adjacency:
+                corr = corr + ffe_by_id[f.id](st0, d0_el, {})
+            if r != 1:
+                corr = corr + (r - 1) * jnp.sum(st0[nm].entropy())
+        return corr
+
+    def chunk_extract(shared_prev: dict, shared_final: dict, d: dict):
+        d = compiled._with_derived(d)
+        state, chain_cross = chain_pass(seed_state(shared_prev), {}, d)
+        state.update(shared_final)
+        return {k: v for k, v in state.items() if not k.startswith("_msg:")}
+
+    sweep_j = jax.jit(chunk_sweep)
+    fe_j = jax.jit(chunk_fe)
+    corr_j = jax.jit(chunk_correction)
+    extract_j = jax.jit(chunk_extract)
+
+    def program(full_data: dict):
+        batch = int(np.asarray(next(iter(full_data.values()))).shape[0])
+        nch = math.ceil(batch / chunk)
+
+        def chunk_data(i):
+            sl = {k: np.asarray(v)[i * chunk:(i + 1) * chunk]
+                  for k, v in full_data.items()}
+            n = int(next(iter(sl.values())).shape[0])
+            if n < chunk:
+                sl = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], chunk - n, axis=0)], axis=0)
+                    for k, v in sl.items()}
+            return {k: jnp.asarray(v, jnp.float32)
+                    for k, v in sl.items()}, n
+
+        init_q = {
+            nm: jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (chunk,) + jnp.shape(a)),
+                compiled._init_state()[nm])
+            for nm in shared_blocks
+        }
+        d00, _ = chunk_data(0)
+        d0_el = tree_index(d00, 0)
+        shared_q = init_q
+        fes = []
+        for _ in range(iterations):
+            shared_prev = shared_q
+            nat_totals = None
+            for i in range(nch):
+                di, n = chunk_data(i)
+                out = sweep_j(shared_q, di)
+                # per-element naturals -> sum over the REAL rows only
+                # (padded tail rows of the last chunk are edge copies)
+                part = {
+                    nm: tuple(jnp.sum(a[:n], axis=0) for a in nat)
+                    for nm, nat in out.items()
+                }
+                nat_totals = part if nat_totals is None else {
+                    nm: tuple(a + b_ for a, b_ in zip(nat_totals[nm],
+                                                      part[nm]))
+                    for nm in part
+                }
+            shared_q = shared_combine(
+                {nm: (fams[nm], nat) for nm, nat in nat_totals.items()},
+                shared_prev, d0_el)
+            if free_energy:
+                fe_sum = jnp.zeros(())
+                for i in range(nch):
+                    di, n = chunk_data(i)
+                    fe_b = fe_j(shared_prev, shared_q, di)
+                    fe_sum = fe_sum + jnp.sum(fe_b[:n])
+                corr = corr_j(shared_q, d00)
+                fes.append(fe_sum - (batch - 1.0) * corr)
+            shared_last_prev = shared_prev
+        states = []
+        for i in range(nch):
+            di, n = chunk_data(i)
+            st = extract_j(shared_last_prev, shared_q, di)
+            states.append(jax.tree_util.tree_map(lambda a: a[:n], st))
+        state = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *states)
+        fe_arr = (jnp.stack(fes) if free_energy else jnp.zeros((0,)))
+        return state, fe_arr, []
+
+    return program
+
+
 def make_batched_program(compiled, data0: dict, iterations: int,
                          free_energy: bool, keep_each: bool = False,
                          all_finite: bool = True, shared: tuple = (),
-                         psum_axis: str | None = None):
+                         psum_axis: str | None = None,
+                         _export: dict | None = None):
     """Build the pure function (batched_data) -> (state, fe, history) where
     every data leaf and every state/fe leaf carries a leading batch axis.
 
@@ -470,6 +736,26 @@ def make_batched_program(compiled, data0: dict, iterations: int,
 
     data0 = compiled._with_derived(data0)
     plans = build_plans(compiled, data0, all_finite=all_finite)
+    # quantized observation ingest (SURVEY §2.3 item e): per-row int8/fp8
+    # payloads feed the fused linear-evidence einsum; FE and every other
+    # consumer see the SAME dequantized ŷ (consistent inference on
+    # quantized observations)
+    obs_dtype = getattr(compiled, "observation_dtype", "float32")
+    qnames: set = set()
+    if obs_dtype != "float32":
+        for plan in plans.values():
+            if isinstance(plan, FusedGaussianPlan) and plan.E is not None:
+                qnames |= set(plan.E.keys())
+        if not qnames and getattr(compiled, "warn", True):
+            import warnings
+
+            warnings.warn(
+                f'options={{"observation_dtype": "{obs_dtype}"}} has no '
+                "effect: no chain block lowered to the fused linear-evidence "
+                "plan (inspect compiled.plan_report()); observations stay "
+                "float32.",
+                stacklevel=2,
+            )
     shared_set = set(shared)
     shared_blocks: dict = {}
     if shared_set:
@@ -515,6 +801,9 @@ def make_batched_program(compiled, data0: dict, iterations: int,
             blk_rep = copy.copy(blk)
             blk_rep.adjacency = rep_adj
             shared_blocks[nm] = (blk, blk_pd, blk_rep, len(rep_adj))
+    if _export is not None:
+        _export["shared_blocks"] = shared_blocks
+        _export["plans"] = plans
 
     def shared_update(block_tuple, state, chain_cross, data, batch):
         from ..dists.natural import prod_all, prod_reduce
@@ -546,7 +835,7 @@ def make_batched_program(compiled, data0: dict, iterations: int,
                 jnp.asarray(a), (batch,) + jnp.shape(jnp.asarray(a))), q
         )
 
-    def sweep(state, chain_cross, data, batch):
+    def sweep(state, chain_cross, data, batch, qpayload=None):
         for kind, block in compiled.blocks:
             name = block.var.name
             plan = plans.get(name)
@@ -561,7 +850,8 @@ def make_batched_program(compiled, data0: dict, iterations: int,
                     marg, cross = _fused_gaussian_update(
                         block, plan, data, batch,
                         moment_dtype=getattr(compiled, "fused_moment_dtype",
-                                             "float32"))
+                                             "float32"),
+                        qpayload=qpayload)
                 state[name] = marg
                 chain_cross[name] = cross
             elif kind == "chain":
@@ -643,6 +933,41 @@ def make_batched_program(compiled, data0: dict, iterations: int,
         # they broadcast over the leading batch axis unchanged.
         data = compiled._with_derived(data)
         batch = jax.tree_util.tree_leaves(data)[0].shape[0]
+        qpayload = None
+        if qnames:
+            from ..ops import quantized as qops
+
+            qfn = (qops.quantize_rows if obs_dtype == "int8"
+                   else qops.quantize_rows_fp8)
+            data = dict(data)
+            qpayload = {}
+            for name in sorted(qnames):
+                v = data[name]
+                # Quantization axis = TIME, one scale per (chain, channel):
+                # rows are (B·F, T) so the payload's LANE dim is T — full
+                # (8/32, 128) tiles.  (Quantizing over the event dim would
+                # put the tiny dy on lanes: the pallas operand constraint
+                # then forces a 128/dy-padded materialization of the fp32
+                # input — a 32x HBM blow-up at dy=4, observed round 5.)
+                b_sz, t_len = v.shape[0], v.shape[1]
+                feat = int(np.prod(v.shape[2:], dtype=np.int64)) or 1
+                rows = jnp.swapaxes(
+                    v.reshape(b_sz, t_len, feat), 1, 2
+                ).reshape(b_sz * feat, t_len)
+                vals, scales = qfn(rows)
+                qpayload[name] = (
+                    vals.reshape(b_sz, feat, t_len),
+                    scales.reshape(b_sz, feat, 1),
+                )
+                if free_energy:
+                    # FE terms must see the SAME ŷ the evidence saw
+                    # (consistent inference on quantized observations);
+                    # without FE nothing reads the raw entry, so skip the
+                    # (B, T, ...) fp32 materialization — at B=1024, T=10k it
+                    # is 160 MB the fused program cannot spare
+                    deq = (vals.astype(jnp.float32) * scales).reshape(
+                        b_sz, feat, t_len)
+                    data[name] = jnp.swapaxes(deq, 1, 2).reshape(v.shape)
         state0 = compiled._init_state()
         state = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (batch,) + jnp.shape(a)), state0
@@ -650,7 +975,7 @@ def make_batched_program(compiled, data0: dict, iterations: int,
         chain_cross: dict = {}
         history = []
         fe_zero = jnp.zeros(()) if shared_blocks else jnp.zeros((batch,))
-        state, chain_cross = sweep(state, chain_cross, data, batch)
+        state, chain_cross = sweep(state, chain_cross, data, batch, qpayload)
         fe0 = (
             fe_fn(state, chain_cross, data, batch)
             if free_energy else fe_zero
@@ -660,7 +985,7 @@ def make_batched_program(compiled, data0: dict, iterations: int,
         if iterations > 1:
             def body(carry, _):
                 st, cr = carry
-                st, cr = sweep(dict(st), dict(cr), data, batch)
+                st, cr = sweep(dict(st), dict(cr), data, batch, qpayload)
                 f = (fe_fn(st, cr, data, batch) if free_energy
                      else fe_zero)
                 ys = (snapshot(st), f) if keep_each else f

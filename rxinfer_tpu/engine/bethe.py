@@ -233,20 +233,36 @@ def gaussian_pair_fe(f: Factor, q: dict, state: dict, in_key: str,
     return term
 
 
-def _extract_affine_transition(f: Factor):
+def _extract_affine_transition(f: Factor, event_shape=None):
     """Probe a custom lagged-transition node's ``message_to_out`` rule for an
-    affine-Gaussian conditional  out | in ~ N(A·in + b, Q)  (scalar states).
+    affine-Gaussian conditional  out | in ~ N(A·in + b, Q) — scalar AND
+    vector states (round 5 extends the round-4 scalar probe per the
+    reference default joint q(x_t, x_{t-1}),
+    constraints-specification.md:107-292).
 
-    The probe runs at FE-plan build time with three concrete PointMass
-    cavities; affinity of the mean and input-independence of the variance are
-    validated on the host.  Returns ``(A, b, Q)`` floats, or None when the
-    rule is not affine-Gaussian (the FE then keeps the mean-field bound)."""
+    The probe runs at FE-plan build time with concrete PointMass cavities
+    (d+2 probes for d-dimensional states: the zero point, the d basis
+    vectors, and a validation point); affinity of the mean and
+    input-independence of the (co)variance are validated on the host.
+    Returns ``(A, b, Q)`` — floats for scalar states, float32 arrays for
+    vector states — or None when the rule is not affine-Gaussian (the FE
+    then keeps the mean-field bound)."""
     import jax
 
     from ..rules.registry import get_message_rule
 
     try:
         rule = get_message_rule(f.fform, "out")
+        in_ref = f.interfaces.get("in")
+        # event shapes live on CompiledModel.infos (GroupInfo), passed in by
+        # the FE builder; the Variable attribute is a fallback
+        ev = event_shape
+        if ev is None:
+            ev = getattr(in_ref.var, "event_shape", None) or ()
+        if len(ev) > 1:
+            return None
+        vector = len(ev) == 1
+        d_i = int(ev[0]) if vector else 1
 
         def probe(x):
             q = {"in": PointMass(jnp.asarray(x, jnp.float32))}
@@ -256,23 +272,51 @@ def _extract_affine_transition(f: Factor):
             if f.meta is not None:
                 q["_meta"] = {**f.meta, "_plated": f.plate is not None}
             msg = rule(q)
+            if vector:
+                return (np.asarray(msg.mean(), np.float64),
+                        np.asarray(msg.cov(), np.float64))
             return float(msg.mean()), float(msg.var())
 
-        xs = (0.37, -1.21, 2.05)
         # the FE plan may be built lazily INSIDE a jit trace; the probe must
         # evaluate eagerly on concrete values regardless
         with jax.ensure_compile_time_eval():
-            ms, vs = zip(*(probe(x) for x in xs))
-        a = (ms[0] - ms[1]) / (xs[0] - xs[1])
-        b = ms[0] - a * xs[0]
-        if not np.isclose(ms[2], a * xs[2] + b, rtol=1e-5, atol=1e-6):
-            return None
-        if not (np.isclose(vs[0], vs[1], rtol=1e-6)
-                and np.isclose(vs[0], vs[2], rtol=1e-6)):
-            return None
-        if not vs[0] > 0:
-            return None
-        return float(a), float(b), float(vs[0])
+            if not vector:
+                xs = (0.37, -1.21, 2.05)
+                ms, vs = zip(*(probe(x) for x in xs))
+                a = (ms[0] - ms[1]) / (xs[0] - xs[1])
+                b = ms[0] - a * xs[0]
+                if not np.isclose(ms[2], a * xs[2] + b, rtol=1e-5, atol=1e-6):
+                    return None
+                if not (np.isclose(vs[0], vs[1], rtol=1e-6)
+                        and np.isclose(vs[0], vs[2], rtol=1e-6)):
+                    return None
+                if not vs[0] > 0:
+                    return None
+                return float(a), float(b), float(vs[0])
+
+            b_vec, q0 = probe(np.zeros(d_i, np.float32))
+            if b_vec.shape != (d_i,) or q0.shape != (d_i, d_i):
+                return None  # dimension-changing transitions: mean-field FE
+            cols, covs = [], []
+            for j in range(d_i):
+                e = np.zeros(d_i, np.float32)
+                e[j] = 1.0
+                mj, vj = probe(e)
+                cols.append(mj - b_vec)
+                covs.append(vj)
+            a_mat = np.stack(cols, axis=1)                  # (d, d)
+            x_t = np.linspace(-1.3, 2.05, d_i).astype(np.float32)
+            mt, vt = probe(x_t)
+            if not np.allclose(mt, a_mat @ x_t + b_vec, rtol=1e-5,
+                               atol=1e-5):
+                return None
+            for v in covs + [vt]:
+                if not np.allclose(v, q0, rtol=1e-6, atol=1e-8):
+                    return None
+            np.linalg.cholesky(q0)  # PD check (raises -> None)
+            return (np.asarray(a_mat, np.float32),
+                    np.asarray(b_vec, np.float32),
+                    np.asarray(q0, np.float32))
     except Exception:  # noqa: BLE001 — any probe failure: mean-field FE
         return None
 
@@ -281,7 +325,8 @@ class FactorFE:
     """Per-factor free-energy contribution evaluator (compiled once)."""
 
     def __init__(self, factor: Factor, is_chain_transition: bool,
-                 chain_scalar: bool, mean_field: bool = False):
+                 chain_scalar: bool, mean_field: bool = False,
+                 event_shape=None):
         self.factor = factor
         self.is_chain_transition = is_chain_transition
         self.chain_scalar = chain_scalar
@@ -321,7 +366,7 @@ class FactorFE:
             node_cls = get_node(f.fform)
             if (in_cavity_cluster(node_cls, "out")
                     and in_cavity_cluster(node_cls, "in")):
-                self.custom_pair = _extract_affine_transition(f)
+                self.custom_pair = _extract_affine_transition(f, event_shape)
         # Structured (out, in) pair treatment — see gaussian_pair_fe.
         self.pair = None
         if (
@@ -392,6 +437,8 @@ class FactorFE:
         q = build_q(f, state, data, chain_cross=None)
         cav_o = nat_div(q["out"], state[f"_msg:{f.id}:out"])
         cav_i = nat_div(q["in"], state[f"_msg:{f.id}:in"])
+        if np.ndim(a_c) == 2:
+            return self._custom_pair_fe_mv(cav_o, cav_i)
         no = as_weighted_mean_precision(cav_o)
         ni = as_weighted_mean_precision(cav_i)
         joo = no.w + 1.0 / q_c
@@ -409,6 +456,51 @@ class FactorFE:
         ae = 0.5 * (jnp.log(2 * jnp.pi * q_c)
                     + (resid**2 + voo + a_c * a_c * vii - 2 * a_c * c) / q_c)
         h = gaussian_pair_entropy(voo, vii, c)
+        return jnp.sum(ae - h)
+
+    def _custom_pair_fe_mv(self, cav_o, cav_i):
+        """Vector-state variant of ``_custom_pair_fe``: per plate copy the
+        pair joint q(out, in) ∝ cav_out·cav_in·N(out; A·in + b, Q) in block
+        information form; AE + pair entropy closed-form in (A, b, Q)."""
+        from ..dists.gaussian import as_mv_weighted_mean_precision
+
+        a_c, b_c, q_c = self.custom_pair
+        A = jnp.asarray(a_c)
+        b = jnp.asarray(b_c)
+        Qinv = jnp.linalg.inv(jnp.asarray(q_c))
+        logdet_q = jnp.linalg.slogdet(jnp.asarray(q_c))[1]
+        d = A.shape[0]
+        no = as_mv_weighted_mean_precision(cav_o)   # .xi (P, d), .w (P, d, d)
+        ni = as_mv_weighted_mean_precision(cav_i)
+        joo = no.w + Qinv
+        jii = ni.w + A.T @ Qinv @ A
+        joi = jnp.broadcast_to(-(Qinv @ A), joo.shape)
+        jmat = jnp.concatenate([
+            jnp.concatenate([joo, joi], axis=-1),
+            jnp.concatenate([jnp.swapaxes(joi, -1, -2), jii], axis=-1),
+        ], axis=-2)                                  # (P, 2d, 2d)
+        xo = no.xi + Qinv @ b
+        xi_ = ni.xi - A.T @ (Qinv @ b)
+        xi_full = jnp.concatenate([xo, xi_], axis=-1)
+        vmat = jnp.linalg.inv(jmat)
+        mu = jnp.einsum("...ij,...j->...i", vmat, xi_full)
+        mo, mi = mu[..., :d], mu[..., d:]
+        voo = vmat[..., :d, :d]
+        voi = vmat[..., :d, d:]
+        vii = vmat[..., d:, d:]
+        resid = mo - jnp.einsum("ij,...j->...i", A, mi) - b
+        cov_err = (
+            voo
+            - jnp.einsum("...ik,jk->...ij", voi, A)
+            - jnp.einsum("ik,...jk->...ij", A, voi)
+            + jnp.einsum("ik,...kl,jl->...ij", A, vii, A)
+        )
+        c2 = cov_err + resid[..., :, None] * resid[..., None, :]
+        ae = 0.5 * (
+            d * jnp.log(2 * jnp.pi) + logdet_q
+            + jnp.einsum("ij,...ji->...", Qinv, c2)
+        )
+        h = 0.5 * 2 * d * _LOG2PIE - 0.5 * jnp.linalg.slogdet(jmat)[1]
         return jnp.sum(ae - h)
 
     def __call__(self, state, data, chain_cross):
@@ -527,13 +619,18 @@ class FactorFE:
         return ae - h
 
 
-def variable_entropy_term(graph: ModelGraph, state, degrees: dict):
+def variable_entropy_term(graph: ModelGraph, state, degrees: dict,
+                          only=None):
     """Σ_i (d_i - 1) H[q_i] over random variables (per slot).
 
     PointMass marginals (form-constrained) contribute zero — their -inf
-    entropies cancel against the factor-side terms per CountingReal semantics."""
+    entropies cancel against the factor-side terms per CountingReal semantics.
+    ``only``: restrict to the named variables (the plain part of the composed
+    mixture-FE decomposition)."""
     total = 0.0
     for var in graph.random_variables():
+        if only is not None and var.name not in only:
+            continue
         q = state[var.name]
         if isinstance(q, PointMass):
             continue

@@ -41,6 +41,16 @@ from .blocks import (
 )
 from .shapes import resolve_groups
 
+def as_f32_device(v):
+    """float32 device array WITHOUT a host round-trip for values already on
+    device — ``jnp.asarray(np.asarray(v), ...)`` silently copies device
+    arrays through host memory (round-5: 160 MB per run_offline call made
+    the streaming wrapper 4x slower than its own compiled program)."""
+    if isinstance(v, jax.Array):
+        return v if v.dtype == jnp.float32 else v.astype(jnp.float32)
+    return jnp.asarray(np.asarray(v), jnp.float32)
+
+
 _GAUSSIAN_TRANS = {
     "LinearGaussianCovariance",
     "LinearGaussianPrecision",
@@ -700,7 +710,7 @@ class CompiledModel:
         known = {"parallel_scans", "rulefallback", "check_objective", "warn",
                  "limit_stack_depth", "force_marginal_computation",
                  "fused_kernels", "hbm_budget_bytes", "fused_moment_dtype",
-                 "matmul_precision"}
+                 "matmul_precision", "observation_dtype"}
         # reference-accepted options that are TOP-LEVEL infer kwargs here
         # (reactivemp_inference.jl:129-137): redirect with a pointed error
         # rather than silently accepting or claiming they're unknown.
@@ -727,6 +737,19 @@ class CompiledModel:
         # cross moments in bf16 (~30% less traffic on the HBM-bound kernel;
         # means and arithmetic stay fp32) — ops/pallas_smoother.py
         self.fused_moment_dtype = options.get("fused_moment_dtype", "float32")
+        # "int8"/"float8_e4m3fn": batched-program observation ingest is
+        # quantized per observation row (ops/quantized.py) — the chain-
+        # evidence xi einsum reads the 1-byte payload + per-row scales
+        # instead of the fp32 observations every sweep, and every other
+        # consumer (Bethe FE) sees the same dequantized ŷ (inference on
+        # quantized observations, consistently).  SURVEY §2.3 item (e);
+        # BASELINE "optional int8/fp8 quantized natural parameters".
+        self.observation_dtype = options.get("observation_dtype", "float32")
+        if self.observation_dtype not in ("float32", "int8", "float8_e4m3fn"):
+            raise ValueError(
+                f"observation_dtype {self.observation_dtype!r} not supported;"
+                " choose 'float32', 'int8', or 'float8_e4m3fn'."
+            )
         # strict accuracy mode: options={"matmul_precision": "highest"} traces
         # every program under jax.default_matmul_precision — TPU matmuls then
         # run full-fp32 passes instead of the default bf16-ish fast path,
@@ -825,18 +848,20 @@ class CompiledModel:
                         )
                     continue
                 length = block.var.length
-                if length % n_shards != 0:
-                    if options.get("warn", True):
-                        import warnings
+                if length % n_shards != 0 and options.get("warn", True):
+                    import warnings
 
-                        warnings.warn(
-                            f"infer(mesh=...): chain {block.var.name!r} "
-                            f"length {length} is not divisible by the "
-                            f"{time_axis!r} axis size {n_shards}; it runs "
-                            "replicated.",
-                            stacklevel=3,
-                        )
-                    continue
+                    # pad-to-multiple (round-5): the block pads the tail
+                    # with identity transitions + zero-precision evidence
+                    # and slices the results — exact, slightly wasteful
+                    warnings.warn(
+                        f"infer(mesh=...): chain {block.var.name!r} length "
+                        f"{length} is not divisible by the {time_axis!r} "
+                        f"axis size {n_shards}; the tail is padded to "
+                        f"{length + (-length) % n_shards} (exact results, "
+                        f"{(-length) % n_shards} wasted slots).",
+                        stacklevel=3,
+                    )
                 block.time_mesh = time_mesh
                 block.time_axis = time_axis
                 any_sharded = True
@@ -1052,6 +1077,11 @@ class CompiledModel:
                         else False
                     ),
                     mean_field=f.id in self.mf_factor_ids,
+                    event_shape=(
+                        self.infos[f.out.var.name].event_shape
+                        if f.out.var.kind == "random"
+                        and f.out.var.name in self.infos else None
+                    ),
                 )
                 for f in self.graph.factors
             ]
@@ -1242,7 +1272,7 @@ class CompiledModel:
         """Execute one streaming tick; ``carry`` is the previous tick's
         ``(state, chain_cross)`` or None for a cold start.  Returns
         ``(state, fe, history, carry')``."""
-        data = {k: jnp.asarray(np.asarray(v), jnp.float32)
+        data = {k: as_f32_device(v)
                 for k, v in data.items()}
         cold = carry is None
         key = ("tick", cold, iterations, free_energy, keep_each)
@@ -1287,7 +1317,7 @@ class CompiledModel:
         """Host-driven iteration loop firing per-iteration callbacks (reference
         batch hot loop, src/inference/batch.jl:391-430); each sweep is one
         compiled XLA program."""
-        data = {k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in data.items()}
+        data = {k: as_f32_device(v) for k, v in data.items()}
         key = ("sweep", free_energy)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(self.make_sweep_fn(free_energy))
@@ -1328,7 +1358,7 @@ class CompiledModel:
     def run(self, data: dict, iterations: int = 1, free_energy: bool = False,
             keep_each: bool = False, jit: bool = True):
         key = (iterations, free_energy, keep_each)
-        data = {k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in data.items()}
+        data = {k: as_f32_device(v) for k, v in data.items()}
         if jit:
             if key not in self._jitted:
                 self._jitted[key] = jax.jit(

@@ -315,7 +315,11 @@ def parallel_filter(p: ChainParams, payload_dtype=None):
     SoA note above).  ``payload_dtype=jnp.bfloat16`` halves the HBM traffic of
     the scan levels at ~1e-2 relative accuracy (validated in tests)."""
     d = p.m0.shape[-1]
-    if d <= 8:
+    if d <= 16:
+        # SoA batch-minor layout (round-5: gate widened from d<=8 — inv_soa's
+        # Schur recursion is d-generic and measured accurate to the float64
+        # oracle at d=16; the AoS fallback's batched tiny-matrix ops are the
+        # TPU trap, see smallmat.py docstring)
         b, c = _parallel_filter_soa(p, payload_dtype)
         return _from_soa_vec(b), _from_soa_mat(c)
     elems = _make_filter_elements(p)
@@ -404,7 +408,7 @@ def parallel_smoother(p: ChainParams, payload_dtype=None) -> SmoothResult:
     """Full parallel Kalman smoother: filter + backward pass + pairwise
     cross-covariances (needed for structured Bethe energies and EM)."""
     d = p.m0.shape[-1]
-    if d <= 8:
+    if d <= 16:
         bf_soa, cf_soa = _parallel_filter_soa(p, payload_dtype)
         soa, e_step = _make_smoother_elements_soa(p, bf_soa, cf_soa)
         if payload_dtype is not None:

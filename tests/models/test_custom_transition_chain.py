@@ -143,3 +143,118 @@ def test_custom_transition_auto_vague_init():
     np.testing.assert_allclose(
         np.asarray(res.posteriors["x"].mean()),
         np.asarray(ref.posteriors["x"].mean()), atol=1e-3)
+
+
+# --- round-5: multivariate custom transitions (vector-state affine probe) ---
+
+A_MV = np.array([[0.95, -0.2], [0.2, 0.95]], np.float32)
+B_MV = np.array([0.3, -0.1], np.float32)
+Q_MV = np.array([[0.3, 0.05], [0.05, 0.2]], np.float32)
+R_MV = 0.04 * np.eye(2, dtype=np.float32)
+
+
+@node("MvDriftWalkT")
+class MvDriftWalkT:
+    """out ~ N(A·in + b, Q) — a custom MULTIVARIATE Gaussian transition."""
+
+    interfaces = ("out", "in")
+    cavity_cluster = ("out", "in")
+
+    @staticmethod
+    def message_to_out(q):
+        # rules receive PLATE-BATCHED marginals (leading copies axis):
+        # write them batch-polymorphic with einsum
+        from rxinfer_tpu.dists import MvNormalMeanCovariance
+
+        m = q["in"]
+        A, b, Q = jnp.asarray(A_MV), jnp.asarray(B_MV), jnp.asarray(Q_MV)
+        return MvNormalMeanCovariance(
+            jnp.einsum("ij,...j->...i", A, m.mean()) + b,
+            jnp.einsum("ij,...jk,lk->...il", A, m.cov(), A) + Q)
+
+    @staticmethod
+    def message_to_in(q):
+        from rxinfer_tpu.dists import MvNormalMeanCovariance
+
+        m = q["out"]
+        A, b, Q = jnp.asarray(A_MV), jnp.asarray(B_MV), jnp.asarray(Q_MV)
+        Ainv = jnp.linalg.inv(A)
+        return MvNormalMeanCovariance(
+            jnp.einsum("ij,...j->...i", Ainv, m.mean() - b),
+            jnp.einsum("ij,...jk,lk->...il", Ainv, m.cov() + Q, Ainv))
+
+    @staticmethod
+    def average_energy(q):
+        A, b, Q = jnp.asarray(A_MV), jnp.asarray(B_MV), jnp.asarray(Q_MV)
+        Qinv = jnp.linalg.inv(Q)
+        mo, vo = q["out"].mean(), q["out"].cov()
+        mi, vi = q["in"].mean(), q["in"].cov()
+        resid = mo - jnp.einsum("ij,...j->...i", A, mi) - b
+        c2 = (vo + jnp.einsum("ik,...kl,jl->...ij", A, vi, A)
+              + resid[..., :, None] * resid[..., None, :])
+        return 0.5 * (2 * jnp.log(2 * jnp.pi)
+                      + jnp.linalg.slogdet(Q)[1]
+                      + jnp.einsum("ij,...ji->...", Qinv, c2))
+
+
+def _mv_data(T=16, seed=1):
+    rng = np.random.default_rng(seed)
+    x = np.zeros(2)
+    ys = []
+    for _ in range(T):
+        x = A_MV @ x + B_MV + np.linalg.cholesky(Q_MV) @ rng.standard_normal(2)
+        ys.append(x + 0.2 * rng.standard_normal(2))
+    return np.asarray(ys, np.float32)
+
+
+def test_mv_custom_transition_structured_fe_matches_builtin():
+    """Vector-state custom transition: posterior == builtin chain block and
+    FE == −log Z (the builtin structured chain FE is the oracle) — the
+    round-5 multivariate affine probe (engine/bethe.py
+    _extract_affine_transition)."""
+    from rxinfer_tpu.dists import MvNormalMeanCovariance
+
+    T = 16
+    y = _mv_data(T)
+    P0 = 0.4 * np.eye(2, dtype=np.float32)
+
+    @rx.model
+    def custom(y):
+        x = rx.latent(T, name="x")
+        x[0] = rx.MvNormal(mean=B_MV, cov=P0)
+        for t in rx.plate(1, T):
+            x[t] = rx.factor_node("MvDriftWalkT", **{"in": x[t - 1]})
+        for t in rx.plate(T):
+            y[t] = rx.MvNormal(mean=x[t], cov=R_MV)
+        return {"x": x}
+
+    @rx.model
+    def builtin(y):
+        x = rx.latent(T, name="x")
+        x[0] = rx.MvNormal(mean=B_MV, cov=P0)
+        for t in rx.plate(1, T):
+            x[t] = rx.MvNormal(mean=A_MV @ x[t - 1] + B_MV, cov=Q_MV)
+        for t in rx.plate(T):
+            y[t] = rx.MvNormal(mean=x[t], cov=R_MV)
+        return {"x": x}
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = rx.infer(
+            model=custom, data={"y": y}, iterations=120,
+            free_energy=True, returnvars=rx.KeepLast(),
+            initialization={"x": MvNormalMeanCovariance(
+                np.zeros(2, np.float32), 10.0 * np.eye(2, dtype=np.float32))},
+        )
+    ref = rx.infer(model=builtin, data={"y": y}, iterations=1,
+                   returnvars=rx.KeepLast(), free_energy=True)
+    np.testing.assert_allclose(
+        np.asarray(res.posteriors["x"].mean()),
+        np.asarray(ref.posteriors["x"].mean()), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(res.posteriors["x"].cov()),
+        np.asarray(ref.posteriors["x"].cov()), atol=2e-4)
+    fe = np.asarray(res.free_energy)
+    assert np.all(np.isfinite(fe))
+    fe_ref = float(np.asarray(ref.free_energy)[-1])
+    assert abs(fe[-1] - fe_ref) < 2e-3, (fe[-1], fe_ref)

