@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine.compile import CompiledModel
+from .engine.compile import CompiledModel, as_f32_device
 
 # events whose registration forces host-loop (per-iteration) tick execution
 _PER_ITERATION_EVENTS = ("before_iteration", "after_iteration")
@@ -182,6 +182,15 @@ class RxInferenceEngine:
         # equivalent, src/inference/streaming.jl is one stream per engine).
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        if mesh is not None and mesh_axis not in dict(
+                getattr(mesh, "shape", {})):
+            raise ValueError(
+                f"streaming inference shards the BATCH of parallel streams: "
+                f"the mesh needs a {mesh_axis!r} axis (got "
+                f"{tuple(mesh.axis_names)}). Time sharding "
+                "(mesh=Mesh(..., ('time',))) is batch-mode only — see "
+                "rx.infer(data=..., mesh=...)."
+            )
         self._batched = bool(batched) or mesh is not None
         self.autoupdates = autoupdates_spec
         self.args = dict(autoupdates_spec.initial)
@@ -368,8 +377,16 @@ class RxInferenceEngine:
         self._fire("after_auto_update")
         self._fire("before_data_update", obs)
         if self._batched:
-            data_j = {k: jnp.asarray(np.asarray(v), jnp.float32)
+            data_j = {k: as_f32_device(v)
                       for k, v in data.items()}
+            if self.mesh is not None:
+                # pin the tick inputs' sharding (see _run_offline_batched:
+                # mixed sharded/unsharded inputs force silent recompiles)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(self.mesh, P(self.mesh_axis))
+                data_j = {k: jax.device_put(v, sh)
+                          for k, v in data_j.items()}
             self._check_batch(data_j)
             cold = self._carry is None
             fn = self._batched_tick_fn(cold)
@@ -413,7 +430,7 @@ class RxInferenceEngine:
                                           out_specs=spec)
             self._jitted[key] = jax.jit(sweep)
         fn = self._jitted[key]
-        data_j = {k: jnp.asarray(np.asarray(v), jnp.float32)
+        data_j = {k: as_f32_device(v)
                   for k, v in data.items()}
         if self._carry is not None:
             carry = self._carry
@@ -536,7 +553,7 @@ class RxInferenceEngine:
         from .inference import _extract_posteriors
 
         obs_arrays = {
-            k: jnp.asarray(np.asarray(v), jnp.float32) for k, v in observations.items()
+            k: as_f32_device(v) for k, v in observations.items()
         }
         # tick 0: cold start from the initialization; later ticks warm-start
         # from the previous tick's marginals (persistent streams, reference
@@ -580,8 +597,24 @@ class RxInferenceEngine:
         per-stream, so steady state needs zero collectives)."""
         from .inference import _extract_posteriors
 
-        obs_arrays = {k: jnp.asarray(np.asarray(v), jnp.float32)
+        obs_arrays = {k: as_f32_device(v)
                       for k, v in observations.items()}
+        args_in = dict(self.args)
+        if self.mesh is not None:
+            # pin input shardings BEFORE the call: the first tick passes
+            # unsharded initial args while later calls pass the shard_map
+            # outputs — without this the differing input shardings force a
+            # silent full recompile on the second call (round-5, observed as
+            # a phantom 15x "mesh overhead")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ax = self.mesh_axis
+            obs_arrays = {
+                k: jax.device_put(v, NamedSharding(self.mesh, P(None, ax)))
+                for k, v in obs_arrays.items()}
+            args_in = {
+                k: jax.device_put(v, NamedSharding(self.mesh, P(ax)))
+                for k, v in args_in.items()}
         first = {k: v[0] for k, v in obs_arrays.items()}       # (B, ...)
         self._ensure_compiled(first)
         self._check_batch(first)
@@ -591,7 +624,7 @@ class RxInferenceEngine:
         if cache_key in self._jitted:
             with compiled._prec_ctx():
                 final_args, posts, fes = self._jitted[cache_key](
-                    obs_arrays, dict(self.args))
+                    obs_arrays, args_in)
             self.args = {k: v for k, v in final_args.items()}
             return posts, fes
         cold = jax.vmap(compiled.make_tick_program(
@@ -647,7 +680,7 @@ class RxInferenceEngine:
         self._jitted[cache_key] = jax.jit(offline_fn)
         with compiled._prec_ctx():
             final_args, posts, fes = self._jitted[cache_key](
-                obs_arrays, dict(self.args))
+                obs_arrays, args_in)
         self.args = {k: v for k, v in final_args.items()}
         return posts, fes
 
