@@ -249,6 +249,98 @@ def main():
     t_eng_bf16 = _median_time(eng_bf16, (y2,))
     engine_bf16_updates_per_sec = 3 * T * B2 / t_eng_bf16
 
+    # --- int8 quantized observation ingest through the ENGINE (round-5) -----
+    # options={"observation_dtype": "int8"}: observations are quantized once
+    # per program (ops/quantized.py row kernels); every sweep's linear-
+    # evidence einsum reads the 1-byte payload + per-row scales instead of
+    # the fp32 observations.  At iterations=1 the quantize pass ~cancels the
+    # ingest saving; the VMP regime (iterations=10) is where the per-sweep
+    # re-read saving shows.
+    _, eng_prog_i8 = rx.batched_program(
+        gen_lgssm, {"y": np.zeros((B2, T, d), np.float32)},
+        iterations=1, free_energy=False,
+        options={"observation_dtype": "int8"},
+    )
+    eng_i8 = _scalarize(lambda ys: eng_prog_i8({"y": ys})[0])
+    t_eng_i8 = _median_time(eng_i8, (y2,))
+    engine_i8_updates_per_sec = 3 * T * B2 / t_eng_i8
+
+    # --- strict-fp32 accuracy mode cost (round-4 verdict weak item 5) -------
+    # options={"matmul_precision": "highest"}: every MXU pass runs full-fp32
+    # instead of the default bf16-ish fast path; this row quantifies what
+    # the accuracy mode costs on the headline workload
+    _, eng_prog_strict = rx.batched_program(
+        gen_lgssm, {"y": np.zeros((B2, T, d), np.float32)},
+        iterations=1, free_energy=False,
+        options={"matmul_precision": "highest"},
+    )
+    t_eng_strict = _median_time(
+        _scalarize(lambda ys: eng_prog_strict({"y": ys})[0]), (y2,))
+
+    IT_Q = 10
+    _, eng_prog_it = rx.batched_program(
+        gen_lgssm, {"y": np.zeros((B2, T, d), np.float32)},
+        iterations=IT_Q, free_energy=False,
+    )
+    _, eng_prog_it_i8 = rx.batched_program(
+        gen_lgssm, {"y": np.zeros((B2, T, d), np.float32)},
+        iterations=IT_Q, free_energy=False,
+        options={"observation_dtype": "int8"},
+    )
+    t_it = _median_time(_scalarize(lambda ys: eng_prog_it({"y": ys})[0]),
+                        (y2,))
+    t_it_i8 = _median_time(
+        _scalarize(lambda ys: eng_prog_it_i8({"y": ys})[0]), (y2,))
+
+    # --- kernel-level dequant+matmul speed-of-light (BASELINE mandate) ------
+    # xi = dequant(vals, scales) @ W^T at a fat ingest shape (dy=16 obs ->
+    # dx=4 state).  Minimal HBM traffic: int8 payload read + scale read +
+    # fp32 xi write; speed-of-light fraction = achieved/819 GB/s.  Both the
+    # Pallas kernel and the XLA-fused equivalent are measured; the better
+    # one is the achieved number (XLA may win on lane-starved tiny-K shapes
+    # — that is a result, not a failure).
+    from rxinfer_tpu.ops.quantized import dequant_matmul, quantize_rows
+
+    RQ, DYQ, DXQ = 1 << 21, 16, 4
+    yq = jax.jit(lambda: 3.0 * jax.random.normal(
+        jax.random.PRNGKey(2), (RQ, DYQ)))()
+    valsq, scalesq = jax.jit(quantize_rows)(yq)
+    wq = jnp.asarray(rng.standard_normal((DYQ, DXQ)).astype(np.float32))
+    jax.block_until_ready((valsq, scalesq, wq))
+    # |out| (not Σout) keeps the measurement honest: a LINEAR reduction of a
+    # matmul distributes — XLA strength-reduces Σ_rj(dequant(v,s)@W) into an
+    # O(R) dot and the "kernel" time collapses to the timing floor (observed)
+    dq_pl = lambda s: jnp.sum(jnp.abs(
+        dequant_matmul(valsq, s, wq, block_b=4096)))
+    t_dq_pl = _median_time(dq_pl, (scalesq,))
+    dq_xla = lambda s: jnp.sum(jnp.abs(jnp.einsum(
+        "rf,fj->rj", valsq.astype(jnp.float32) * s, wq,
+        preferred_element_type=jnp.float32)))
+    t_dq_xla = _median_time(dq_xla, (scalesq,))
+    t_dq = min(t_dq_pl, t_dq_xla)
+    dq_bytes = RQ * (DYQ * 1 + 4 + DXQ * 4)
+    int8_dequant_bytes_per_sec = dq_bytes / t_dq
+    fp32_equiv_bytes = RQ * (DYQ * 4 + DXQ * 4)
+
+    # evidence INGEST at the engine's own shape (B=1024, T=10k, d=4): the
+    # per-sweep xi einsum reading the 1-byte payload + per-(chain,channel)
+    # scales vs reading the fp32 observations.  Both variants perturb a
+    # SMALL fp32 arg (scales / the E matrix); the big payload stays staged.
+    E_ing = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32))
+    y2_bft = jnp.swapaxes(y2, 1, 2)                      # (B, d, T)
+    valsE, scalesE = jax.jit(
+        lambda a: quantize_rows(a.reshape(-1, T)))(y2_bft)
+    valsE = valsE.reshape(B2, d, T)
+    scalesE = scalesE.reshape(B2, d, 1)
+    jax.block_until_ready((valsE, scalesE))
+    ing_i8 = lambda sc: jnp.sum(jnp.abs(jnp.einsum(
+        "if,bft->tbi", E_ing, valsE.astype(jnp.float32) * sc,
+        preferred_element_type=jnp.float32)))
+    t_ing_i8 = _median_time(ing_i8, (scalesE,))
+    ing_f32 = lambda Em: jnp.sum(jnp.abs(jnp.einsum(
+        "if,btf->tbi", Em, y2, preferred_element_type=jnp.float32)))
+    t_ing_f32 = _median_time(ing_f32, (E_ing,))
+
     # streaming filtering over 10k parallel chains (BASELINE config 5)
     BF, TF = 10_000, 200
     ys = jnp.asarray(rng.standard_normal((TF, BF, d)).astype(np.float32))
@@ -456,10 +548,9 @@ def main():
         xi16,
         jnp.broadcast_to(jnp.asarray(w16), (B16, T16, D16, D16)),
     )
-    # d>8 runs the AoS element path (time-major); batch via vmap — exactly
-    # what the engine's vmapped chain fallback lowers to
-    ops16 = _scalarize(
-        lambda p: jax.vmap(lambda pp: parallel_smoother(pp)[:2])(p))
+    # round-5: d<=16 now rides the SoA batch-minor scan path natively
+    # (leading batch axes supported; lanes = T)
+    ops16 = _scalarize(lambda p: parallel_smoother(p)[:2])
     t_ops16 = _median_time(ops16, (p16,))
     d16_ops_updates_per_sec = 3 * T16 * B16 / t_ops16
 
@@ -596,6 +687,37 @@ def main():
         abs(-float(fe_b16[-1, i]) - oracle[i][2]) / abs(oracle[i][2])
         for i in range(BA)))
 
+    # strict-fp32 accuracy on the same float64 oracle workload
+    posts_st, fe_st = rx.infer_batched(
+        gen_lgssm, {"y": ya}, iterations=1, free_energy=True,
+        options={"matmul_precision": "highest"})
+    fm_st = np.asarray(posts_st["x"].mean())
+    fv_st = np.asarray(posts_st["x"].cov())
+    strict_err = float(max(
+        np.abs(fm_st[i] - oracle[i][0]).max() for i in range(BA)))
+    strict_cov_err = float(max(
+        np.abs(fv_st[i] - oracle[i][1]).max() for i in range(BA)))
+    strict_fe_rel = float(max(
+        abs(-float(fe_st[-1, i]) - oracle[i][2]) / abs(oracle[i][2])
+        for i in range(BA)))
+
+    # int8 observation-ingest accuracy on the same float64 oracle workload
+    # (the oracle sees the EXACT observations; the int8 run sees ŷ — this
+    # measures the end-to-end cost of quantized ingest, quantization error
+    # included)
+    posts_i8, fe_i8 = rx.infer_batched(
+        gen_lgssm, {"y": ya}, iterations=1, free_energy=True,
+        options={"observation_dtype": "int8"})
+    fm_i8 = np.asarray(posts_i8["x"].mean())
+    fv_i8 = np.asarray(posts_i8["x"].cov())
+    i8_err = float(max(
+        np.abs(fm_i8[i] - oracle[i][0]).max() for i in range(BA)))
+    i8_cov_err = float(max(
+        np.abs(fv_i8[i] - oracle[i][1]).max() for i in range(BA)))
+    i8_fe_rel = float(max(
+        abs(-float(fe_i8[-1, i]) - oracle[i][2]) / abs(oracle[i][2])
+        for i in range(BA)))
+
     print(json.dumps({
         "metric": "LGSSM d=4 T=10k smoothing message updates/sec/chip "
                   "(1024 parallel chains, fused Pallas RTS via "
@@ -623,6 +745,33 @@ def main():
         "bf16_accuracy_max_abs_err_vs_float64_oracle": bf16_err,
         "bf16_accuracy_cov_max_abs_err_vs_float64_oracle": bf16_cov_err,
         "bf16_accuracy_fe_rel_err_vs_float64_logZ": bf16_fe_rel,
+        "strict_fp32_engine_b1024_updates_per_sec": round(
+            3 * T * B2 / t_eng_strict, 1),
+        "strict_fp32_vs_default_time_ratio": round(
+            t_eng_strict / t_eng, 3),
+        "strict_fp32_accuracy_max_abs_err_vs_float64_oracle": strict_err,
+        "strict_fp32_accuracy_cov_max_abs_err_vs_float64_oracle":
+            strict_cov_err,
+        "strict_fp32_accuracy_fe_rel_err_vs_float64_logZ": strict_fe_rel,
+        "int8_engine_b1024_updates_per_sec": round(
+            engine_i8_updates_per_sec, 1),
+        "int8_vs_fp32_speedup_iter1": round(t_eng / t_eng_i8, 3),
+        "int8_vs_fp32_speedup_iter10": round(t_it / t_it_i8, 3),
+        "int8_accuracy_max_abs_err_vs_float64_oracle": i8_err,
+        "int8_accuracy_cov_max_abs_err_vs_float64_oracle": i8_cov_err,
+        "int8_accuracy_fe_rel_err_vs_float64_logZ": i8_fe_rel,
+        "int8_dequant_matmul_bytes_per_sec": round(
+            int8_dequant_bytes_per_sec, 1),
+        "int8_dequant_matmul_speed_of_light_frac": round(
+            int8_dequant_bytes_per_sec / HBM_PEAK, 4),
+        "int8_dequant_matmul_vs_fp32_traffic_ratio": round(
+            fp32_equiv_bytes / dq_bytes, 3),
+        "int8_dequant_pallas_vs_xla_time_ratio": round(
+            t_dq_xla / t_dq_pl, 3),
+        "int8_evidence_ingest_speedup_vs_fp32": round(
+            t_ing_f32 / t_ing_i8, 3),
+        "int8_evidence_ingest_bytes_per_sec": round(
+            B2 * T * (d * 1 + 4.0 / T + d * 4) / t_ing_i8, 1),
         "d16_engine_b16_updates_per_sec": round(
             d16_engine_updates_per_sec, 1),
         "d16_ops_b16_updates_per_sec": round(d16_ops_updates_per_sec, 1),
