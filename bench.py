@@ -405,13 +405,27 @@ def main():
     eng_s = rx.infer(model=_stream_tick, datastream=None, autoupdates=au_s,
                      mesh=mesh_s, options={"warn": False})
     eng_s.run_offline({"y": ys})  # compile + establish the cached program
-    fn_s = eng_s._jitted[("boffline", 1, False, True)]
     pm0 = jnp.asarray(au_s.initial["pm"])
     pc0 = jnp.asarray(au_s.initial["pc"])
-    stream_eng = _scalarize(
-        lambda y, pm, pc: fn_s({"y": y}, {"pm": pm, "pc": pc})[1:])
+    # round-5 fused stream plan: the probed linear-Gaussian tick runs the
+    # whole stream through the entrywise filter machine
+    assert ("fstream",) in eng_s._jitted, "fused stream plan did not engage"
+    fn_s = eng_s._jitted[("fstream",)]
+    stream_eng = _scalarize(lambda y, pm, pc: fn_s(y, pm, pc)[:2])
     t_stream_eng = _median_time(stream_eng, (ys, pm0, pc0))
     streaming_engine_updates_per_sec = BF * TF / t_stream_eng
+
+    # the GENERIC vmapped-tick path (returnvars= disables the fused plan):
+    # what any non-filtering streaming model gets
+    eng_g = rx.infer(model=_stream_tick, datastream=None, autoupdates=au_s,
+                     mesh=mesh_s, options={"warn": False},
+                     returnvars="x")
+    eng_g.run_offline({"y": ys})
+    fn_g = eng_g._jitted[("boffline", 1, False, True)]
+    stream_gen = _scalarize(
+        lambda y, pm, pc: fn_g({"y": y}, {"pm": pm, "pc": pc})[1:])
+    t_stream_gen = _median_time(stream_gen, (ys, pm0, pc0))
+    streaming_engine_generic_updates_per_sec = BF * TF / t_stream_gen
 
     # --- BASELINE config 4: GMM clustering batched over 1k datasets ----------
     from rxinfer_tpu.dists import Dirichlet, GammaShapeRate, NormalMeanVariance
@@ -534,6 +548,21 @@ def main():
     eng16 = _scalarize(lambda ys: eng16_prog({"y": ys})[0])
     t_eng16 = _median_time(eng16, (y16,))
     d16_engine_updates_per_sec = 3 * T16 * B16 / t_eng16
+
+    # round-5: d=16 FUSED Pallas kernel tier (the entrywise machine's Schur
+    # recursion is d-generic; chunk=1 keeps the backward pass inside VMEM;
+    # moments fit HBM at T=2048, B=1024)
+    T16F, B16F = 2048, 1024
+    y16f = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(5), (B16F, T16F, D16)))()
+    jax.block_until_ready(y16f)
+    _, eng16f_prog = rx.batched_program(
+        gen16, {"y": np.zeros((B16F, T16F, D16), np.float32)},
+        iterations=1, free_energy=False, options={"warn": False},
+    )
+    eng16f = _scalarize(lambda ys: eng16f_prog({"y": ys})[0])
+    t_eng16f = _median_time(eng16f, (y16f,))
+    d16_fused_engine_updates_per_sec = 3 * T16F * B16F / t_eng16f
 
     rinv16 = np.linalg.inv(r16)
     w16 = (h16.T @ rinv16 @ h16).astype(np.float32)
@@ -772,6 +801,10 @@ def main():
             t_ing_f32 / t_ing_i8, 3),
         "int8_evidence_ingest_bytes_per_sec": round(
             B2 * T * (d * 1 + 4.0 / T + d * 4) / t_ing_i8, 1),
+        "d16_fused_engine_b1024_updates_per_sec": round(
+            d16_fused_engine_updates_per_sec, 1),
+        "d16_fused_vs_baseline": round(
+            d16_fused_engine_updates_per_sec / baseline_updates_per_sec, 1),
         "d16_engine_b16_updates_per_sec": round(
             d16_engine_updates_per_sec, 1),
         "d16_ops_b16_updates_per_sec": round(d16_ops_updates_per_sec, 1),
@@ -801,6 +834,9 @@ def main():
         ),
         "streaming_engine_mesh_10k_chains_state_updates_per_sec": round(
             streaming_engine_updates_per_sec, 1
+        ),
+        "streaming_engine_generic_tick_updates_per_sec": round(
+            streaming_engine_generic_updates_per_sec, 1
         ),
         "gmm_1k_datasets_vmp_updates_per_sec": round(gmm_updates_per_sec, 1),
         "hmm_256x200_engine_fused_vmp_updates_per_sec": round(

@@ -66,7 +66,9 @@ class FusedGaussianPlan:
     c: Any = None          # (T, dim) ndarray
 
 
-def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict):
+def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict,
+                         hbm_budget: int = 12_000_000_000,
+                         batch_hint: int | None = None):
     """Return ``(FusedGaussianPlan, None)`` if the chain's parameters are
     compile-time constants (transition A/b/noise Const, prior Const, evidence
     factors whose only non-Const input is the observed VALUE), else
@@ -83,12 +85,41 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict):
     """
     from ..rules.registry import get_node
 
+    chunk = 8
     if block.dim > 8:
-        return None, (
-            f"state dim {block.dim} > 8: the fused Pallas kernel tier covers "
-            "d<=8; larger states run the batched XLA associative-scan path "
-            "(closed-form Schur inverses up to d=16, ops/smallmat.py)"
-        )
+        # round-5: the entrywise kernel's Schur recursion is d-generic, so
+        # d in (8, 16] runs the SAME fused machine with chunk=1 (the d=16
+        # backward pass streams 136 sym + 256 cross entries per step —
+        # chunk>2 busts the 16 MB VMEM scoped limit).  Gates: TPU-only
+        # (interpret mode executes the ~20k-op body per step — minutes per
+        # call on CPU) and the padded-lane moment footprint must fit HBM
+        # (the batch folds onto >=1024 lanes regardless of B).
+        if block.dim > 16:
+            return None, (
+                f"state dim {block.dim} > 16: beyond the closed-form Schur "
+                "inverse tier; the batched XLA scan path applies"
+            )
+        if _interpret():
+            return None, (
+                f"state dim {block.dim} > 8: the d>8 fused kernel compiles "
+                "on TPU only (interpret mode executes its ~20k-op body "
+                "per step); batched XLA scan path"
+            )
+        from ..ops.pallas_filter import batch_pad
+
+        d_ = block.dim
+        nsym = d_ * (d_ + 1) // 2
+        t_len = block.var.length
+        lanes = batch_pad(batch_hint or 1024)
+        moment_bytes = t_len * (2 * nsym + d_ * d_ + 2 * d_) * lanes * 4 * 2
+        if moment_bytes > hbm_budget:
+            return None, (
+                f"state dim {d_}: the fused kernel's moment streams "
+                f"(~{moment_bytes / 1e9:.1f} GB at T={t_len}, "
+                f"{lanes} padded lanes) exceed the HBM budget "
+                f"({hbm_budget / 1e9:.1f} GB); batched XLA scan path"
+            )
+        chunk = 1
     f = block.transition
     for name, v in f.interfaces.items():
         if name == "in":
@@ -155,7 +186,7 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict):
         A=np.asarray(a, np.float32), b=np.asarray(bb, np.float32),
         Q=np.asarray(q, np.float32), W=np.asarray(w[0], np.float32),
         m0=np.asarray(m0, np.float32), p0=np.asarray(p0, np.float32),
-        E=E, c=c,
+        E=E, c=c, chunk=chunk,
     )
     return plan, None
 
@@ -360,7 +391,8 @@ def batch_chunk_size(compiled, batch: int, budget_bytes: int):
     return c
 
 
-def build_plans(compiled, data0: dict, all_finite: bool = True) -> dict:
+def build_plans(compiled, data0: dict, all_finite: bool = True,
+                batch_hint: int | None = None) -> dict:
     """Decide, per chain block, whether the fused kernel tier applies.
 
     ``all_finite=False`` (the batch contains missing observations) disables
@@ -408,7 +440,10 @@ def build_plans(compiled, data0: dict, all_finite: bool = True) -> dict:
                 ),
             }
             continue
-        plan, reason = _plan_fused_gaussian(block, data0)
+        plan, reason = _plan_fused_gaussian(
+            block, data0,
+            hbm_budget=getattr(compiled, "hbm_budget", 12_000_000_000),
+            batch_hint=batch_hint)
         if plan is not None:
             plans[name] = plan
             report[name] = {"fused": True, "kernel": "pallas_smoother"}
@@ -719,7 +754,8 @@ def make_batched_program(compiled, data0: dict, iterations: int,
                          free_energy: bool, keep_each: bool = False,
                          all_finite: bool = True, shared: tuple = (),
                          psum_axis: str | None = None,
-                         _export: dict | None = None):
+                         _export: dict | None = None,
+                         batch_hint: int | None = None):
     """Build the pure function (batched_data) -> (state, fe, history) where
     every data leaf and every state/fe leaf carries a leading batch axis.
 
@@ -735,7 +771,8 @@ def make_batched_program(compiled, data0: dict, iterations: int,
     import copy
 
     data0 = compiled._with_derived(data0)
-    plans = build_plans(compiled, data0, all_finite=all_finite)
+    plans = build_plans(compiled, data0, all_finite=all_finite,
+                        batch_hint=batch_hint)
     # quantized observation ingest (SURVEY §2.3 item e): per-row int8/fp8
     # payloads feed the fused linear-evidence einsum; FE and every other
     # consumer see the SAME dequantized ŷ (consistent inference on

@@ -733,6 +733,7 @@ class CompiledModel:
         # batched programs lower eligible chain blocks to the fused Pallas
         # kernel tier (engine/batched.py); False forces the XLA scan paths
         self.use_fused = options.get("fused_kernels", True)
+        self.hbm_budget = options.get("hbm_budget_bytes", 12_000_000_000)
         # "bfloat16": the fused smoother streams its HBM-resident covariance/
         # cross moments in bf16 (~30% less traffic on the HBM-bound kernel;
         # means and arithmetic stay fp32) — ops/pallas_smoother.py
@@ -1184,7 +1185,8 @@ class CompiledModel:
     def make_batched_program(self, data0: dict, iterations: int,
                              free_energy: bool, keep_each: bool = False,
                              all_finite: bool = True, shared: tuple = (),
-                             psum_axis: Optional[str] = None):
+                             psum_axis: Optional[str] = None,
+                             batch_hint: Optional[int] = None):
         """Batch-native program over B independent datasets: eligible chain
         blocks dispatch into the fused Pallas kernels, the rest is vmapped
         (engine/batched.py — the kernel-tier path of infer_batched).
@@ -1195,7 +1197,7 @@ class CompiledModel:
         return make_batched_program(
             self, data0, iterations, free_energy,
             keep_each=keep_each, all_finite=all_finite, shared=shared,
-            psum_axis=psum_axis,
+            psum_axis=psum_axis, batch_hint=batch_hint,
         )
 
     def make_tick_program(self, iterations: int, free_energy: bool,

@@ -1,0 +1,252 @@
+"""Fused streaming plan: lower the batched streaming engine's offline loop
+onto the entrywise filter machine when the tick is linear-Gaussian filtering.
+
+BASELINE config 5 end state (round-5): the generic batched tick — message
+rules, dist pytrees, posterior extraction — costs ~1.5 ms at B=10k even
+fully fused under one ``lax.scan`` (hundreds of small kernels); the
+entrywise formulation (ops/entrywise.py: every matrix entry a full-width
+(B,)-lane array, closed-form inverses) collapses a tick to a handful of VPU
+kernels.  This module PROBES the compiled tick and the user's autoupdates
+numerically — the same plan-time technique as the linear-evidence extraction
+(engine/batched.py) and the affine-transition probe (engine/bethe.py) — and,
+when the pattern holds, runs the whole (T, B) stream through one fused scan:
+
+  tick:        q(x) ∝ N(x; pm, pc) · Π evidence(y)   with constant W_obs and
+               xi = E·y + c (affine in the observation),
+  autoupdates: pm' = F·m_post + g,  pc' = F·V_post·Fᵀ + Q  (affine/sandwich).
+
+Validated on random probes to float tolerance; ANY mismatch falls back to
+the generic engine path (correct for every model).  Exactly the engine's
+semantics: tick 0 consumes the initial args, the prediction applies between
+ticks, posteriors are the per-tick FILTERED marginals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dists import MvNormalMeanCovariance
+from ..dists.gaussian import as_mv_weighted_mean_precision, pd_inverse
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedStreamPlan:
+    var: str              # the single latent's name
+    obs: str              # the observation data arg
+    pm_arg: str           # autoupdated prior-mean arg name
+    pc_arg: str           # autoupdated prior-cov arg name
+    d: int
+    W_obs: np.ndarray     # (d, d) constant evidence precision
+    E: np.ndarray         # (d, feat) xi = E @ y + c
+    c: np.ndarray         # (d,)
+    F: np.ndarray         # (d, d) prediction map
+    g: np.ndarray         # (d,)   prediction offset
+    Q: np.ndarray         # (d, d) prediction noise
+
+
+def _make_tick_probe(compiled, var):
+    """One jitted single-stream tick -> information-form posterior (compiled
+    once; the dozen probe evaluations reuse it — eager per-op dispatch
+    through a remote-execution tunnel would cost seconds each)."""
+    prog = compiled.make_tick_program(1, False, False, cold=True)
+
+    def fn(data_el):
+        state, _, _, _ = prog(data_el)
+        f = as_mv_weighted_mean_precision(state[var])
+        return f.xi, f.w
+
+    return jax.jit(fn)
+
+
+def plan_fused_stream(compiled, au, obs_example: dict) -> Optional[FusedStreamPlan]:
+    """Probe the tick + autoupdates; None when the pattern does not hold."""
+    try:
+        rvs = [v for v in compiled.graph.random_variables()
+               if not v.name.startswith("_")]
+        if len(rvs) != 1 or compiled.chains:
+            return None
+        var = rvs[0].name
+        info = compiled.infos.get(var)
+        ev = info.event_shape if info is not None else None
+        if not ev or len(ev) != 1 or ev[0] > 8:
+            return None  # entrywise inverse tier covers vector states d<=8
+        d = int(ev[0])
+        if len(au.mapping) != 2:
+            return None
+        # identify which autoupdated arg is the prior mean vs cov by shape
+        shapes = {k: np.shape(v) for k, v in au.initial.items()}
+        pm_arg = pc_arg = None
+        for k, s in shapes.items():
+            if len(s) == 2 and s[-1] == d:
+                pm_arg = k
+            elif len(s) == 3 and s[-2:] == (d, d):
+                pc_arg = k
+        if pm_arg is None or pc_arg is None:
+            return None
+        obs_names = [k for k in obs_example if k not in au.initial]
+        if len(obs_names) != 1:
+            return None
+        obs = obs_names[0]
+        y0 = np.asarray(obs_example[obs])      # ONE stream's one observation
+        feat = int(np.prod(y0.shape, dtype=np.int64)) or 1
+
+        rng = np.random.default_rng(0)
+        probe = _make_tick_probe(compiled, var)
+
+        def tick_nat(pm, pc, y):
+            xi, w = probe({
+                pm_arg: jnp.asarray(pm, jnp.float32),
+                pc_arg: jnp.asarray(pc, jnp.float32),
+                obs: jnp.asarray(np.asarray(y, np.float32).reshape(y0.shape)),
+            })
+            return np.asarray(xi, np.float64), np.asarray(w, np.float64)
+
+        eye = np.eye(d, dtype=np.float64)
+        if True:
+            # --- evidence probe: W(pc) = inv(pc) + W_obs, y-independent ----
+            _, w_i = tick_nat(np.zeros(d), eye, np.zeros(feat))
+            W_obs = w_i - eye
+            pc2 = np.diag(np.linspace(0.5, 2.0, d)) + 0.1
+            pc2 = (pc2 + pc2.T) / 2 + d * np.eye(d)
+            _, w_2 = tick_nat(np.zeros(d), pc2, np.zeros(feat))
+            if not np.allclose(w_2, np.linalg.inv(pc2) + W_obs,
+                               rtol=1e-4, atol=1e-5):
+                return None
+            y_r = rng.standard_normal(feat)
+            _, w_y = tick_nat(np.zeros(d), eye, y_r)
+            if not np.allclose(w_y, w_i, rtol=1e-5, atol=1e-6):
+                return None
+            # --- xi probe: xi = inv(pc)·pm + E·y + c ------------------------
+            xi_0, _ = tick_nat(np.zeros(d), eye, np.zeros(feat))
+            c = xi_0
+            cols = []
+            for j in range(feat):
+                e = np.zeros(feat)
+                e[j] = 1.0
+                xi_j, _ = tick_nat(np.zeros(d), eye, e)
+                cols.append(xi_j - c)
+            E = np.stack(cols, axis=1)        # (d, feat)
+            pm_r = rng.standard_normal(d)
+            xi_r, _ = tick_nat(pm_r, pc2, y_r)
+            if not np.allclose(
+                    xi_r, np.linalg.solve(pc2, pm_r) + E @ y_r + c,
+                    rtol=1e-4, atol=1e-4):
+                return None
+
+            # --- autoupdates probe: pm' = F·m + g, pc' = F·V·Fᵀ + Q --------
+            def au_maps(m, V):
+                # batched mappings expect the leading stream axis: probe
+                # with a batch of ONE and strip it
+                q = {var: MvNormalMeanCovariance(
+                    jnp.asarray(m, jnp.float32)[None],
+                    jnp.asarray(V, jnp.float32)[None])}
+                out = au(q)
+                return (np.asarray(out[pm_arg], np.float64)[0],
+                        np.asarray(out[pc_arg], np.float64)[0])
+
+            g, Q = au_maps(np.zeros(d), np.zeros((d, d)))
+            fcols = []
+            for j in range(d):
+                mj, _ = au_maps(eye[j], np.zeros((d, d)))
+                fcols.append(mj - g)
+            F = np.stack(fcols, axis=1)
+            V_r = rng.standard_normal((d, d))
+            V_r = V_r @ V_r.T + np.eye(d)
+            m_r = rng.standard_normal(d)
+            pm_p, pc_p = au_maps(m_r, V_r)
+            if not np.allclose(pm_p, F @ m_r + g, rtol=1e-4, atol=1e-5):
+                return None
+            if not np.allclose(pc_p, F @ V_r @ F.T + Q, rtol=1e-4,
+                               atol=1e-4):
+                return None
+            # mean-map must not depend on V (and cov-map not on m)
+            pm_v, pc_m = au_maps(m_r, np.zeros((d, d)))
+            if not np.allclose(pm_v, F @ m_r + g, rtol=1e-5, atol=1e-6):
+                return None
+            if not np.allclose(pc_m, Q, rtol=1e-5, atol=1e-6):
+                return None
+
+        f32 = lambda a: np.asarray(a, np.float32)
+        return FusedStreamPlan(
+            var=var, obs=obs, pm_arg=pm_arg, pc_arg=pc_arg, d=d,
+            W_obs=f32(W_obs), E=f32(E), c=f32(c), F=f32(F), g=f32(g),
+            Q=f32(Q),
+        )
+    except Exception:  # noqa: BLE001 — any probe failure: generic path
+        import os
+        if os.environ.get("RXINFER_DEBUG_STREAM_PLAN"):
+            import traceback
+            traceback.print_exc()
+        return None
+
+
+def make_fused_stream_fn(plan: FusedStreamPlan, mesh=None,
+                         mesh_axis: str = "dp"):
+    """Build the jitted whole-stream executor (cache it per engine!):
+    fn(ys (T,B,feat...), pm (B,d), pc (B,d,d)) ->
+    (means (T,B,d), covs (T,B,d,d), final_pm, final_pc)."""
+    from ..ops import entrywise as ew
+
+    d = plan.d
+    F_e = [[plan.F[i, j] for j in range(d)] for i in range(d)]
+    Q_e = [[plan.Q[i, j] for j in range(d)] for i in range(d)]
+    W_e = [[plan.W_obs[i, j] for j in range(d)] for i in range(d)]
+    E_m = jnp.asarray(plan.E)
+    c_v = jnp.asarray(plan.c)
+    g_v = jnp.asarray(plan.g)
+
+    def scan_fn(ys, pm0, pc0):
+        t_len, b = ys.shape[0], ys.shape[1]
+        ys_flat = ys.reshape(t_len, b, -1)
+        # xi stream: one fused einsum from raw observations
+        xi_all = jnp.einsum("if,tbf->tbi", E_m, ys_flat,
+                            preferred_element_type=jnp.float32) + c_v
+
+        def step(carry, xi_t):
+            m, p = carry                    # prior: m d×(B,), p d×d×(B,)
+            w_prior = ew.mat_sym(ew.mat_inv_scaled(p))
+            w_post = ew.mat_add(w_prior, W_e)
+            p_new = ew.mat_sym(ew.mat_inv_scaled(w_post))
+            xi_e = [xi_t[:, k] for k in range(d)]
+            xi_tot = ew.vec_add(ew.mat_vec(w_prior, m), xi_e)
+            m_new = ew.mat_vec(p_new, xi_tot)
+            # prediction for the NEXT tick (engine autoupdates semantics)
+            m_pr = [v + g for v, g in zip(ew.mat_vec(F_e, m_new),
+                                          [g_v[i] for i in range(d)])]
+            p_pr = ew.mat_sym(ew.mat_add(
+                ew.mat_mul(ew.mat_mul(F_e, p_new), ew.mat_t(F_e)), Q_e))
+            return (m_pr, p_pr), (ew.stack_vec(m_new),
+                                  jnp.stack([jnp.stack(r, -1)
+                                             for r in p_new], -2))
+
+        m0 = ew.unstack_vec(pm0)
+        p0 = [[pc0[:, i, j] for j in range(d)] for i in range(d)]
+        (m_f, p_f), (means, covs) = jax.lax.scan(step, (m0, p0), xi_all)
+        final_pm = ew.stack_vec(m_f)
+        final_pc = jnp.stack([jnp.stack(r, -1) for r in p_f], -2)
+        return means, covs, final_pm, final_pc
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map
+
+            kw = {"check_vma": False}
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+            kw = {"check_rep": False}
+        fn = shard_map(scan_fn, mesh=mesh,
+                       in_specs=(P(None, mesh_axis), P(mesh_axis),
+                                 P(mesh_axis)),
+                       out_specs=(P(None, mesh_axis), P(None, mesh_axis),
+                                  P(mesh_axis), P(mesh_axis)), **kw)
+    else:
+        fn = scan_fn
+    return jax.jit(fn)

@@ -795,6 +795,7 @@ def batched_program(model, data: dict, iterations: Optional[int] = None,
     prog = jax.jit(compiled.make_batched_program(
         first, iterations, free_energy, keep_each=keep_each,
         all_finite=all_finite, shared=tuple(shared), psum_axis=psum_axis,
+        batch_hint=int(np.asarray(next(iter(data.values()))).shape[0]),
     ))
     _BATCH_CACHE[sig] = (compiled, prog, constraints, meta, init_dists, options)
     return compiled, prog

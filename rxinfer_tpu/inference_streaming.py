@@ -209,6 +209,7 @@ class RxInferenceEngine:
         self.fe_history: list = []
         self.posteriors: Optional[dict] = None
         self._compiled: Optional[CompiledModel] = None
+        self._stream_plan = None  # None=untried, False=ineligible, or plan
         # persistent per-engine marginal carry (state, chain_cross):
         # reference parity — marginal streams keep their latest values across
         # observations; only autoupdated priors change per tick
@@ -589,6 +590,22 @@ class RxInferenceEngine:
         self.args = {k: v for k, v in final_args.items()}
         return posts, fes
 
+    def _ensure_stream_plan(self, obs_arrays: dict):
+        """Probe-once fused-stream eligibility (engine/stream_plan.py)."""
+        if (self.free_energy or self._need_keep_each or self.iterations != 1
+                or self.annotations is not None
+                or self.postprocess is not None
+                or self.returnvars is not None):
+            return None
+        if self._stream_plan is None:
+            from .engine.stream_plan import plan_fused_stream
+
+            example = {k: np.asarray(v[0][0])
+                       for k, v in obs_arrays.items()}
+            self._stream_plan = plan_fused_stream(
+                self._compiled, self.autoupdates, example) or False
+        return self._stream_plan or None
+
     def _run_offline_batched(self, observations: dict):
         """Batched offline fast path: the whole (T, B, ...) stream runs in
         ONE jitted program — per-tick programs vmapped over the B independent
@@ -619,6 +636,27 @@ class RxInferenceEngine:
         self._ensure_compiled(first)
         self._check_batch(first)
         compiled = self._compiled
+        # FUSED STREAM PLAN (round-5): probe the tick + autoupdates for the
+        # linear-Gaussian filtering pattern and run the whole stream through
+        # the entrywise filter machine (engine/stream_plan.py) — the generic
+        # vmapped tick's many small kernels cost ~15x more per tick
+        plan = self._ensure_stream_plan(obs_arrays)
+        if plan is not None:
+            from .dists import MvNormalMeanCovariance
+            from .engine.stream_plan import make_fused_stream_fn
+
+            key_f = ("fstream",)
+            if key_f not in self._jitted:
+                self._jitted[key_f] = make_fused_stream_fn(
+                    plan, self.mesh, self.mesh_axis)
+            means, covs, fpm, fpc = self._jitted[key_f](
+                obs_arrays[plan.obs], args_in[plan.pm_arg],
+                args_in[plan.pc_arg])
+            self.args = {plan.pm_arg: fpm, plan.pc_arg: fpc}
+            posts = {plan.var: MvNormalMeanCovariance(means, covs)}
+            t_total = means.shape[0]
+            batch = means.shape[1]
+            return posts, jnp.zeros((t_total, batch, 0))
         cache_key = ("boffline", self.iterations, self.free_energy,
                      self.mesh is not None)
         if cache_key in self._jitted:

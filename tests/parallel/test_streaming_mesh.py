@@ -155,3 +155,68 @@ def test_mesh_indivisible_batch_raises():
                    autoupdates=_au(B), mesh=mesh)
     with pytest.raises(ValueError, match="divisible"):
         eng.on_next({"y": ys[0]})
+
+
+def test_fused_stream_plan_activates_and_matches():
+    """Round-5 fused streaming plan: the linear-Gaussian filtering tick is
+    probed (engine/stream_plan.py) and the whole stream runs through the
+    entrywise filter machine; results must match the generic path."""
+    B, T = 8, 24
+    ys = _data(B, T, seed=9)
+    eng = rx.infer(model=_step_model(), datastream=None,
+                   autoupdates=_au(B), batched=True)
+    posts, _ = eng.run_offline({"y": ys})
+    assert eng._stream_plan, "fused stream plan should have activated"
+    np.testing.assert_allclose(np.asarray(eng._stream_plan.F), A,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eng._stream_plan.Q), Q,
+                               rtol=1e-4, atol=1e-4)
+
+    # generic path oracle: free_energy=True disables the plan
+    eng_g = rx.infer(model=_step_model(), datastream=None,
+                     autoupdates=_au(B), batched=True, free_energy=True)
+    posts_g, _ = eng_g.run_offline({"y": ys})
+    assert eng_g._stream_plan is None
+    np.testing.assert_allclose(np.asarray(posts["x"].mean()),
+                               np.asarray(posts_g["x"].mean()),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(posts["x"].cov()),
+                               np.asarray(posts_g["x"].cov()),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_stream_plan_mesh_matches():
+    B, T = 16, 12
+    ys = _data(B, T, seed=10)
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    eng_m = rx.infer(model=_step_model(), datastream=None,
+                     autoupdates=_au(B), mesh=mesh)
+    posts_m, _ = eng_m.run_offline({"y": ys})
+    assert eng_m._stream_plan
+    eng_u = rx.infer(model=_step_model(), datastream=None,
+                     autoupdates=_au(B), batched=True)
+    posts_u, _ = eng_u.run_offline({"y": ys})
+    np.testing.assert_allclose(np.asarray(posts_m["x"].mean()),
+                               np.asarray(posts_u["x"].mean()),
+                               rtol=1e-6, atol=1e-6)
+    # engine.args advanced identically (the next-tick prediction)
+    np.testing.assert_allclose(np.asarray(eng_m.args["pm"]),
+                               np.asarray(eng_u.args["pm"]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_stream_plan_falls_back_on_nonlinear_autoupdates():
+    B, T = 4, 6
+    ys = _data(B, T, seed=11)
+    au = rx.autoupdates(
+        initial={"pm": np.zeros((B, D), np.float32),
+                 "pc": np.broadcast_to(25 * np.eye(D, dtype=np.float32),
+                                       (B, D, D)).copy()},
+        pm=lambda q: jnp.tanh(q["x"].mean()),        # NOT affine
+        pc=lambda q: jnp.einsum("ij,bjk,lk->bil", A, q["x"].cov(), A) + Q,
+    )
+    eng = rx.infer(model=_step_model(), datastream=None, autoupdates=au,
+                   batched=True)
+    posts, _ = eng.run_offline({"y": ys})
+    assert eng._stream_plan is False  # probed, rejected -> generic path
+    assert np.isfinite(np.asarray(posts["x"].mean())).all()
