@@ -277,6 +277,63 @@ def main():
     t_eng_strict = _median_time(
         _scalarize(lambda ys: eng_prog_strict({"y": ys})[0]), (y2,))
 
+    # --- DYNAMIC fused tier: unknown observation precision (round-5) --------
+    # y[t] ~ MvNormal(x[t], precision=Wr) with LATENT Wr ~ Wishart: the
+    # evidence precision is re-closed from q(Wr) every sweep and streamed
+    # into the kernel as traced per-chain tiles (engine/batched.py dynamic
+    # plans).  Through round 4 this flagship unknown-noise shape fell back
+    # to the vmapped XLA scan path; the rows quantify the recovered
+    # kernel-tier throughput and the speedup over that scan path (measured
+    # at a reduced shape — the scan path at B=1024, T=10k costs minutes).
+    from rxinfer_tpu.dists import Wishart as _WishartDist
+
+    nu0_dyn = float(d) + 1.0
+
+    @rx.model
+    def lgssm_wtau(y):
+        Tn = len(y)
+        Wr = rx.Wishart(nu0_dyn, np.eye(d, dtype=np.float32))
+        x = rx.latent(Tn, name="x")
+        x[0] = rx.MvNormal(mean=m0, cov=p0)
+        for t in rx.plate(1, Tn):
+            x[t] = rx.MvNormal(mean=f_mat @ x[t - 1], cov=q)
+        for t in rx.plate(Tn):
+            y[t] = rx.MvNormal(mean=x[t], precision=Wr)
+
+    init_dyn = {"Wr": _WishartDist(nu0_dyn, np.eye(d, dtype=np.float32))}
+    IT_DYN = 2   # >=2 sweeps: the per-sweep re-closure runs inside lax.scan
+    compiled_dyn, dyn_prog = rx.batched_program(
+        lgssm_wtau, {"y": np.zeros((B2, T, d), np.float32)},
+        iterations=IT_DYN, free_energy=False, initialization=init_dyn,
+    )
+    assert compiled_dyn.plan_report()["x"].get("dynamic") == ["W"], (
+        compiled_dyn.plan_report())
+    t_dyn = _median_time(_scalarize(lambda ys: dyn_prog({"y": ys})[0]),
+                         (y2,))
+    dyn_engine_updates_per_sec = IT_DYN * 3 * T * B2 / t_dyn
+
+    B3, T3 = 256, 2048
+    y3 = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(7), (B3, T3, d)))()
+    jax.block_until_ready(y3)
+    _, dyn_prog_s = rx.batched_program(
+        lgssm_wtau, {"y": np.zeros((B3, T3, d), np.float32)},
+        iterations=IT_DYN, free_energy=False, initialization=init_dyn,
+    )
+    _, scan_prog_s = rx.batched_program(
+        lgssm_wtau, {"y": np.zeros((B3, T3, d), np.float32)},
+        iterations=IT_DYN, free_energy=False, initialization=init_dyn,
+        options={"fused_kernels": False, "warn": False},
+    )
+    t_dyn_s = _median_time(
+        _scalarize(lambda ys: dyn_prog_s({"y": ys})[0]), (y3,))
+    t_scan_s = _median_time(
+        _scalarize(lambda ys: scan_prog_s({"y": ys})[0]), (y3,))
+    st_dyn = dyn_prog_s({"y": y3})[0]
+    st_scan = scan_prog_s({"y": y3})[0]
+    dyn_vs_scan_err = float(jnp.max(jnp.abs(
+        st_dyn["x"].mean() - st_scan["x"].mean())))
+
     IT_Q = 10
     _, eng_prog_it = rx.batched_program(
         gen_lgssm, {"y": np.zeros((B2, T, d), np.float32)},
@@ -782,6 +839,16 @@ def main():
         "strict_fp32_accuracy_cov_max_abs_err_vs_float64_oracle":
             strict_cov_err,
         "strict_fp32_accuracy_fe_rel_err_vs_float64_logZ": strict_fe_rel,
+        "dyn_precision_engine_b1024_updates_per_sec": round(
+            dyn_engine_updates_per_sec, 1),
+        "dyn_precision_vs_baseline": round(
+            dyn_engine_updates_per_sec / baseline_updates_per_sec, 1),
+        "dyn_precision_vs_static_engine_ratio": round(
+            (dyn_engine_updates_per_sec / IT_DYN)
+            / engine_b1024_updates_per_sec, 3),
+        "dyn_fused_vs_scan_speedup_b256_t2048": round(
+            t_scan_s / t_dyn_s, 2),
+        "dyn_fused_vs_scan_max_abs_mean_diff": dyn_vs_scan_err,
         "int8_engine_b1024_updates_per_sec": round(
             engine_i8_updates_per_sec, 1),
         "int8_vs_fp32_speedup_iter1": round(t_eng / t_eng_i8, 3),

@@ -151,10 +151,11 @@ def test_batched_plain_groups_keep_each_and_fe_history():
     assert (np.diff(fe, axis=0) <= 1e-4 * np.abs(fe[0])).all()
 
 
-def test_batched_chain_with_random_noise_falls_back_to_vmap():
+def test_batched_chain_with_random_noise_rides_dynamic_tier():
     """Unknown process noise: the transition precision is a per-dataset
-    posterior — ineligible for the closure-constant kernel; the vmapped chain
-    path must produce the same answer as per-dataset infer."""
+    posterior — since round 5 this rides the DYNAMIC fused tier (per-sweep
+    re-closed Q streamed as traced tiles; tests/engine/test_fused_dynamic.py)
+    and must still produce the same answer as per-dataset infer."""
 
     @rx.model
     def rw(y):
@@ -175,7 +176,8 @@ def test_batched_chain_with_random_noise_falls_back_to_vmap():
 
     compiled, _ = batched_program(rw, {"y": y}, iterations=5,
                                   initialization=init)
-    assert build_plans(compiled, {"y": y[0]}) == {}
+    plans = build_plans(compiled, {"y": y[0]})
+    assert "x" in plans and plans["x"].dyn_q and plans["x"].Q is None
 
     posts, fe = rx.infer_batched(rw, {"y": y}, iterations=5,
                                  free_energy=True, initialization=init)
@@ -289,7 +291,7 @@ def test_plan_report_eligible_ineligible_and_warning():
     rep = compiled.plan_report()
     assert rep == {"x": {"fused": True, "kernel": "pallas_smoother"}}
 
-    # ineligible: random transition precision → reasoned fallback + warning
+    # random transition precision rides the DYNAMIC tier since round 5
     @rx.model
     def rw(y):
         T = len(y)
@@ -304,9 +306,28 @@ def test_plan_report_eligible_ineligible_and_warning():
 
     y1 = np.cumsum(rng.standard_normal((2, 23)), axis=1).astype(np.float32)
     init = {"w": GammaShapeRate(1.0, 1.0)}
+    compiled_dyn, _ = batched_program(rw, {"y": y1}, iterations=2,
+                                      initialization=init)
+    assert compiled_dyn.plan_report()["x"] == {
+        "fused": True, "kernel": "pallas_smoother", "dynamic": ["Q"]}
+
+    # ineligible: DATA-valued transition noise → reasoned fallback + warning
+    @rx.model
+    def rw_v(y, v):
+        T = len(y)
+        x = rx.latent(T, name="x")
+        x[0] = rx.Normal(mean=0.0, var=10.0)
+        for t in rx.plate(1, T):
+            x[t] = rx.Normal(mean=x[t - 1], var=v[t])
+        for t in rx.plate(T):
+            y[t] = rx.Normal(mean=x[t], var=0.5)
+        return {"x": x}
+
+    y1v = np.cumsum(rng.standard_normal((2, 23)), axis=1).astype(np.float32)
+    vv = np.full((2, 23), 0.5, np.float32)
     with pytest.warns(UserWarning, match="fused Pallas"):
-        compiled2, _ = batched_program(rw, {"y": y1}, iterations=2,
-                                       initialization=init)
+        compiled2, _ = batched_program(rw_v, {"y": y1v, "v": vv},
+                                       iterations=2)
     rep2 = compiled2.plan_report()
     assert rep2["x"]["fused"] is False
     assert "transition" in rep2["x"]["reason"]
@@ -317,7 +338,8 @@ def test_plan_report_eligible_ineligible_and_warning():
     with _w.catch_warnings():
         _w.simplefilter("error")
         y2 = np.cumsum(rng.standard_normal((2, 24)), axis=1).astype(np.float32)
-        batched_program(rw, {"y": y2}, iterations=2, initialization=init,
+        v2 = np.full((2, 24), 0.5, np.float32)
+        batched_program(rw_v, {"y": y2, "v": v2}, iterations=2,
                         options={"warn": False})
 
     # the single-dataset path has no kernel tier to report
