@@ -844,8 +844,7 @@ def main():
         "dyn_precision_vs_baseline": round(
             dyn_engine_updates_per_sec / baseline_updates_per_sec, 1),
         "dyn_precision_vs_static_engine_ratio": round(
-            (dyn_engine_updates_per_sec / IT_DYN)
-            / engine_b1024_updates_per_sec, 3),
+            dyn_engine_updates_per_sec / engine_b1024_updates_per_sec, 3),
         "dyn_fused_vs_scan_speedup_b256_t2048": round(
             t_scan_s / t_dyn_s, 2),
         "dyn_fused_vs_scan_max_abs_mean_diff": dyn_vs_scan_err,

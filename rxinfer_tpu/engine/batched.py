@@ -74,6 +74,10 @@ class FusedGaussianPlan:
     c: Any = None          # (T, dim) ndarray
     dyn_w: bool = False    # evidence precision re-closed per sweep
     dyn_q: bool = False    # transition noise re-closed per sweep
+    # W-linear fast path for dyn_w (see _extract_wlinear_evidence):
+    # (vname, scalar_v, E0 dict, JT dict, c0, W0, ΔW-or-None); None -> the
+    # vmapped rule path re-assembles xi/W per sweep instead.
+    wlin: Any = None
 
 
 def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict,
@@ -144,6 +148,7 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict,
                 and v.idx is None and v.var.name != block.var.name)
 
     dyn_w = dyn_q = False
+    dyn_ev: list = []   # (interface-name, var-name) of dyn evidence refs
     f = block.transition
     for name, v in f.interfaces.items():
         if name == "in" or isinstance(v, Const):
@@ -211,6 +216,7 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict,
                         "fused path does not carry"
                     )
                 dyn_w = True
+                dyn_ev.append((name, v.var.name))
                 continue
             return None, (
                 f"evidence factor {ef.fform} interface {name!r} is bound to "
@@ -274,8 +280,18 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict,
             "evidence or partial coverage); the kernel requires one shared W"
         )
     # dyn_w evidence is state-dependent: the plan-time linear map would bake
-    # the INITIAL E[precision] into xi — the vmapped rule path re-assembles
-    # it per sweep instead.
+    # the INITIAL E[precision] into xi.  For the conjugate single-precision
+    # shape, extract the W-LINEAR map instead (probe-validated; xi/W become
+    # one tiny per-element matmul + the static tier's fused data einsum);
+    # otherwise the vmapped rule path re-assembles xi/W per sweep.
+    wlin = None
+    if dyn_w:
+        vnames = {vn for _, vn in dyn_ev}
+        if len(vnames) == 1 and all(n == "prec" for n, _ in dyn_ev):
+            vname = next(iter(vnames))
+            res = _extract_wlinear_evidence(block, d0, length, state0, vname)
+            if res is not None:
+                wlin = (vname,) + res
     E, c = ((None, None) if dyn_w
             else _extract_linear_evidence(block, d0, length))
     plan = FusedGaussianPlan(
@@ -283,13 +299,13 @@ def _plan_fused_gaussian(block: GaussianChainBlock, data0: dict,
         Q=None if dyn_q else np.asarray(q, np.float32),
         W=None if dyn_w else np.asarray(w[0], np.float32),
         m0=np.asarray(m0, np.float32), p0=np.asarray(p0, np.float32),
-        E=E, c=c, chunk=chunk, dyn_w=dyn_w, dyn_q=dyn_q,
+        E=E, c=c, chunk=chunk, dyn_w=dyn_w, dyn_q=dyn_q, wlin=wlin,
     )
     return plan, None
 
 
 def _extract_linear_evidence(block: GaussianChainBlock, d0: dict,
-                             length: int):
+                             length: int, state: dict | None = None):
     """Numerically extract the evidence information-vector map as a per-slot
     AFFINE function of the data: xi[t] = Σ_k E_k · vec(data_k[t]) + c[t].
 
@@ -300,10 +316,15 @@ def _extract_linear_evidence(block: GaussianChainBlock, d0: dict,
     at B=1024, T=10k).  Columns come from jvp with time-broadcast basis
     tangents; time-invariance of each column and affine consistency on the
     example dataset are verified, with fallback (None, None) to the rule
-    path on any mismatch."""
+    path on any mismatch.
+
+    ``state``: marginals the evidence rules may read (the dynamic tier's
+    probe states — PointMass precisions); the map is extracted AT that
+    state."""
+    state = state or {}
 
     def xi_of(dd):
-        xi, _ = block._evidence({}, dd, {}, length)
+        xi, _ = block._evidence(dict(state), dd, {}, length)
         return xi
 
     try:
@@ -356,6 +377,156 @@ def _extract_linear_evidence(block: GaussianChainBlock, d0: dict,
         return None, None
 
 
+def _extract_wlinear_evidence(block: GaussianChainBlock, d0: dict,
+                              length: int, state0: dict, vname: str):
+    """W-LINEAR evidence fast path for dynamic plans (round 5).
+
+    Conjugate Gaussian evidence messages are LINEAR in the precision value v
+    (e.g. ``y ~ Normal(Hx, prec=v)`` → xi = Hᵀ v y, W = Hᵀ v H), and VMP
+    messages depend on q(v) only through E[v].  Probing the rule-assembled
+    map at PointMass precisions v ∈ {0, I, R} recovers, per data stream k:
+
+        E_k(v) = E0_k + J_kᵀ v          (J_kᵀ = E_k(I) − E_k(0))
+        c(v)   = c0                      (validated v-invariant)
+        W(v)   = W0 + Σ_k J_kᵀ v J_k     (matrix v)   or
+        W(v)   = W0 + v·ΔW               (scalar v, ΔW = W(1) − W(0))
+
+    so the per-sweep re-closure costs one tiny per-element matmul
+    (M_b = E0 + Jᵀ E[v]_b) feeding the SAME fused data einsum as the static
+    tier — instead of the vmapped rule pipeline whose (B, T, d, d)
+    intermediates OOM HBM at the flagship shape (observed: 39 GB at
+    B=1024, T=10k).  Every model equation above is VALIDATED numerically
+    (random SPD probe + the actual initial state's full-family marginal);
+    any mismatch returns None and the vmapped rule path applies.
+
+    Returns ``(scalar_v, E0 dict, JT dict, c0, W0, extra)`` where ``extra``
+    is ΔW for scalar v and None for matrix v."""
+    from ..dists import PointMass
+    from ..rules.expectations import e_precision
+
+    try:
+        # probes run on the CPU backend: the model recovery SOLVES through
+        # probe differences (inv(S)), and on-chip bf16-ish matmul noise
+        # (~1e-3) would fail the 1e-4 validation and silently drop the fast
+        # path.  The arrays are tiny (T × d); exactness matters here.
+        cpu = jax.devices("cpu")[0]
+        ctx = jax.default_device(cpu)
+        ctx.__enter__()
+        try:
+            return _extract_wlinear_inner(block, d0, length, state0, vname,
+                                          PointMass, e_precision)
+        finally:
+            ctx.__exit__(None, None, None)
+    except Exception:  # noqa: BLE001 — any failure: keep the rule path
+        return None
+
+
+def _extract_wlinear_inner(block, d0, length, state0, vname,
+                           PointMass, e_precision):
+    try:
+        v0 = np.asarray(jax.jit(
+            lambda s: jnp.asarray(e_precision(s[vname])))(state0))
+        scalar_v = v0.ndim == 0
+        dv = 1 if scalar_v else v0.shape[-1]
+        if not scalar_v and v0.shape != (dv, dv):
+            return None
+        eye = np.float32(1.0) if scalar_v else np.eye(dv, dtype=np.float32)
+        rng = np.random.default_rng(3)
+        # probe points must be NON-SINGULAR: some mv rules round-trip the
+        # message through covariance (zero precision NaNs there).  Probe at
+        # I and I+S (S symmetric, I+S and S both invertible by
+        # construction), validate at an independent SPD point R2 + the
+        # actual initial state's full-family marginal.
+        if scalar_v:
+            Ra, R2 = np.float32(1.7), np.float32(0.6)
+        else:
+            rm = 0.25 * rng.standard_normal((dv, dv)).astype(np.float32)
+            S = (rm @ rm.T + np.eye(dv, dtype=np.float32))
+            Ra = eye + S
+            rm2 = rng.standard_normal((dv, dv)).astype(np.float32)
+            R2 = (rm2 @ rm2.T / dv + 0.5 * np.eye(dv, dtype=np.float32))
+
+        d0j = {k: jnp.asarray(np.asarray(v), jnp.float32)
+               for k, v in d0.items()}
+
+        def probe(vval):
+            st = dict(state0)
+            st[vname] = PointMass(jnp.asarray(vval, jnp.float32))
+            E, c = _extract_linear_evidence(block, d0, length, state=st)
+            _, w = jax.jit(
+                lambda s, dd: block._evidence(dict(s), dd, {}, length)
+            )(st, d0j)
+            return E, c, np.asarray(w)[0]
+
+        E1, c1, W1 = probe(eye)
+        Ea, ca, Wa = probe(Ra)
+        E2, c2, W2 = probe(R2)
+        if c1 is None or ca is None or c2 is None:
+            return None
+        E1, Ea, E2 = E1 or {}, Ea or {}, E2 or {}
+        ok = lambda a, b: np.allclose(a, b, rtol=1e-4, atol=1e-5)
+        if not (ok(ca, c1) and ok(c2, c1)):
+            return None  # constant offsets couple to v: rule path
+        c0 = c1
+        names = sorted(set(E1) | set(Ea) | set(E2))
+        JT, E0 = {}, {}
+        for k in names:
+            e1 = np.asarray(E1.get(k, 0.0 * np.asarray((Ea or E2)[k])))
+            ea = np.asarray(Ea.get(k, 0.0 * e1))
+            if not scalar_v and e1.shape[-1] != dv:
+                return None                            # feat ≠ dv: no model
+            if scalar_v:
+                jt = (ea - e1) / (float(Ra) - 1.0)
+                e0 = e1 - jt
+                e2_pred = e0 + float(R2) * jt
+            else:
+                # E(Ra) − E(I) = Jᵀ (Ra − I) = Jᵀ S
+                jt = (ea - e1) @ np.linalg.inv(S)
+                e0 = e1 - jt @ eye
+                e2_pred = e0 + jt @ R2
+            if not ok(np.asarray(E2.get(k, 0.0 * e1)), e2_pred):
+                return None
+            JT[k] = jt.astype(np.float32)
+            E0[k] = e0.astype(np.float32)
+        if scalar_v:
+            dW = (Wa - W1) / (float(Ra) - 1.0)
+            W0 = W1 - dW
+            if not ok(W2, W0 + float(R2) * dW):
+                return None
+            extra = dW.astype(np.float32)
+        else:
+            lin = lambda v: sum(
+                (JT[k] @ v @ JT[k].T for k in names),
+                np.zeros_like(W1))
+            W0 = W1 - lin(eye)
+            if not (ok(Wa, W0 + lin(Ra)) and ok(W2, W0 + lin(R2))):
+                return None
+            extra = None
+        # full-family consistency at the ACTUAL initial state: proves the
+        # rules depend on q(v) only through e_precision (a rule reading any
+        # other moment would silently diverge from the scan path otherwise)
+        Es, cs = _extract_linear_evidence(block, d0, length, state=state0)
+        _, ws = jax.jit(
+            lambda s, dd: block._evidence(dict(s), dd, {}, length)
+        )(state0, d0j)
+        ws = np.asarray(ws)[0]
+        if cs is None or not ok(cs, c0):
+            return None
+        for k in names:
+            es_pred = (E0[k] + float(v0) * JT[k] if scalar_v
+                       else E0[k] + JT[k] @ v0)
+            if not ok((Es or {}).get(k, E0[k]), es_pred):
+                return None
+        ws_pred = (W0 + float(v0) * extra if scalar_v
+                   else W0 + sum(JT[k] @ v0 @ JT[k].T for k in names))
+        if not ok(ws, ws_pred):
+            return None
+        return (scalar_v, E0, JT, np.asarray(c0, np.float32),
+                np.asarray(W0, np.float32), extra)
+    except Exception:  # noqa: BLE001 — any failure: keep the rule path
+        return None
+
+
 def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
                            data: dict, batch: int,
                            moment_dtype: str = "float32",
@@ -386,7 +557,38 @@ def _fused_gaussian_update(block: GaussianChainBlock, plan: FusedGaussianPlan,
         # and is re-assembled by the vmapped rule path below (plan.E is None
         # for dyn_w plans by construction).
         assert state is not None, "dynamic fused plan needs the sweep state"
-        if plan.dyn_w:
+        if plan.dyn_w and plan.wlin is not None:
+            # W-linear fast path: xi = (E0 + Jᵀ E[v]_b) y + c0 — one tiny
+            # per-element matmul feeding the SAME fused data einsum as the
+            # static tier (no (B, T, d, d) rule intermediates)
+            from ..rules.expectations import e_precision
+
+            vname, scalar_v, E0d, JTd, c0w, W0w, dWw = plan.wlin
+            vb = jax.vmap(lambda qq: jnp.asarray(e_precision(qq)))(
+                state[vname])
+            xi_t = jnp.zeros((length, batch, block.dim), jnp.float32)
+            for name in sorted(E0d):
+                e0k = jnp.asarray(E0d[name])
+                jtk = jnp.asarray(JTd[name])
+                if scalar_v:
+                    mb = e0k[None] + vb[:, None, None] * jtk[None]
+                else:
+                    mb = e0k[None] + jnp.einsum("iv,bvw->biw", jtk, vb)
+                flat = data[name].reshape(batch, length, -1)
+                xi_t = xi_t + jnp.einsum(
+                    "bif,btf->tbi", mb, flat,
+                    preferred_element_type=jnp.float32)
+            if np.any(c0w):
+                xi_t = xi_t + jnp.asarray(c0w)[:, None, :]
+            if scalar_v:
+                w_b = (jnp.asarray(W0w)[None]
+                       + vb[:, None, None] * jnp.asarray(dWw))
+            else:
+                w_b = jnp.asarray(W0w)[None] + sum(
+                    jnp.einsum("iv,bvw,jw->bij", jnp.asarray(JTd[k]), vb,
+                               jnp.asarray(JTd[k]))
+                    for k in sorted(JTd))
+        elif plan.dyn_w:
             def ev_fn(st, d):
                 with assume_finite_data():
                     xi, w = block._evidence(dict(st), d, {}, length)
@@ -581,6 +783,8 @@ def build_plans(compiled, data0: dict, all_finite: bool = True,
                    if on]
             if dyn:
                 report[name]["dynamic"] = dyn
+            if plan.wlin is not None:
+                report[name]["w_linear"] = True
         else:
             report[name] = {"fused": False, "reason": reason}
     fallbacks = {n: r["reason"] for n, r in report.items() if not r["fused"]}

@@ -64,7 +64,31 @@ def _make_tick_probe(compiled, var):
 
 
 def plan_fused_stream(compiled, au, obs_example: dict) -> Optional[FusedStreamPlan]:
-    """Probe the tick + autoupdates; None when the pattern does not hold."""
+    """Probe the tick + autoupdates; None when the pattern does not hold.
+
+    Probes execute on the CPU backend: the structural checks compare against
+    float64 models at 1e-4 tolerances which on-chip default-precision
+    einsums (~1e-2 relative on bf16-ish MXU passes) fail spuriously — and a
+    remote-TPU tick-probe compile costs seconds each.  CPU is exact and
+    local; the extracted plan constants are backend-independent numpy."""
+    try:
+        cpu = jax.devices("cpu")[0]
+        ctx = jax.default_device(cpu)
+        ctx.__enter__()
+        try:
+            return _plan_fused_stream_inner(compiled, au, obs_example)
+        finally:
+            ctx.__exit__(None, None, None)
+    except Exception:  # noqa: BLE001 — any probe failure: generic path
+        import os
+        if os.environ.get("RXINFER_DEBUG_STREAM_PLAN"):
+            import traceback
+            traceback.print_exc()
+        return None
+
+
+def _plan_fused_stream_inner(compiled, au,
+                             obs_example: dict) -> Optional[FusedStreamPlan]:
     try:
         rvs = [v for v in compiled.graph.random_variables()
                if not v.name.startswith("_")]

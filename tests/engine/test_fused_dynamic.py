@@ -79,6 +79,10 @@ def test_dyn_w_scalar_walk_tau_plans_and_matches_scan():
     assert plan.dyn_w and not plan.dyn_q
     assert plan.W is None and plan.E is None
     assert compiled._plan_report["x"]["dynamic"] == ["W"]
+    # the conjugate single-precision shape gets the W-LINEAR fast path
+    # (probe-validated; xi/W from one tiny per-element matmul)
+    assert plan.wlin is not None
+    assert compiled._plan_report["x"]["w_linear"] is True
 
     fused, scan = _compare(model, {"y": y}, init)
     # per-element taus DIVERGE across the batch (no shared=): the kernel saw
@@ -170,8 +174,43 @@ def test_dyn_wq_mv_wishart_both():
     assert "x" in plans, compiled.plan_report()
     assert plans["x"].dyn_w and plans["x"].dyn_q
     assert compiled._plan_report["x"]["dynamic"] == ["W", "Q"]
+    assert plans["x"].wlin is not None and not plans["x"].wlin[1]  # matrix v
 
     _compare(hier, {"y": ys}, init, names=("x", "Wq", "Wr"), atol=1e-4)
+
+
+def test_dyn_w_two_precisions_rule_path():
+    """TWO observation streams with DIFFERENT unknown precisions: the
+    W-linear fast path requires a single precision variable, so this shape
+    keeps the vmapped rule re-assembly — still fused, still matching the
+    scan oracle."""
+    @rx.model
+    def two_tau(y1, y2):
+        T = len(y1)
+        tau1 = rx.Gamma(shape=2.0, rate=2.0)
+        tau2 = rx.Gamma(shape=3.0, rate=1.0)
+        x = rx.latent(T, name="x")
+        x[0] = rx.Normal(mean=0.0, var=50.0)
+        for t in rx.plate(1, T):
+            x[t] = rx.Normal(mean=x[t - 1], var=0.3)
+        for t in rx.plate(T):
+            y1[t] = rx.Normal(mean=x[t], precision=tau1)
+        for t in rx.plate(T):
+            y2[t] = rx.Normal(mean=x[t], precision=tau2)
+
+    init = {"tau1": GammaShapeRate(2.0, 2.0),
+            "tau2": GammaShapeRate(3.0, 1.0)}
+    rng = np.random.default_rng(7)
+    B, T = 3, 13
+    walk = np.cumsum(0.6 * rng.standard_normal((B, T)), axis=1)
+    data = {
+        "y1": (walk + 0.7 * rng.standard_normal((B, T))).astype(np.float32),
+        "y2": (walk + 0.4 * rng.standard_normal((B, T))).astype(np.float32),
+    }
+    plans, compiled = _plan_of(two_tau, data, initialization=init)
+    assert "x" in plans, compiled.plan_report()
+    assert plans["x"].dyn_w and plans["x"].wlin is None
+    _compare(two_tau, data, init, names=("x", "tau1", "tau2"))
 
 
 def test_dyn_w_shared_tau_pooled():
